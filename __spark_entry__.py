@@ -1,38 +1,522 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Design notes
+------------
+The testdata tables carry no coordinates, so queries synthesize lon/lat
+deterministically from integer keys with arithmetic that is bit-identical
+in Spark and DuckDB (integer modulo then division by a power of ten).
+Double-valued outputs are rounded identically on both sides; tile indices
+and counts are exact integers.
+
+Grid constants (per-zoom resolution/origin) are resolved once from the
+engine's core Tms (bit-exact vs the reference) and inlined as literals in
+BOTH the Spark plan and the oracle SQL, so the two sides agree by
+construction (repr() round-trips IEEE doubles).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tile_grid_spark.core import Grid, tms  # noqa: E402
+from tile_grid_spark.functions import grid_cols as G  # noqa: E402
+from tile_grid_spark.operators import cover as C  # noqa: E402
+from tile_grid_spark.sources.io import read_table  # noqa: E402
+
+WM = tms().lookup("WebMercatorQuad")
+LEGACY = Grid.web_mercator()
+
+# ---------------------------------------------------------------------------
+# Shared deterministic lon/lat synthesis (identical SQL on both engines)
+# ---------------------------------------------------------------------------
+# lon in [-180, 180), lat in [-85, 85) — interior of the Mercator domain so
+# no clamping is exercised (clamp parity is covered by pytest, not the oracle).
+
+def _lon_sql(key: str) -> str:
+    # 1000e0: double literal in BOTH dialects (bare 1000.0 parses as DECIMAL
+    # in Spark SQL text and drags the whole expression into BigDecimal math)
+    return f"(({key} * 9973) % 360000) / 1000e0 - 180e0"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _lat_sql(key: str) -> str:
+    return f"(({key} * 7919) % 170000) / 1000e0 - 85e0"
+
+
+def _merc_x_sql(lon: str) -> str:
+    return f"6378137.0 * radians({lon})"
+
+
+def _merc_y_sql(lat: str) -> str:
+    return f"6378137.0 * ln(tan(pi() * 0.25 + 0.5 * radians({lat})))"
+
+
+def _tile_sql(coord: str, origin: str, unit: str, flip: bool, max_index: int = None) -> str:
+    """Tile index with the reference's clamp semantics (tms.rs:517-532):
+    negatives -> 0, cap at matrix size."""
+    inner = f"({origin}) - ({coord})" if flip else f"({coord}) - ({origin})"
+    raw = f"CAST(floor(({inner}) / ({unit})) AS BIGINT)"
+    clamped = f"GREATEST({raw}, 0)"
+    if max_index is not None:
+        clamped = f"LEAST({clamped}, {max_index})"
+    return clamped
+
+
+def _zp(zoom: int):
+    return WM.zoom_params(zoom)
+
+
+def _d(v: float) -> str:
+    """DOUBLE literal for DuckDB (bare decimals parse as DECIMAL and overflow)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _zoom_values_sql(zooms) -> str:
+    """Literal per-zoom parameter table, constants from the core Tms."""
+    rows = []
+    for z in zooms:
+        p = _zp(z)
+        rows.append(
+            f"({z}, {_d(p.resolution)}, {_d(p.origin_x)}, {_d(p.origin_y)}, "
+            f"{p.matrix_width}, {p.matrix_height})"
+        )
+    return (
+        "(VALUES " + ", ".join(rows)
+        + ") AS zp(zoom, res, origin_x, origin_y, matrix_w, matrix_h)"
+    )
+
+
+def _points_sql(table: str, key: str) -> str:
+    return (
+        f"SELECT {key} AS pid, {_lon_sql(key)} AS lon, {_lat_sql(key)} AS lat FROM {table}"
+    )
+
+
+def _points_df(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    df = read_table(spark, sf_dir, table)
+    return df.select(
+        F.col(key).alias("pid"),
+        F.expr(_lon_sql(key)).alias("lon"),
+        F.expr(_lat_sql(key)).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core tile assignment (xy_tile, tms.rs:490-535): per-tile point counts
+    at z8 over synthesized order coordinates. Native Column math only."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    out = G.with_tile(pts, WM, 8)
+    return (
+        out.groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_tile_assign_multizoom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom assignment profile z0..z12 (one broadcast param join)."""
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    zooms = list(range(13))
+    out = G.with_tiles_multizoom(pts, WM, zooms)
+    return (
+        out.groupBy("zoom")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("tile_x", "tile_y").alias("n_tiles"),
+            F.max("tile_x").alias("max_x"),
+            F.max("tile_y").alias("max_y"),
+        )
+        .orderBy("zoom")
+    )
+
+
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile -> CRS bounds (xy_ul/xy_bounds, tms.rs:561-590) for all tiles
+    z0..z5, rounded to 6 (pure arithmetic — bit-identical cross-engine)."""
+    t = C.enumerate_tms(spark, WM, 0, 5)
+    outs = []
+    for z in range(6):
+        p = _zp(z)
+        part = t.filter(F.col("zoom") == z).withColumns(
+            G.tile_bounds_cols("tile_x", "tile_y", p)
+        )
+        outs.append(part)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        (F.round("minx", 6) + F.lit(0.0)).alias("minx"),
+        (F.round("miny", 6) + F.lit(0.0)).alias("miny"),
+        (F.round("maxx", 6) + F.lit(0.0)).alias("maxx"),
+        (F.round("maxy", 6) + F.lit(0.0)).alias("maxy"),
+    ).orderBy("zoom", "tile_x", "tile_y")
+
+
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey compose + parse round-trip (quadkey.rs:23-78) at z9 over
+    customer points. Pure column bit math."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    t = G.with_tile(pts, WM, 9).withColumn("zoom", F.lit(9))
+    t = t.withColumn("qk", G.quadkey_col("tile_x", "tile_y", "zoom"))
+    back = G.quadkey_to_tile_cols("qk")
+    return t.select(
+        F.col("pid").alias("c_custkey"),
+        "tile_x",
+        "tile_y",
+        "qk",
+        back["tile_x"].alias("back_x"),
+        back["tile_y"].alias("back_y"),
+    ).orderBy("c_custkey")
+
+
+def q_events_tile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: events bucketed by (tile z10, hour)."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr(_lon_sql("user_id")).alias("lon"),
+        F.expr(_lat_sql("user_id")).alias("lat"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    t = G.with_tile(pts, WM, 10)
+    return (
+        t.groupBy(
+            "tile_x", "tile_y", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("tile_x", "tile_y", "hour")
+    )
+
+
+def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: customer points in nation rectangles via the engine's
+    tile-prefilter path (cover explode -> equi-join on tile -> exact test).
+    Rectangles are axis-aligned so the oracle is a plain BETWEEN join;
+    offsets of 1/7 keep points off boundaries."""
+    ZOOM = 6
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    pts = G.with_tile(pts, WM, ZOOM)
+
+    rects = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-180.0) + F.col("n_nationkey") * F.lit(13.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-80.0) + F.col("n_nationkey") * F.lit(5.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(21.0), "maxy": F.col("miny") + F.lit(17.0)}
+    )
+    rect_tiles = C.cover_bbox_geographic(rects, WM, ZOOM)
+    joined = pts.join(
+        F.broadcast(rect_tiles), on=["tile_x", "tile_y"], how="inner"
+    ).filter(
+        (F.col("lon") >= F.col("minx"))
+        & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny"))
+        & (F.col("lat") <= F.col("maxy"))
+    )
+    return joined.select(
+        F.col("pid").alias("c_custkey"), "n_nationkey"
+    ).orderBy("c_custkey", "n_nationkey")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + prefix-fingerprint dedup over documents: md5 of the full
+    text catches exact dupes; md5 of the first 100 chars catches
+    shared-prefix near-dupes (the synthetic corpus has 22 such groups).
+    Keep-rule: lowest doc_id survives."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.substring("text", 1, 100)).alias("fingerprint"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.countDistinct(F.md5("text")).alias("n_exact_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality profile per (lang, source): docs, tokens, chars."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: query vectors (vec_id<10) against the rest.
+    Baseline for the ANN operator; JVM-side aggregate over zipped arrays."""
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("norm", norm)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), F.col("norm").alias("c_norm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = c.crossJoin(F.broadcast(q)).withColumn(
+        "sim", dot / (F.col("q_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+    ).orderBy("query_id", "rank")
+
+
+def q_legacy_tile_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy WMTS grid surface (grid.rs:203-234): XYZ->TMS flip + extents
+    at z10 for supplier-point tiles; pure arithmetic, rounded 6."""
+    ZOOM = 10
+    pts = _points_df(spark, sf_dir, "supplier", "s_suppkey")
+    t = G.with_tile(pts, WM, ZOOM)
+    maxy = LEGACY.level_max_list[ZOOM][1]
+    res = LEGACY.resolutions[ZOOM]
+    ty = F.greatest(F.greatest(F.lit(maxy) - F.col("tile_y"), F.lit(0)) - F.lit(1), F.lit(0))
+    ext_minx = F.lit(LEGACY.extent.minx) + F.lit(res) * F.col("tile_x").cast("double") * F.lit(256.0)
+    ext_miny = F.lit(LEGACY.extent.miny) + F.lit(res) * ty.cast("double") * F.lit(256.0)
+    return t.select(
+        F.col("pid").alias("s_suppkey"),
+        "tile_x",
+        "tile_y",
+        ty.alias("tms_y"),
+        F.round(ext_minx, 6).alias("ext_minx"),
+        F.round(ext_miny, 6).alias("ext_miny"),
+    ).orderBy("s_suppkey")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign_z8": q_tile_assign_z8,
+        "tile_assign_multizoom": q_tile_assign_multizoom,
+        "tile_bounds": q_tile_bounds,
+        "quadkey_roundtrip": q_quadkey,
+        "events_tile_hourly": q_events_tile_hourly,
+        "pip_rect_join": q_pip_rect_join,
+        "dedup_exact": q_dedup_exact,
+        "doc_stats": q_doc_stats,
+        "knn_bruteforce": q_knn_bruteforce,
+        "legacy_tile_extent": q_legacy_tile_extent,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+def _tile_xy_sql(zoom: int, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    p = _zp(zoom)
+    unit_x = f"{_d(p.resolution)} * 256.0"
+    tx = _tile_sql(_merc_x_sql(lon), _d(p.origin_x), unit_x, flip=False, max_index=p.matrix_width)
+    ty = _tile_sql(_merc_y_sql(lat), _d(p.origin_y), unit_x, flip=True, max_index=p.matrix_height)
+    return tx, ty
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tx8, ty8 = _tile_xy_sql(8)
+    tx6, ty6 = _tile_xy_sql(6)
+    tx9, ty9 = _tile_xy_sql(9)
+    tx10, ty10 = _tile_xy_sql(10)
+
+    sql: dict[str, str] = {}
+
+    sql["tile_assign_z8"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')})
+        SELECT {tx8} AS tile_x, {ty8} AS tile_y, COUNT(*) AS n_points
+        FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
     """
-    return {}
+
+    sql["tile_assign_multizoom"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')}),
+        t AS (
+          SELECT zp.zoom,
+                 LEAST(GREATEST(CAST(floor(({_merc_x_sql('lon')} - zp.origin_x) / (zp.res * 256.0)) AS BIGINT), 0), zp.matrix_w) AS tile_x,
+                 LEAST(GREATEST(CAST(floor((zp.origin_y - {_merc_y_sql('lat')}) / (zp.res * 256.0)) AS BIGINT), 0), zp.matrix_h) AS tile_y
+          FROM pts CROSS JOIN {_zoom_values_sql(range(13))}
+        )
+        SELECT zoom, COUNT(*) AS n_points,
+               COUNT(DISTINCT (tile_x, tile_y)) AS n_tiles,
+               MAX(tile_x) AS max_x, MAX(tile_y) AS max_y
+        FROM t GROUP BY zoom ORDER BY zoom
+    """
+
+    bounds_parts = []
+    for z in range(6):
+        p = _zp(z)
+        n = 2**z
+        uw = f"{_d(p.resolution)} * 256.0"
+        bounds_parts.append(
+            f"""
+            SELECT {z} AS zoom, x.tile_x, y.tile_y,
+              round({_d(p.origin_x)} + x.tile_x * ({uw}), 6) + 0.0 AS minx,
+              round({_d(p.origin_y)} - (y.tile_y + 1) * ({uw}), 6) + 0.0 AS miny,
+              round({_d(p.origin_x)} + (x.tile_x + 1) * ({uw}), 6) + 0.0 AS maxx,
+              round({_d(p.origin_y)} - y.tile_y * ({uw}), 6) + 0.0 AS maxy
+            FROM (SELECT unnest(generate_series(0, {n - 1})) AS tile_x) x
+            CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS tile_y) y
+            """
+        )
+    sql["tile_bounds"] = (
+        "SELECT * FROM (" + " UNION ALL ".join(bounds_parts) + ") ORDER BY zoom, tile_x, tile_y"
+    )
+
+    sql["quadkey_roundtrip"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        t AS (SELECT pid AS c_custkey, {tx9} AS tile_x, {ty9} AS tile_y FROM pts),
+        t2 AS (
+          SELECT c_custkey, tile_x, tile_y,
+            array_to_string(list_transform(generate_series(9, 1, -1),
+              i -> CAST(CAST(floor(tile_x / pow(2.0, i - 1)) AS BIGINT) % 2
+                   + 2 * (CAST(floor(tile_y / pow(2.0, i - 1)) AS BIGINT) % 2) AS VARCHAR)), '') AS qk
+          FROM t
+        )
+        SELECT c_custkey, tile_x, tile_y, qk,
+          CAST(list_sum(list_transform(generate_series(1, 9),
+            i -> CASE WHEN substring(qk, i, 1) IN ('1','3')
+                 THEN CAST(pow(2.0, 9 - i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS back_x,
+          CAST(list_sum(list_transform(generate_series(1, 9),
+            i -> CASE WHEN substring(qk, i, 1) IN ('2','3')
+                 THEN CAST(pow(2.0, 9 - i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS back_y
+        FROM t2 ORDER BY c_custkey
+    """
+
+    sql["events_tile_hourly"] = f"""
+        WITH pts AS (
+          SELECT {_lon_sql('user_id')} AS lon, {_lat_sql('user_id')} AS lat, ts, value
+          FROM events
+        )
+        SELECT {tx10} AS tile_x, {ty10} AS tile_y,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+        FROM pts GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y, hour
+    """
+
+    sql["pip_rect_join"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        rects AS (
+          SELECT n_nationkey,
+                 -180.0 + n_nationkey * 13.0 + {_d(1.0 / 7.0)} AS minx,
+                 -80.0 + n_nationkey * 5.0 + {_d(1.0 / 7.0)} AS miny
+          FROM nation
+        )
+        SELECT pts.pid AS c_custkey, rects.n_nationkey
+        FROM pts JOIN rects
+          ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 21.0
+         AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 17.0
+        ORDER BY c_custkey, n_nationkey
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(substring(text, 1, 100)) AS fingerprint,
+               COUNT(*) AS dup_count,
+               COUNT(DISTINCT md5(text)) AS n_exact_variants,
+               MIN(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY fingerprint
+    """
+
+    sql["doc_stats"] = """
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens,
+               SUM(length(text)) AS total_chars,
+               round(AVG(length(text)), 4) AS avg_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """
+
+    sql["knn_bruteforce"] = """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm
+          FROM e
+        ),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(q.emb)),
+                     i -> q.emb[i] * c.emb[i])) / (q.norm * c.norm) AS sim
+          FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pairs
+        )
+        SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    res10 = LEGACY.resolutions[10]
+    maxy10 = LEGACY.level_max_list[10][1]
+    tx10b, ty10b = _tile_xy_sql(10)
+    sql["legacy_tile_extent"] = f"""
+        WITH pts AS ({_points_sql('supplier', 's_suppkey')}),
+        t AS (SELECT pid AS s_suppkey, {tx10b} AS tile_x, {ty10b} AS tile_y FROM pts),
+        t2 AS (
+          SELECT s_suppkey, tile_x, tile_y,
+                 GREATEST(GREATEST({maxy10} - tile_y, 0) - 1, 0) AS tms_y
+          FROM t
+        )
+        SELECT s_suppkey, tile_x, tile_y, tms_y,
+               round({_d(LEGACY.extent.minx)} + {_d(res10)} * tile_x * 256.0, 6) AS ext_minx,
+               round({_d(LEGACY.extent.miny)} + {_d(res10)} * tms_y * 256.0, 6) AS ext_miny
+        FROM t2 ORDER BY s_suppkey
+    """
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Flagship entry
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: multi-zoom tile assignment + per-tile density over
+    sf0.001. Exercises the core engine path end-to-end: synthesize points,
+    broadcast zoom params, native-column Mercator + floor assignment,
+    hash-aggregate per tile."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    assigned = G.with_tiles_multizoom(pts, WM, list(range(9)))
+    return (
+        assigned.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .withColumn("quadkey", G.quadkey_col("tile_x", "tile_y", "zoom"))
+        .orderBy("zoom", "tile_x", "tile_y")
+    )

@@ -1,0 +1,197 @@
+"""Bench harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Extras carry the throughput numbers BASELINE.md commits to
+(tile-assignments/sec, PIP-join rows/sec). Results are forced with the
+noop sink so nothing is collected to the driver.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py, which shells out to this file at two
+parallelism levels — see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tile_grid_spark.functions import grid_cols as G
+from tile_grid_spark.operators import cover as C
+from tile_grid_spark.plans.session import build_session
+from tile_grid_spark.sources.io import read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ALL_ZOOMS = list(range(25))
+
+
+def force(df: DataFrame) -> int:
+    """Execute fully on executors; return row count via the cheapest
+    full-evaluation path (noop write does not expose counts, so count())."""
+    return df.count()
+
+
+def force_noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
+    """Headline: every lineitem point -> tile at zooms 0..24 (narrow plan,
+    broadcast params, zero shuffle before the noop sink)."""
+    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
+    pts = li.select(
+        F.col("l_orderkey").alias("pid"),
+        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
+        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
+    )
+    n_points = pts.count()
+    assigned = G.with_tiles_multizoom(pts, E.WM, ALL_ZOOMS).select(
+        "pid", "zoom", "tile_x", "tile_y"
+    )
+    t0 = time.time()
+    force_noop(assigned)
+    dt = time.time() - t0
+    return {"sec": dt, "assignments": n_points * len(ALL_ZOOMS)}
+
+
+def bench_pip_join(spark: SparkSession) -> dict:
+    """PIP join rows/sec: points x rectangle layer via tile prefilter."""
+    ZOOM = 7
+    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
+    pts = li.select(
+        F.col("l_orderkey").alias("pid"),
+        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
+        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
+    )
+    pts = G.with_tile(pts, E.WM, ZOOM)
+    n = 200  # polygon layer size
+    rects = spark.range(n).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("id") % 24) * F.lit(15.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-85.0) + (F.col("id") % 17) * F.lit(10.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(12.0), "maxy": F.col("miny") + F.lit(8.0)}
+    )
+    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM)
+    joined = pts.join(F.broadcast(rect_tiles), ["tile_x", "tile_y"]).filter(
+        (F.col("lon") >= F.col("minx"))
+        & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny"))
+        & (F.col("lat") <= F.col("maxy"))
+    )
+    t0 = time.time()
+    rows = force(joined.select("pid", "poly_id"))
+    dt = time.time() - t0
+    return {"sec": dt, "join_rows": rows}
+
+
+def bench_quadkey(spark: SparkSession) -> dict:
+    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
+    pts = li.select(
+        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
+        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
+    )
+    t = G.with_tile(pts, E.WM, 12).withColumn("zoom", F.lit(12))
+    qk = t.withColumn("qk", G.quadkey_col("tile_x", "tile_y", "zoom"))
+    t0 = time.time()
+    force_noop(qk.select("qk"))
+    return {"sec": time.time() - t0}
+
+
+def bench_per_tile_agg(spark: SparkSession) -> dict:
+    """Shuffle-bearing per-tile density at z10 (hash agg, AQE coalesce)."""
+    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
+    pts = li.select(
+        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
+        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    t = G.with_tile(pts, E.WM, 10)
+    agg = t.groupBy("tile_x", "tile_y").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    t0 = time.time()
+    force_noop(agg)
+    return {"sec": time.time() - t0}
+
+
+def bench_knn(spark: SparkSession) -> dict:
+    t0 = time.time()
+    force(E.q_knn_bruteforce(spark, SF_DIR))
+    return {"sec": time.time() - t0}
+
+
+def bench_docs(spark: SparkSession) -> dict:
+    t0 = time.time()
+    force(E.q_doc_stats(spark, SF_DIR))
+    force(E.q_dedup_exact(spark, SF_DIR))
+    return {"sec": time.time() - t0}
+
+
+def main() -> None:
+    spark = build_session(
+        "tgs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JIT/codegen + noop sink with a miniature of the headline plan
+    # so per-query timings measure steady-state throughput, not first-job
+    # compilation (matches how a long-running cluster job behaves).
+    warm = spark.range(10000).select(
+        (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+        (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+    )
+    force_noop(G.with_tiles_multizoom(warm, E.WM, ALL_ZOOMS))
+
+    benches = {
+        "tile_assign_all_zooms": bench_tile_assign_all_zooms,
+        "pip_join": bench_pip_join,
+        "quadkey_z12": bench_quadkey,
+        "per_tile_agg_z10": bench_per_tile_agg,
+        "knn_bruteforce": bench_knn,
+        "doc_ops": bench_docs,
+    }
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    total = 0.0
+    for name, fn in benches.items():
+        r = fn(spark)
+        queries[name] = round(r["sec"], 3)
+        total += r["sec"]
+        if "assignments" in r:
+            extras["tile_assignments_per_sec"] = round(r["assignments"] / r["sec"])
+        if "join_rows" in r:
+            extras["pip_join_rows"] = r["join_rows"]
+            extras["pip_join_rows_per_sec"] = round(r["join_rows"] / r["sec"])
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "tile-grid-spark headline suite (assign/PIP/quadkey/agg/knn/docs)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

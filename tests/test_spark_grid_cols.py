@@ -1,0 +1,209 @@
+"""Spark Column-expression surface vs the bit-exact core (and reference goldens).
+
+Strategy: generate a deterministic point sample, run the native-Column path
+on Spark, and compare tile indices 1:1 against the numpy core (which the
+golden suite already pins to the reference). Scalar goldens from the
+reference tests are asserted directly on collected rows.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.core import Xyz, lookup, tms
+from tile_grid_spark.functions import grid_cols as G
+from tile_grid_spark.operators import cover as C
+
+
+@pytest.fixture(scope="module")
+def wm():
+    return tms().lookup("WebMercatorQuad")
+
+
+def sample_points(n=2000, seed=7):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-85.0, 85.0, n)
+    return lon, lat
+
+
+class TestTileAssignment:
+    def test_matches_core_all_zooms(self, spark, wm):
+        lon, lat = sample_points()
+        pdf = spark.createDataFrame(
+            list(zip(range(len(lon)), lon.tolist(), lat.tolist())), "id INT, lon DOUBLE, lat DOUBLE"
+        )
+        for zoom in (0, 4, 12, 24):
+            got = (
+                G.with_tile(pdf, wm, zoom)
+                .select("id", "tile_x", "tile_y")
+                .toPandas()
+                .sort_values("id")
+            )
+            ex, ey = wm.tile_arrays(lon, lat, zoom)
+            assert (got["tile_x"].to_numpy() == ex).all(), f"x mismatch z{zoom}"
+            assert (got["tile_y"].to_numpy() == ey).all(), f"y mismatch z{zoom}"
+
+    def test_reference_goldens(self, spark, wm):
+        df = spark.createDataFrame(
+            [(-179.0, 85.0, 5), (20.0, 15.0, 5), (159.31, -42.0, 4)],
+            "lon DOUBLE, lat DOUBLE, zoom INT",
+        )
+        rows = {}
+        for z in (4, 5):
+            p = wm.zoom_params(z)
+            out = df.filter(F.col("zoom") == z).select(
+                G.tile_x_from_lonlat("lon", p).alias("x"),
+                G.tile_y_from_lonlat("lat", p).alias("y"),
+            )
+            rows[z] = [(r.x, r.y) for r in out.collect()]
+        assert rows[5] == [(0, 0), (17, 14)]  # tests/tiles.rs:90-96
+        assert rows[4] == [(15, 10)]  # tests/tms.rs:201-202
+
+    def test_multizoom(self, spark, wm):
+        lon, lat = sample_points(500)
+        pdf = spark.createDataFrame(
+            list(zip(range(len(lon)), lon.tolist(), lat.tolist())), "id INT, lon DOUBLE, lat DOUBLE"
+        )
+        zooms = list(range(0, 9))
+        out = (
+            G.with_tiles_multizoom(pdf, wm, zooms)
+            .groupBy("zoom")
+            .agg(F.count("*").alias("n"), F.max("tile_x").alias("mx"))
+            .orderBy("zoom")
+            .collect()
+        )
+        assert len(out) == len(zooms)
+        assert all(r.n == 500 for r in out)
+        for r in out:
+            assert r.mx <= 2**r.zoom - 1
+
+    def test_inf_nan_semantics(self, spark, wm):
+        # reference: +-inf coord -> tile 0; NaN floor -> 0 (tms.rs:506-520)
+        p = wm.zoom_params(3)
+        df = spark.createDataFrame(
+            [(float("inf"),), (float("-inf"),), (float("nan",),)], "x DOUBLE"
+        )
+        got = [r.t for r in df.select(G.xy_tile_x("x", p).alias("t")).collect()]
+        assert got == [0, 0, 0]
+
+
+class TestBoundsAndQuadkey:
+    def test_xy_bounds_golden(self, spark, wm):
+        # morecantile example: xy_bounds(10,10,4), tests/tms.rs:177-187
+        p = wm.zoom_params(4)
+        df = spark.createDataFrame([(10, 10)], "tile_x BIGINT, tile_y BIGINT")
+        b = df.withColumns(G.tile_bounds_cols("tile_x", "tile_y", p)).collect()[0]
+        assert b.minx == 5009377.085697308
+        assert b.miny == -7514065.628545959
+        assert b.maxx == 7514065.628545959
+        assert b.maxy == -5009377.085697308
+
+    def test_geo_bounds_golden(self, spark):
+        # bounds(10,10,4) golden, tests/tms.rs:190-195 (JVM sinh/atan may
+        # differ from libm by 1 ulp -> compare at the reference's own
+        # round-to-7 tolerance, tests/tiles.rs:105-107)
+        df = spark.createDataFrame([(10, 10, 4)], "tile_x BIGINT, tile_y BIGINT, zoom INT")
+        b = df.withColumns(G.geo_bounds_cols("tile_x", "tile_y", "zoom")).collect()[0]
+        assert round(b.west - 45.0, 7) == 0.0
+        assert round(b.south - (-55.77657301866769), 7) == 0.0
+        assert round(b.east - 67.5, 7) == 0.0
+        assert round(b.north - (-40.97989806962013), 7) == 0.0
+
+    def test_quadkey_roundtrip_golden(self, spark, wm):
+        df = spark.createDataFrame([(486, 332, 10)], "tile_x BIGINT, tile_y BIGINT, zoom INT")
+        qk = df.select(G.quadkey_col("tile_x", "tile_y", "zoom").alias("qk")).collect()[0].qk
+        assert qk == "0313102310"  # tests/quadkey.rs:34-39
+        back = (
+            spark.createDataFrame([(qk,), ("",)], "qk STRING")
+            .withColumns(G.quadkey_to_tile_cols("qk"))
+            .collect()
+        )
+        assert (back[0].tile_x, back[0].tile_y, back[0].zoom) == (486, 332, 10)
+        assert (back[1].tile_x, back[1].tile_y, back[1].zoom) == (0, 0, 0)
+
+    def test_quadkey_matches_core_bulk(self, spark, wm):
+        rng = np.random.default_rng(3)
+        z = 12
+        xs = rng.integers(0, 2**z, 300)
+        ys = rng.integers(0, 2**z, 300)
+        df = spark.createDataFrame(
+            [(int(a), int(b), z) for a, b in zip(xs, ys)],
+            "tile_x BIGINT, tile_y BIGINT, zoom INT",
+        )
+        got = [r.qk for r in df.select(G.quadkey_col("tile_x", "tile_y", "zoom").alias("qk")).collect()]
+        expected = [wm.quadkey(Xyz(int(a), int(b), z)) for a, b in zip(xs, ys)]
+        assert got == expected
+
+
+class TestCover:
+    def test_cover_matches_reference(self, spark, wm):
+        # tests/tiles.rs:305-310: (-105.0, 39.99, -104.99, 40.0) z14 -> 2 tiles
+        df = spark.createDataFrame(
+            [(-105.0, 39.99, -104.99, 40.0)], "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        got = sorted(
+            (r.tile_x, r.tile_y)
+            for r in C.cover_bbox_geographic(df, wm, 14).select("tile_x", "tile_y").collect()
+        )
+        assert got == [(3413, 6202), (3413, 6203)]
+
+    def test_cover_world_z0(self, spark, wm):
+        df = spark.createDataFrame(
+            [(-180.0, -90.0, 180.0, 90.0)], "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        got = C.cover_bbox_geographic(df, wm, 0).select("tile_x", "tile_y").collect()
+        assert [(r.tile_x, r.tile_y) for r in got] == [(0, 0)]
+
+    def test_enumerate_tms_order_golden(self, spark, wm):
+        # src/tms_iterator.rs:84-114: 21 tiles z0-2 in (z, x, y) order
+        got = [
+            (r.zoom, r.tile_x, r.tile_y)
+            for r in C.enumerate_tms(spark, wm, 0, 2).orderBy("zoom", "tile_x", "tile_y").collect()
+        ]
+        expected = [(0, 0, 0)] + [(1, x, y) for x in range(2) for y in range(2)] + [
+            (2, x, y) for x in range(4) for y in range(4)
+        ]
+        assert got == expected
+        assert len(list(C.enumerate_tms(spark, wm, 2, 3).collect())) == 80
+
+    def test_cover_vs_core_random(self, spark, wm):
+        rng = np.random.default_rng(11)
+        boxes = []
+        for _ in range(50):
+            w = rng.uniform(-170, 160)
+            s = rng.uniform(-80, 70)
+            boxes.append((w, s, w + rng.uniform(0.01, 10), s + rng.uniform(0.01, 10)))
+        df = spark.createDataFrame(boxes, "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE")
+        z = 9
+        got = (
+            C.cover_bbox_geographic(df.withColumn("bid", F.monotonically_increasing_id()), wm, z)
+            .groupBy("bid")
+            .count()
+            .orderBy("bid")
+            .collect()
+        )
+        # core oracle
+        for row, (w, s, e, n) in zip(got, boxes):
+            expected = len(list(wm.tiles(w, s, e, n, [z], False)))
+            assert row["count"] == expected
+
+
+class TestRelatives:
+    def test_parent_children_cols(self, spark, wm):
+        df = spark.createDataFrame([(486, 332, 10)], "tile_x BIGINT, tile_y BIGINT, zoom INT")
+        r = df.withColumns(G.parent_cols("tile_x", "tile_y", 2)).collect()[0]
+        assert (r.parent_x, r.parent_y) == (121, 83)  # tests/tiles.rs:440-446
+        r = df.withColumns(G.children_cols("tile_x", "tile_y", 1)).collect()[0]
+        assert (r.child_x_min, r.child_x_max) == (972, 973)
+        assert (r.child_y_min, r.child_y_max) == (664, 665)
+
+    def test_neighbors(self, spark, wm):
+        p = wm.zoom_params(2)
+        df = spark.createDataFrame([(0, 0), (2, 2)], "tile_x BIGINT, tile_y BIGINT")
+        out = G.explode_neighbors(df, p).groupBy("tile_x", "tile_y").count().collect()
+        m = {(r.tile_x, r.tile_y): r["count"] for r in out}
+        assert m[(0, 0)] == 3
+        assert m[(2, 2)] == 8

@@ -1,0 +1,148 @@
+"""Tile-cover enumeration: bbox columns -> exploded (zoom, tile_x, tile_y).
+
+Spark form of the reference's tiles()/extent_limits/XyzIterator family
+(/root/reference/src/tms.rs:706-824, src/tms_iterator.rs). Not an iterator:
+`explode(sequence(...))` is a codegen'd generator, so nothing materializes
+on the driver and cover rows stream straight into downstream joins.
+
+Order parity with the reference iterators is a presentation concern:
+`ORDER BY zoom, tile_x, tile_y` reproduces the golden sequences (z-major,
+x-middle, y-fastest) when a test needs it; production plans never sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.model import LL_EPSILON
+from ..core.tms import Tms
+from ..functions.grid_cols import (
+    mercator_x,
+    mercator_y,
+    xy_tile_x,
+    xy_tile_y,
+)
+
+
+def cover_bbox_geographic(
+    df: DataFrame,
+    tms: Tms,
+    zoom: int,
+    west: str = "minx",
+    south: str = "miny",
+    east: str = "maxx",
+    north: str = "maxy",
+    out_x: str = "tile_x",
+    out_y: str = "tile_y",
+) -> DataFrame:
+    """Explode each row into the tiles its geographic bbox overlaps at `zoom`.
+
+    Columns west..north are geographic degrees. Reproduces the reference
+    corner-tile + epsilon-inset algorithm (tms.rs:706-746): UL tile of
+    (w+eps, n-eps), LR tile of (e-eps, s+eps), inclusive ranges.
+    Antimeridian-crossing boxes (west > east) are NOT split here — split
+    upstream if needed (engine keeps cover rows per input row).
+    """
+    p = tms.zoom_params(zoom)
+    bbox = tms.bbox()
+    eps = F.lit(LL_EPSILON)
+
+    w = F.greatest(F.col(west), F.lit(bbox.left)) + eps
+    s = F.greatest(F.col(south), F.lit(bbox.bottom)) + eps
+    e = F.least(F.col(east), F.lit(bbox.right)) - eps
+    n = F.least(F.col(north), F.lit(bbox.top)) - eps
+
+    srid = tms.crs().as_srid()
+    if srid == 3857:
+        ul_x = xy_tile_x(mercator_x(w), p)
+        ul_y = xy_tile_y(mercator_y(n), p)
+        lr_x = xy_tile_x(mercator_x(e), p)
+        lr_y = xy_tile_y(mercator_y(s), p)
+    elif srid == 4326:
+        ul_x = xy_tile_x(w, p)
+        ul_y = xy_tile_y(n, p)
+        lr_x = xy_tile_x(e, p)
+        lr_y = xy_tile_y(s, p)
+    else:
+        raise ValueError(f"cover supports EPSG:3857/4326 TMS, got {tms.crs()}")
+
+    out = (
+        df.withColumn("_ulx", ul_x)
+        .withColumn("_uly", ul_y)
+        .withColumn("_lrx", lr_x)
+        .withColumn("_lry", lr_y)
+        .withColumn(out_x, F.explode(F.sequence(F.col("_ulx"), F.col("_lrx"))))
+        .withColumn(out_y, F.explode(F.sequence(F.col("_uly"), F.col("_lry"))))
+        .withColumn("zoom", F.lit(zoom))
+        .drop("_ulx", "_uly", "_lrx", "_lry")
+    )
+    return out
+
+
+def cover_bbox_xy(
+    df: DataFrame,
+    tms: Tms,
+    zoom: int,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+) -> DataFrame:
+    """CRS-space cover with the res/10 inset (tms.rs:785-807)."""
+    p = tms.zoom_params(zoom)
+    inset = F.lit(p.resolution / 10.0)
+    b = tms.xy_bbox()
+    w = F.greatest(F.col(minx), F.lit(b.left)) + inset
+    s = F.greatest(F.col(miny), F.lit(b.bottom)) + inset
+    e = F.least(F.col(maxx), F.lit(b.right)) - inset
+    n = F.least(F.col(maxy), F.lit(b.top)) - inset
+    return (
+        df.withColumn("_ulx", xy_tile_x(w, p))
+        .withColumn("_uly", xy_tile_y(n, p))
+        .withColumn("_lrx", xy_tile_x(e, p))
+        .withColumn("_lry", xy_tile_y(s, p))
+        .withColumn("tile_x", F.explode(F.sequence(F.col("_ulx"), F.col("_lrx"))))
+        .withColumn("tile_y", F.explode(F.sequence(F.col("_uly"), F.col("_lry"))))
+        .withColumn("zoom", F.lit(zoom))
+        .drop("_ulx", "_uly", "_lrx", "_lry")
+    )
+
+
+def cover_multizoom(
+    df: DataFrame, tms: Tms, zooms: Sequence[int], geographic: bool = True, **cols
+) -> DataFrame:
+    """Union of per-zoom covers (matches reference per-zoom loop)."""
+    fn = cover_bbox_geographic if geographic else cover_bbox_xy
+    out = None
+    for z in zooms:
+        part = fn(df, tms, z, **cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def enumerate_tms(spark_df_or_session, tms: Tms, minzoom: int, maxzoom: int) -> DataFrame:
+    """All tiles of a TMS between zooms — DataFrame form of XyzIterator over
+    the whole xy_bbox (tms_iterator.rs golden: 21 rows for z0-2)."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        spark_df_or_session
+        if isinstance(spark_df_or_session, SparkSession)
+        else spark_df_or_session.sparkSession
+    )
+    limits = tms.extent_limits_xy(tms.xy_bbox(), minzoom, maxzoom)
+    rows = [
+        (z, lim.x_min, lim.x_max, lim.y_min, lim.y_max)
+        for z, lim in zip(range(minzoom, maxzoom + 1), limits)
+    ]
+    base = spark.createDataFrame(
+        rows, "zoom INT, x_min BIGINT, x_max BIGINT, y_min BIGINT, y_max BIGINT"
+    )
+    return (
+        base.withColumn("tile_x", F.explode(F.sequence("x_min", "x_max")))
+        .withColumn("tile_y", F.explode(F.sequence("y_min", "y_max")))
+        .select("zoom", "tile_x", "tile_y")
+    )
