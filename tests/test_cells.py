@@ -1,0 +1,179 @@
+"""Property tests for the from-scratch S2 + hex cell indexes.
+
+No oracle libraries exist in-sandbox (SURVEY.md §2.C), so validation is:
+round-trips, hierarchy/prefix containment, Hilbert locality, face layout,
+hex ring symmetry, and determinism across chunkings (vectorization safety).
+"""
+
+import numpy as np
+import pytest
+
+from tile_grid_spark.functions import cells as S
+
+
+def rand_lonlat(n=5000, seed=2):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-180, 180, n), rng.uniform(-89.9, 89.9, n)
+
+
+class TestS2:
+    def test_leaf_roundtrip_face_ij(self):
+        rng = np.random.default_rng(1)
+        face = rng.integers(0, 6, 2000).astype(np.int64)
+        i = rng.integers(0, S._MAX_SIZE, 2000).astype(np.int64)
+        j = rng.integers(0, S._MAX_SIZE, 2000).astype(np.int64)
+        cid = S.face_ij_to_cell_id(face, i, j)
+        f2, i2, j2 = S.cell_id_to_face_ij(cid)
+        assert (f2 == face).all() and (i2 == i).all() and (j2 == j).all()
+
+    def test_leaf_is_valid(self):
+        lon, lat = rand_lonlat()
+        cid = S.s2_cell_id(lon, lat, 30)
+        # leaf ids are odd (trailing 1) and level 30
+        assert (np.asarray(cid) & 1).all()
+        assert (S.s2_level(np.asarray(cid)) == 30).all()
+
+    def test_parent_prefix_property(self):
+        lon, lat = rand_lonlat(2000, seed=3)
+        leaf = np.asarray(S.s2_cell_id(lon, lat, 30))
+        for level in (0, 5, 12, 20, 29):
+            parent = np.asarray(S.s2_parent(leaf, level))
+            assert (S.s2_level(parent) == level).all()
+            # range containment: leaf in [parent - lsb + 1, parent + lsb - 1]
+            lsb = np.uint64(1) << np.uint64(2 * (30 - level))
+            pu = parent.view(np.uint64)
+            lu = leaf.view(np.uint64)
+            assert (lu >= pu - lsb + np.uint64(1)).all()
+            assert (lu <= pu + lsb - np.uint64(1)).all()
+            # parent of parent == coarser parent
+            p2 = S.s2_parent(np.asarray(S.s2_parent(leaf, 20)), level) if level < 20 else None
+            if p2 is not None:
+                assert (np.asarray(p2) == parent).all()
+
+    def test_face_layout(self):
+        # cardinal directions hit the six faces
+        lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+        x, y, z = S.lonlat_to_xyz(lon, lat)
+        face, u, v = S.xyz_to_face_uv(x, y, z)
+        assert face.tolist() == [0, 1, 2, 3, 4, 5]
+        # face centers project to (u,v)=(0,0)
+        assert np.allclose(u, 0, atol=1e-12) and np.allclose(v, 0, atol=1e-12)
+
+    def test_st_uv_roundtrip(self):
+        s = np.linspace(0, 1, 101)
+        assert np.allclose(S._uv_to_st(S._st_to_uv(s)), s, atol=1e-12)
+
+    def test_hilbert_locality(self):
+        # neighbors in ij space at a level share the parent at that level
+        # more often than random pairs (weak locality smoke check)
+        lon, lat = rand_lonlat(3000, seed=7)
+        cid12 = np.asarray(S.s2_cell_id(lon, lat, 12))
+        cid12b = np.asarray(S.s2_cell_id(lon + 1e-9, lat + 1e-9, 12))
+        assert (cid12 == cid12b).mean() > 0.99
+
+    def test_same_cell_same_point(self):
+        lon, lat = rand_lonlat(500, seed=9)
+        a = np.asarray(S.s2_cell_id(lon, lat, 16))
+        b = np.asarray(S.s2_cell_id(lon.copy(), lat.copy(), 16))
+        assert (a == b).all()
+
+    def test_chunking_invariance(self):
+        lon, lat = rand_lonlat(1001, seed=11)
+        whole = np.asarray(S.s2_cell_id(lon, lat, 14))
+        parts = np.concatenate(
+            [np.asarray(S.s2_cell_id(lon[i : i + 100], lat[i : i + 100], 14)) for i in range(0, 1001, 100)]
+        )
+        assert (whole == parts).all()
+
+    def test_ring_same_face(self):
+        lon = np.array([10.0])
+        lat = np.array([20.0])
+        cid = np.asarray(S.s2_cell_id(lon, lat, 12))
+        rings = S.s2_ring_same_face(cid, 12, 1)
+        assert len(rings) == 1
+        ring = rings[0]
+        assert len(ring) == 8  # interior cell: full 8-ring
+        assert len(set(ring.tolist())) == 8
+        assert cid[0] not in ring.tolist()
+        # all at level 12
+        assert (S.s2_level(ring) == 12).all()
+
+
+class TestHex:
+    def test_roundtrip_pack(self):
+        lon, lat = rand_lonlat(2000, seed=13)
+        for res in (0, 5, 9, 15):
+            cid = S.hex_cell_id(lon, lat, res)
+            r2, face, q, r = S.hex_unpack(cid)
+            assert (r2 == res).all()
+            assert ((face >= 0) & (face < 20)).all()
+            repacked = (
+                (np.int64(res) << np.int64(59))
+                | (face << np.int64(54))
+                | ((q & S._M27) << np.int64(27))
+                | (r & S._M27)
+            )
+            assert (repacked == cid).all()
+
+    def test_stability(self):
+        lon, lat = rand_lonlat(500, seed=15)
+        a = S.hex_cell_id(lon, lat, 9)
+        b = S.hex_cell_id(lon + 1e-10, lat, 9)
+        assert (a == b).mean() > 0.999
+
+    def test_resolution_nesting_statistical(self):
+        # points sharing a res-9 cell nearly always share the res-5 cell:
+        # aperture-7 children straddle parents (like real H3), so require
+        # only a strong majority
+        rng = np.random.default_rng(17)
+        lon0, lat0 = 8.54, 47.37
+        lon = lon0 + rng.uniform(-1e-4, 1e-4, 400)
+        lat = lat0 + rng.uniform(-1e-4, 1e-4, 400)
+        c9 = S.hex_cell_id(lon, lat, 9)
+        c5 = S.hex_cell_id(lon, lat, 5)
+        same9 = c9 == c9[0]
+        frac = (c5[same9] == c5[same9][0]).mean()
+        assert frac > 0.95
+
+    def test_ring_offsets(self):
+        assert len(S.hex_k_ring_offsets(0)) == 1
+        for r in (1, 2, 3, 7):
+            off = S.hex_k_ring_offsets(r)
+            assert len(off) == 6 * r
+            assert len(set(off)) == 6 * r
+            # all at hex distance exactly r
+            for q, s in off:
+                dist = (abs(q) + abs(s) + abs(-q - s)) // 2
+                assert dist == r
+
+    def test_cell_size_shrinks(self):
+        # aperture 7: res+1 cells ~7x smaller => more distinct cells
+        # (coarse res needed: at res>=5 all 4000 random points are unique)
+        lon, lat = rand_lonlat(4000, seed=19)
+        n0 = len(np.unique(S.hex_cell_id(lon, lat, 0)))
+        n2 = len(np.unique(S.hex_cell_id(lon, lat, 2)))
+        assert 20 <= n0 < 2000
+        assert n2 > n0 * 3
+
+
+class TestSparkUdfs:
+    def test_s2_udf(self, spark):
+        import pandas as pd
+
+        lon, lat = rand_lonlat(300, seed=23)
+        df = spark.createDataFrame(
+            pd.DataFrame({"lon": lon, "lat": lat})
+        )
+        out = df.withColumn("cell", S.s2_cell_udf(12)("lon", "lat")).toPandas()
+        exp = np.asarray(S.s2_cell_id(lon, lat, 12))
+        assert (out["cell"].to_numpy() == exp).all()
+
+    def test_hex_udf(self, spark):
+        import pandas as pd
+
+        lon, lat = rand_lonlat(300, seed=29)
+        df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        out = df.withColumn("cell", S.hex_cell_udf(7)("lon", "lat")).toPandas()
+        exp = np.asarray(S.hex_cell_id(lon, lat, 7))
+        assert (out["cell"].to_numpy() == exp).all()

@@ -1,0 +1,135 @@
+"""Distributed-operator tests: PIP join and kNN vs brute-force oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.core import tms
+from tile_grid_spark.operators.knn import knn_join
+from tile_grid_spark.operators.pip_join import (
+    generate_polygons,
+    pip_join,
+    point_in_ring_batch,
+    with_ring_bbox,
+)
+
+
+@pytest.fixture(scope="module")
+def wm():
+    return tms().lookup("WebMercatorQuad")
+
+
+def make_points(spark, n=3000, seed=5, lon_range=(-60, 60), lat_range=(-50, 60)):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(*lon_range, n)
+    lat = rng.uniform(*lat_range, n)
+    return (
+        spark.createDataFrame(
+            list(zip(range(n), lon.tolist(), lat.tolist())),
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        ),
+        lon,
+        lat,
+    )
+
+
+class TestRayCast:
+    def test_unit_square(self):
+        rx = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+        ry = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+        px = np.array([0.5, 1.5, -0.1, 0.99, 0.0001])
+        py = np.array([0.5, 0.5, 0.5, 0.01, 0.9999])
+        got = point_in_ring_batch(px, py, rx, ry)
+        assert got.tolist() == [True, False, False, True, True]
+
+    def test_concave(self):
+        # C-shape: point in the notch is outside
+        rx = np.array([0, 4, 4, 1, 1, 4, 4, 0, 0], dtype=float)
+        ry = np.array([0, 0, 1, 1, 3, 3, 4, 4, 0], dtype=float)
+        px = np.array([2.0, 0.5, 2.0])
+        py = np.array([2.0, 2.0, 0.5])
+        got = point_in_ring_batch(px, py, rx, ry)
+        assert got.tolist() == [False, True, True]
+
+
+class TestPipJoin:
+    def test_vs_bruteforce(self, spark, wm):
+        pts, lon, lat = make_points(spark)
+        polys = generate_polygons(spark, 40, seed=9)
+        got = (
+            pip_join(pts, polys, wm, zoom=7)
+            .select("pid", "poly_id")
+            .toPandas()
+            .sort_values(["pid", "poly_id"])
+            .reset_index(drop=True)
+        )
+        # brute-force oracle with the same ray-cast kernel
+        rings = polys.select("poly_id", "ring_lon", "ring_lat").collect()
+        exp = []
+        for r in rings:
+            rx = np.array(r.ring_lon)
+            ry = np.array(r.ring_lat)
+            inside = point_in_ring_batch(lon, lat, rx, ry)
+            for pid in np.nonzero(inside)[0]:
+                exp.append((int(pid), r.poly_id))
+        exp = sorted(exp)
+        assert list(map(tuple, got.itertuples(index=False))) == exp
+        assert len(exp) > 50  # non-trivial
+
+    def test_rect_polys_match_between(self, spark, wm):
+        pts, lon, lat = make_points(spark, n=1500, seed=17)
+        polys = generate_polygons(spark, 24, seed=3).filter("is_rect")
+        got = pip_join(pts, polys, wm, zoom=6).select("pid", "poly_id")
+        bbox = polys.select("poly_id", "minx", "miny", "maxx", "maxy")
+        exp = (
+            pts.crossJoin(bbox)
+            .filter(
+                (F.col("lon") > F.col("minx"))
+                & (F.col("lon") < F.col("maxx"))
+                & (F.col("lat") > F.col("miny"))
+                & (F.col("lat") < F.col("maxy"))
+            )
+            .select("pid", "poly_id")
+        )
+        assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+
+class TestKnn:
+    def test_vs_bruteforce(self, spark, wm):
+        q, qlon, qlat = make_points(spark, n=60, seed=21)
+        c, clon, clat = make_points(spark, n=4000, seed=22)
+        q = q.withColumnRenamed("pid", "query_id")
+        c = c.withColumnRenamed("pid", "cand_id")
+        k = 5
+        got = knn_join(q, c, wm, zoom=8, k=k).toPandas()
+        # numpy brute force in the same Mercator metric
+        R = 6378137.0
+
+        def merc(lon_, lat_):
+            x = R * np.radians(lon_)
+            y = R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(lat_)))
+            return x, y
+
+        qx, qy = merc(qlon, qlat)
+        cx, cy = merc(clon, clat)
+        for qid in range(60):
+            d = np.hypot(qx[qid] - cx, qy[qid] - cy)
+            order = np.lexsort((np.arange(len(d)), d))[:k]
+            mine = got[got.query_id == qid].sort_values("rank")
+            assert mine.cand_id.tolist() == [int(i) for i in order], f"query {qid}"
+
+    def test_all_queries_get_k(self, spark, wm):
+        q, *_ = make_points(spark, n=40, seed=31, lon_range=(100, 170), lat_range=(-80, 80))
+        c, *_ = make_points(spark, n=500, seed=32, lon_range=(-170, -100), lat_range=(-80, 80))
+        # candidates far from queries: forces escalation + brute-force tail
+        got = knn_join(
+            q.withColumnRenamed("pid", "query_id"),
+            c.withColumnRenamed("pid", "cand_id"),
+            wm,
+            zoom=10,
+            k=3,
+            max_ring=4,
+        )
+        counts = got.groupBy("query_id").count().collect()
+        assert len(counts) == 40
+        assert all(r["count"] == 3 for r in counts)

@@ -1,0 +1,345 @@
+"""S2 + hexagonal cell indexing, implemented from published algorithms.
+
+North-rule operators (no reference counterpart; the sandbox has no s2/h3
+libraries, so everything here is from-scratch vectorized numpy exposed as
+Arrow pandas UDFs — see SURVEY.md §2.C).
+
+S2 (primary, bit-layout compatible with the published S2 scheme):
+  lon/lat -> unit sphere XYZ -> cube face (argmax axis) -> (u,v)
+  -> quadratic ST transform -> 30-bit (i,j) -> Hilbert position
+  -> 64-bit cell id  [face:3][hilbert:2*level][1][trailing 0s]
+Parent = standard lsb truncation. Validated by round-trips and the
+hierarchy/prefix properties (no oracle library in-sandbox).
+
+HEX (H3-inspired hierarchical hex index): icosahedral-face gnomonic
+projection onto axial hex coordinates with aperture-7 resolution steps.
+Provides cell assignment res 0..15 and k-rings with exact hex-ring
+symmetry (6r cells per ring). NOT bit-compatible with the h3 library
+(explicitly out of scope in-sandbox); hierarchy and ring properties are
+property-tested instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# S2: lon/lat -> leaf cell id (level 30), vectorized
+# ---------------------------------------------------------------------------
+
+_SWAP = 1
+_INVERT = 2
+# kPosToIJ[orientation][pos] = ij  (ij = i*2 + j)
+_POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.int64
+)
+# kPosToOrientation[pos]
+_POS_TO_ORIENT = np.array([_SWAP, 0, 0, _INVERT + _SWAP], dtype=np.int64)
+# inverse: kIJtoPos[orientation][ij] = pos
+_IJ_TO_POS = np.zeros((4, 4), dtype=np.int64)
+for _o in range(4):
+    for _p in range(4):
+        _IJ_TO_POS[_o, _POS_TO_IJ[_o, _p]] = _p
+
+MAX_LEVEL = 30
+_MAX_SIZE = 1 << MAX_LEVEL
+
+
+def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray):
+    phi = np.radians(lat)
+    theta = np.radians(lon)
+    cosphi = np.cos(phi)
+    return cosphi * np.cos(theta), cosphi * np.sin(theta), np.sin(phi)
+
+
+def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Cube face + (u,v): face = axis of largest |coord| (+0/+1/+2 for
+    positive, +3/+4/+5 for negative) — the published S2 face layout."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= np.maximum(ay, az), 0, np.where(ay >= az, 1, 2)).astype(np.int64)
+    major = np.choose(face, [x, y, z])
+    face = np.where(major < 0, face + 3, face)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        if f == 0:
+            u[m], v[m] = y[m] / x[m], z[m] / x[m]
+        elif f == 1:
+            u[m], v[m] = -x[m] / y[m], z[m] / y[m]
+        elif f == 2:
+            u[m], v[m] = -x[m] / z[m], -y[m] / z[m]
+        elif f == 3:
+            u[m], v[m] = z[m] / x[m], y[m] / x[m]
+        elif f == 4:
+            u[m], v[m] = z[m] / y[m], -x[m] / y[m]
+        else:
+            u[m], v[m] = -y[m] / z[m], -x[m] / z[m]
+    return face, u, v
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """Quadratic projection (the S2_QUADRATIC_PROJECTION variant).
+    Branch args clipped so np.where's eager evaluation never sqrt()s a
+    negative."""
+    up = np.maximum(u, 0.0)
+    un = np.minimum(u, 0.0)
+    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * up), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * un))
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(
+        s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0), (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+    )
+
+
+def _st_to_ij(s: np.ndarray) -> np.ndarray:
+    return np.clip(np.floor(_MAX_SIZE * s), 0, _MAX_SIZE - 1).astype(np.int64)
+
+
+def face_ij_to_cell_id(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Hilbert-encode (face, i, j) to a leaf (level-30) cell id.
+
+    Per-level loop (30 iterations) carrying a per-point orientation — the
+    table-free form of the published FromFaceIJ.
+    """
+    n = face.shape[0]
+    pos = np.zeros(n, dtype=np.uint64)
+    orient = (face & np.int64(_SWAP)).astype(np.int64)
+    for level in range(MAX_LEVEL - 1, -1, -1):
+        bi = (i >> level) & 1
+        bj = (j >> level) & 1
+        ij = (bi << 1) | bj
+        p = _IJ_TO_POS[orient, ij]
+        pos = (pos << np.uint64(2)) | p.astype(np.uint64)
+        orient = orient ^ _POS_TO_ORIENT[p]
+    cell = (face.astype(np.uint64) << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    return cell.view(np.int64)
+
+
+def cell_id_to_face_ij(cell: np.ndarray):
+    """Inverse of face_ij_to_cell_id for leaf cells (round-trip tests)."""
+    c = cell.view(np.uint64) if cell.dtype == np.int64 else cell.astype(np.uint64)
+    face = (c >> np.uint64(61)).astype(np.int64)
+    pos = (c >> np.uint64(1)) & np.uint64((1 << 60) - 1)
+    n = face.shape[0]
+    i = np.zeros(n, dtype=np.int64)
+    j = np.zeros(n, dtype=np.int64)
+    orient = (face & np.int64(_SWAP)).astype(np.int64)
+    for level in range(MAX_LEVEL - 1, -1, -1):
+        p = ((pos >> np.uint64(2 * level)) & np.uint64(3)).astype(np.int64)
+        ij = _POS_TO_IJ[orient, p]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orient = orient ^ _POS_TO_ORIENT[p]
+    return face, i, j
+
+
+def s2_cell_id(lon, lat, level: int = 30) -> np.ndarray:
+    """lon/lat arrays -> S2 cell id at `level` (leaf id truncated)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x, y, z = lonlat_to_xyz(lon, lat)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+    leaf = face_ij_to_cell_id(face, i, j)
+    return s2_parent(leaf, level)
+
+
+def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
+    """Truncate a leaf/descendant id to `level` (standard lsb arithmetic)."""
+    if level >= MAX_LEVEL:
+        return cell
+    c = cell.view(np.uint64) if isinstance(cell, np.ndarray) else np.asarray(cell, np.uint64)
+    new_lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    out = (c & (~(new_lsb - np.uint64(1)))) | new_lsb
+    return out.view(np.int64)
+
+
+def s2_level(cell: np.ndarray) -> np.ndarray:
+    """Level from the position of the lowest set bit."""
+    c = np.asarray(cell).view(np.uint64)
+    lsb = c & (~c + np.uint64(1))
+    return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)).astype(np.int64)
+
+
+def s2_ring_same_face(cell: np.ndarray, level: int, r: int) -> list[np.ndarray]:
+    """k-ring via (face, i, j) arithmetic, clamped at face boundaries.
+
+    Returns the list of ring cells per input cell (same-face only — rings
+    spilling over a cube edge are clamped; cross-face wrap is future work).
+    """
+    face, i, j = cell_id_to_face_ij(np.asarray(cell))
+    step = 1 << (MAX_LEVEL - level)
+    out = []
+    for n in range(face.shape[0]):
+        ring = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                if max(abs(dx), abs(dy)) != r:
+                    continue
+                ii = i[n] + dx * step
+                jj = j[n] + dy * step
+                if 0 <= ii < _MAX_SIZE and 0 <= jj < _MAX_SIZE:
+                    ring.append((ii, jj))
+        if ring:
+            ri = np.array([a for a, _ in ring], dtype=np.int64)
+            rj = np.array([b for _, b in ring], dtype=np.int64)
+            rf = np.full(len(ring), face[n], dtype=np.int64)
+            out.append(s2_parent(face_ij_to_cell_id(rf, ri, rj), level))
+        else:
+            out.append(np.empty(0, dtype=np.int64))
+    return out
+
+
+def s2_cell_udf(level: int):
+    """pandas UDF: (lon, lat) -> s2 cell id at `level`."""
+
+    @F.pandas_udf(LongType())
+    def f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(s2_cell_id(lon.to_numpy(), lat.to_numpy(), level))
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# HEX: H3-inspired hierarchical hexagon index
+# ---------------------------------------------------------------------------
+# Aperture-7 axial coordinates on a gnomonic plane per icosahedron face.
+# id layout: [res:4][face:5][q+2^26:27 zigzag... ] packed as
+#   id = res << 59 | face << 54 | (q & M27) << 27 | (r & M27)
+# with q, r 27-bit two's-complement fields.
+
+_PHI = (1 + math.sqrt(5)) / 2
+
+# 20 icosahedron face centers (unit vectors), generated deterministically
+def _ico_faces():
+    v = []
+    for a in (-1, 1):
+        for b in (-1, 1):
+            v += [(0, a, b * _PHI), (a, b * _PHI, 0), (b * _PHI, 0, a)]
+    verts = np.array(v, dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    # faces = triples of mutually-nearest vertices; centers = normalized sums
+    from itertools import combinations
+
+    centers = []
+    d2 = 4.0 / (_PHI * _PHI * 5) * 5  # edge length^2 of unit icosahedron ~ 1.0514622
+    edge2 = np.min(
+        [np.sum((verts[0] - verts[k]) ** 2) for k in range(1, 12)]
+    )
+    for a, b, c in combinations(range(12), 3):
+        if (
+            abs(np.sum((verts[a] - verts[b]) ** 2) - edge2) < 1e-9
+            and abs(np.sum((verts[a] - verts[c]) ** 2) - edge2) < 1e-9
+            and abs(np.sum((verts[b] - verts[c]) ** 2) - edge2) < 1e-9
+        ):
+            ctr = verts[a] + verts[b] + verts[c]
+            centers.append(ctr / np.linalg.norm(ctr))
+    assert len(centers) == 20
+    return np.array(centers)
+
+
+_FACE_CENTERS = _ico_faces()
+# per-face orthonormal basis for the gnomonic plane
+_FACE_U = np.zeros_like(_FACE_CENTERS)
+_FACE_V = np.zeros_like(_FACE_CENTERS)
+for _k, _c in enumerate(_FACE_CENTERS):
+    ref = np.array([0.0, 0.0, 1.0]) if abs(_c[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    uu = np.cross(_c, ref)
+    uu /= np.linalg.norm(uu)
+    _FACE_U[_k] = uu
+    _FACE_V[_k] = np.cross(_c, uu)
+
+_RES0_SCALE = 2.0  # hexes per face half-width at res 0
+_SQRT7 = math.sqrt(7.0)
+_M27 = (1 << 27) - 1
+
+
+def hex_cell_id(lon, lat, res: int) -> np.ndarray:
+    """lon/lat -> hex cell id at resolution res (0..15)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x, y, z = lonlat_to_xyz(lon, lat)
+    pts = np.stack([x, y, z], axis=1)
+    dots = pts @ _FACE_CENTERS.T
+    face = np.argmax(dots, axis=1).astype(np.int64)
+    c = _FACE_CENTERS[face]
+    d = np.einsum("ij,ij->i", pts, c)
+    proj = pts / d[:, None]  # gnomonic projection onto the face plane
+    rel = proj - c
+    px = np.einsum("ij,ij->i", rel, _FACE_U[face])
+    py = np.einsum("ij,ij->i", rel, _FACE_V[face])
+    scale = _RES0_SCALE * (_SQRT7**res)
+    # axial hex coords (pointy-top): q = (sqrt(3)/3 x - 1/3 y)/s, r = 2/3 y / s
+    size = 1.0 / scale
+    qf = (math.sqrt(3.0) / 3.0 * px - py / 3.0) / size
+    rf = (2.0 / 3.0 * py) / size
+    q, r = _hex_round(qf, rf)
+    packed = (
+        (np.int64(res) << np.int64(59))
+        | (face << np.int64(54))
+        | ((q & _M27) << np.int64(27))
+        | (r & _M27)
+    )
+    return packed
+
+
+def _hex_round(qf: np.ndarray, rf: np.ndarray):
+    """Cube-round fractional axial coords to the containing hex."""
+    xf = qf
+    zf = rf
+    yf = -xf - zf
+    rx = np.round(xf)
+    ry = np.round(yf)
+    rz = np.round(zf)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def hex_unpack(cell: np.ndarray):
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> np.int64(59)) & np.int64(0xF)
+    face = (cell >> np.int64(54)) & np.int64(0x1F)
+    q = (cell >> np.int64(27)) & _M27
+    r = cell & _M27
+    q = np.where(q >= (1 << 26), q - (1 << 27), q)
+    r = np.where(r >= (1 << 26), r - (1 << 27), r)
+    return res, face, q, r
+
+
+def hex_k_ring_offsets(r: int) -> list[tuple[int, int]]:
+    """Axial offsets of ring r (exactly 6r cells for r>0)."""
+    if r == 0:
+        return [(0, 0)]
+    out = []
+    q, s = -r, 0  # start at one corner; walk the 6 ring directions
+    dirs = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    cur = (-r, r)
+    for d in dirs:
+        for _ in range(r):
+            out.append(cur)
+            cur = (cur[0] + d[0], cur[1] + d[1])
+    return out
+
+
+def hex_cell_udf(res: int):
+    @F.pandas_udf(LongType())
+    def f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(hex_cell_id(lon.to_numpy(), lat.to_numpy(), res))
+
+    return f

@@ -1,0 +1,138 @@
+"""Cell-ring kNN join with ring escalation.
+
+North-rule operator. Generalizes the reference's neighbors() 1-ring
+(/root/reference/src/tms.rs:951-971) to ring-r candidate enumeration:
+
+  1. index queries and candidates to tiles at `zoom`
+  2. ring r: explode query tiles to all tiles with Chebyshev distance <= r
+     (sequence x sequence generator, no UDF)
+  3. equi-join candidates on the tile key, compute exact distance,
+     window row_number top-k per query
+  4. a query is DONE when it has >= k neighbors AND its k-th distance is
+     <= r * tile_unit (everything outside the searched rings is provably
+     farther in the Mercator plane); pending queries escalate r
+     (1 -> 4 -> 16 ...) and finally fall back to a brute-force join.
+
+Distance metric: Euclidean in the Mercator plane (meters at the equator,
+scaled by cos(lat) elsewhere) — monotone with tile geometry so the ring
+stopping rule is exact for this metric. Antimeridian wrap is not searched
+across (points within r tiles of lon=+-180 may miss wrapped neighbors).
+
+Each escalation round is one Spark job over only the still-pending
+queries (anti-join), so dense areas finish at r=1 and the long tail pays
+for itself only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core.tms import Tms
+from ..functions.grid_cols import mercator_x, mercator_y, with_tile
+
+
+def _ring_explode(df: DataFrame, r: int, r_exclude: int | None = None) -> DataFrame:
+    """Explode each row to tiles at Chebyshev distance <= r of its tile
+    (optionally excluding the inner <= r_exclude box already searched)."""
+    e = (
+        df.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+    )
+    if r_exclude is not None:
+        e = e.filter(
+            (F.abs(F.col("_dx")) > r_exclude) | (F.abs(F.col("_dy")) > r_exclude)
+        )
+    return e.withColumns(
+        {"jx": F.col("tile_x") + F.col("_dx"), "jy": F.col("tile_y") + F.col("_dy")}
+    ).drop("_dx", "_dy")
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    tms: Tms,
+    zoom: int,
+    k: int,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_ring: int = 16,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact k nearest candidates per query (Mercator-plane metric).
+
+    Returns (query_id, cand_id, dist, rank). Driver-side escalation loop;
+    each round is cached so the plan does not re-derive prior rounds.
+    """
+    p = tms.zoom_params(zoom)
+    unit = p.resolution * float(p.tile_width)  # tile edge in CRS meters
+
+    q = with_tile(
+        queries.select(query_id, lon, lat), tms, zoom, lon=lon, lat=lat
+    ).withColumns({"qx": mercator_x(lon), "qy": mercator_y(lat)}).select(
+        query_id, "tile_x", "tile_y", "qx", "qy"
+    )
+    c = with_tile(
+        candidates.select(cand_id, lon, lat), tms, zoom, lon=lon, lat=lat
+    ).withColumns({"cx": mercator_x(lon), "cy": mercator_y(lat)}).select(
+        cand_id, F.col("tile_x").alias("jx"), F.col("tile_y").alias("jy"), "cx", "cy"
+    )
+    c = c.cache()
+
+    dist = F.sqrt(
+        (F.col("qx") - F.col("cx")) ** 2 + (F.col("qy") - F.col("cy")) ** 2
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(cand_id).asc())
+
+    pending = q.cache()
+    results: list[DataFrame] = []
+    r = 1
+    while r <= max_ring:
+        ringed = _ring_explode(pending, r)
+        joined = ringed.join(c, on=["jx", "jy"], how="inner").withColumn("dist", dist)
+        topk = (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, cand_id, "dist", "rank")
+        )
+        topk = topk.cache()
+        # done: k found and k-th distance provably inside the searched rings
+        kth = topk.groupBy(query_id).agg(
+            F.count("*").alias("_n"), F.max("dist").alias("_kth")
+        )
+        # strict <: a candidate in an unsearched tile can sit exactly at
+        # r*unit when the query hugs its tile edge, so <= could drop an
+        # equal-distance neighbor; < makes the rule exact.
+        done_ids = kth.filter(
+            (F.col("_n") >= k) & (F.col("_kth") < F.lit(float(r) * unit))
+        ).select(query_id)
+        results.append(
+            topk.join(F.broadcast(done_ids), query_id, "left_semi")
+        )
+        pending = pending.join(F.broadcast(done_ids), query_id, "left_anti").cache()
+        if pending.isEmpty():
+            pending = None
+            break
+        r *= 4
+
+    if pending is not None and not pending.isEmpty():
+        # brute-force tail: remaining queries x all candidates
+        n_c = c.count()
+        cj = pending.crossJoin(c) if n_c <= broadcast_threshold_rows else pending.join(
+            c, F.lit(True)
+        )
+        tail = (
+            cj.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, cand_id, "dist", "rank")
+        )
+        results.append(tail)
+
+    out = results[0]
+    for part in results[1:]:
+        out = out.unionByName(part)
+    return out

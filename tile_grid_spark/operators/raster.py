@@ -1,0 +1,143 @@
+"""Raster <-> vector tile operators.
+
+North-rule operator. Rasterization: per-(zoom, tile_x, tile_y) group,
+paint a tile_px x tile_px uint8 raster from the points (density mask or
+mean-value band) with `applyInPandas` — numpy index arithmetic only; the
+tile's pixel grid comes from xy_bounds/resolution exactly as the core
+derives them. Inverse (vector <- raster): per-tile mask -> GeoJSON
+features via bbox_to_feature semantics in native to_json columns.
+
+Scale notes: groups are bounded by points-per-tile; dense tiles should be
+salted upstream (plans/skew.py) or rasterized at a deeper zoom and
+mosaicked. The output (one row per tile: ~65 KB zlib mask) is written
+partitioned by zoom, range-sorted by (tile_x, tile_y).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.tms import Tms
+from ..functions.grid_cols import geo_bounds_cols, mercator_x, mercator_y, with_tile
+
+RASTER_SCHEMA = (
+    "zoom INT, tile_x BIGINT, tile_y BIGINT, n_points BIGINT, "
+    "mask BINARY, max_count INT"
+)
+
+
+def rasterize_points(
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    tile_px: int = 256,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Density raster per tile: mask[py, px] = clip(count, 0, 255) uint8,
+    zlib-compressed row-major. One output row per non-empty tile."""
+    p = tms.zoom_params(zoom)
+    unit = p.resolution * float(p.tile_width)
+    px_res = unit / float(tile_px)
+    ox, oy = p.origin_x, p.origin_y
+
+    pts = with_tile(points, tms, zoom, lon=lon, lat=lat).withColumns(
+        {"_mx": mercator_x(lon), "_my": mercator_y(lat), "zoom": F.lit(zoom)}
+    )
+
+    def paint(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, tx, ty = key
+        tile_minx = ox + tx * unit
+        tile_maxy = oy - ty * unit
+        ix = np.floor((pdf["_mx"].to_numpy() - tile_minx) / px_res).astype(np.int64)
+        iy = np.floor((tile_maxy - pdf["_my"].to_numpy()) / px_res).astype(np.int64)
+        ix = np.clip(ix, 0, tile_px - 1)
+        iy = np.clip(iy, 0, tile_px - 1)
+        img = np.zeros((tile_px, tile_px), dtype=np.int64)
+        np.add.at(img, (iy, ix), 1)
+        mask = np.clip(img, 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_x": [int(tx)],
+                "tile_y": [int(ty)],
+                "n_points": [len(pdf)],
+                "mask": [zlib.compress(mask.tobytes(), 1)],
+                "max_count": [int(img.max())],
+            }
+        )
+
+    return (
+        pts.groupBy("zoom", "tile_x", "tile_y")
+        .applyInPandas(paint, RASTER_SCHEMA)
+    )
+
+
+def decode_mask(mask: bytes, tile_px: int = 256) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(mask), dtype=np.uint8).reshape(tile_px, tile_px)
+
+
+def vectorize_tiles(tiles: DataFrame) -> DataFrame:
+    """Vector <- raster: per-tile GeoJSON Polygon feature of the tile
+    footprint (bbox_to_feature ring order, /root/reference/src/tile.rs:63-70)
+    as native to_json columns — no UDF."""
+    b = geo_bounds_cols("tile_x", "tile_y", "zoom")
+    w, s, e, n = b["west"], b["south"], b["east"], b["north"]
+    ring = F.array(
+        F.array(w, s), F.array(w, n), F.array(e, n), F.array(e, s), F.array(w, s)
+    )
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.concat_ws(
+                "/", F.col("zoom").cast("string"),
+                F.col("tile_x").cast("string"), F.col("tile_y").cast("string")
+            ).alias("id"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(ring).alias("coordinates"),
+            ).alias("geometry"),
+        )
+    )
+    return tiles.withColumn("feature", feature)
+
+
+def mosaic_to_parent(tiles: DataFrame, tile_px: int = 256) -> DataFrame:
+    """Roll four child rasters up into the parent tile (2x2 downsample by
+    summed counts, clipped to uint8). Input: rasterize_points output."""
+    child = tiles.withColumns(
+        {
+            "p_zoom": F.col("zoom") - F.lit(1),
+            "p_x": F.floor(F.col("tile_x") / 2),
+            "p_y": F.floor(F.col("tile_y") / 2),
+        }
+    )
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, px_, py_ = key
+        out = np.zeros((tile_px, tile_px), dtype=np.int64)
+        half = tile_px // 2
+        for _, row in pdf.iterrows():
+            m = decode_mask(row["mask"], tile_px).astype(np.int64)
+            # 2x2 box-sum downsample to half resolution
+            small = m.reshape(half, 2, half, 2).sum(axis=(1, 3))
+            qx = int(row["tile_x"] % 2) * half
+            qy = int(row["tile_y"] % 2) * half
+            out[qy : qy + half, qx : qx + half] += small
+        return pd.DataFrame(
+            {
+                "zoom": [int(z)],
+                "tile_x": [int(px_)],
+                "tile_y": [int(py_)],
+                "n_points": [int(pdf["n_points"].sum())],
+                "mask": [zlib.compress(np.clip(out, 0, 255).astype(np.uint8).tobytes(), 1)],
+                "max_count": [int(out.max())],
+            }
+        )
+
+    return child.groupBy("p_zoom", "p_x", "p_y").applyInPandas(merge, RASTER_SCHEMA)
