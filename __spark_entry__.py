@@ -321,6 +321,154 @@ def q_legacy_tile_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s_suppkey")
 
 
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality profile per document (text-analysis surface).
+    Marker scoring and the argmax tie-break (first listed wins) are written
+    identically in the oracle SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    markers = {
+        "en": ["the", "and", "ing", "ion"],
+        "de": ["der", "die", "und", "sch"],
+        "fr": ["les", "des", "ent", "que"],
+        "es": ["los", "las", "una", "del"],
+    }
+    scores = {}
+    for lang, ms in markers.items():
+        s = None
+        for m in ms:
+            hit = F.size(F.split(lowered, m, -1)) - 1
+            s = hit if s is None else s + hit
+        scores[lang] = s.cast("long")
+    pred = F.lit("en")
+    best = scores["en"]
+    for lang in ("de", "fr", "es"):
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    toks = F.split(F.trim(lowered), r"\s+")
+    out = d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.length("text"), F.lit(1)).cast("double"),
+            6,
+        ).alias("punct_ratio"),
+    )
+    return (
+        out.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard within shared 100-char-prefix
+    buckets (dedup verification surface; candidate generation by prefix
+    bucket is shared with the oracle so both sides compare equal sets)."""
+    from tile_grid_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, threshold=0.2, prefilter_prefix=100)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rasterization kernel check: per z5 tile, point count and max
+    per-pixel count (256px grid). The applyInPandas painter's pixel math
+    is replayed in SQL by the oracle."""
+    from tile_grid_spark.operators.raster import rasterize_points
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    r = rasterize_points(pts, WM, 5)
+    return r.select("tile_x", "tile_y", "n_points", "max_count").orderBy("tile_x", "tile_y")
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-ring kNN join (ring escalation, exact in the Mercator plane):
+    3 nearest customers per supplier. Oracle = full cross-join window."""
+    from tile_grid_spark.operators.knn import knn_join
+
+    q = _points_df(spark, sf_dir, "supplier", "s_suppkey").withColumnRenamed("pid", "query_id")
+    c = _points_df(spark, sf_dir, "customer", "c_custkey").withColumnRenamed("pid", "cand_id")
+    out = knn_join(q, c, WM, zoom=7, k=3)
+    return out.select("query_id", "cand_id", "rank").orderBy("query_id", "rank")
+
+
+def q_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-cover enumeration size per bbox at z8 (tiles()/extent_limits
+    semantics with the LL_EPSILON inset, tms.rs:706-746)."""
+    rects = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-170.0) + F.col("n_nationkey") * F.lit(11.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-75.0) + F.col("n_nationkey") * F.lit(4.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(9.0), "maxy": F.col("miny") + F.lit(6.0)}
+    )
+    cov = C.cover_bbox_geographic(rects, WM, 8)
+    return (
+        cov.groupBy("n_nationkey")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("tile_x").alias("min_x"),
+            F.max("tile_x").alias("max_x"),
+            F.min("tile_y").alias("min_y"),
+            F.max("tile_y").alias("max_y"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell assignment at level 10 (rows-only check: the Hilbert bit
+    layout has no SQL oracle; property tests in tests/test_cells.py pin
+    round-trips and the prefix hierarchy)."""
+    from tile_grid_spark.functions.cells import s2_cell_udf
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    out = pts.withColumn("s2_cell", s2_cell_udf(10)("lon", "lat"))
+    return (
+        out.groupBy("s2_cell")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("s2_cell")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
+    counterpart; banding/pigeonhole logic is pytest-verified)."""
+    from tile_grid_spark.operators.dedup import simhash_near_pairs, with_simhash
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_pairs(with_simhash(d), max_hamming=16)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via hyperplane LSH (rows-only: approximate by
+    design; recall vs brute force is pytest-gated)."""
+    from tile_grid_spark.operators.similarity import lsh_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    c = e.filter(F.col("vec_id") >= 10).withColumnRenamed("vec_id", "cand_id")
+    return lsh_topk(q, c, k=5, bucket_bits=4, n_probe_flips=4).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -333,6 +481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "knn_bruteforce": q_knn_bruteforce,
         "legacy_tile_extent": q_legacy_tile_extent,
+        "lang_quality": q_lang_quality,
+        "ngram_jaccard": q_ngram_jaccard,
+        "raster_density": q_raster_density,
+        "knn_ring": q_knn_ring,
+        "cover_counts": q_cover_counts,
+        "s2_cells": q_s2_cells,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -481,6 +637,164 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+    # ---- text / dedup / raster / knn / cover oracles ----
+
+    sql["lang_quality"] = """
+        WITH s AS (
+          SELECT doc_id, text, lower(text) AS lt,
+                 trim(lower(text)) AS ltt
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id, text, ltt,
+            CAST((length(lt)-length(replace(lt,'the','')))/3
+               + (length(lt)-length(replace(lt,'and','')))/3
+               + (length(lt)-length(replace(lt,'ing','')))/3
+               + (length(lt)-length(replace(lt,'ion','')))/3 AS BIGINT) AS s_en,
+            CAST((length(lt)-length(replace(lt,'der','')))/3
+               + (length(lt)-length(replace(lt,'die','')))/3
+               + (length(lt)-length(replace(lt,'und','')))/3
+               + (length(lt)-length(replace(lt,'sch','')))/3 AS BIGINT) AS s_de,
+            CAST((length(lt)-length(replace(lt,'les','')))/3
+               + (length(lt)-length(replace(lt,'des','')))/3
+               + (length(lt)-length(replace(lt,'ent','')))/3
+               + (length(lt)-length(replace(lt,'que','')))/3 AS BIGINT) AS s_fr,
+            CAST((length(lt)-length(replace(lt,'los','')))/3
+               + (length(lt)-length(replace(lt,'las','')))/3
+               + (length(lt)-length(replace(lt,'una','')))/3
+               + (length(lt)-length(replace(lt,'del','')))/3 AS BIGINT) AS s_es
+          FROM s
+        ),
+        pred AS (
+          SELECT doc_id,
+            CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                 WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                 WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                 WHEN s_de > s_en THEN 'de'
+                 ELSE 'en' END AS lang_pred,
+            len(string_split_regex(ltt, '\\s+')) AS n_tokens,
+            round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                  / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio
+          FROM sc
+        )
+        SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               round(AVG(punct_ratio), 6) AS avg_punct_ratio
+        FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+    sql["ngram_jaccard"] = """
+        WITH toks AS (
+          SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 md5(substring(text, 1, 100)) AS bucket,
+                 list_distinct(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                   END) AS s
+          FROM toks
+        ),
+        pairs AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                 round(len(list_intersect(l.s, r.s))::DOUBLE
+                       / len(list_distinct(l.s || r.s)), 6) AS jaccard
+          FROM sh l JOIN sh r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM pairs
+        WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+    """
+
+    p5 = _zp(5)
+    unit5 = p5.resolution * 256.0
+    tx5, ty5 = _tile_xy_sql(5)
+    sql["raster_density"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        t AS (
+          SELECT {tx5} AS tile_x, {ty5} AS tile_y,
+                 {_merc_x_sql('lon')} AS mx, {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        px AS (
+          SELECT tile_x, tile_y,
+            LEAST(GREATEST(CAST(floor((mx - ({_d(p5.origin_x)} + tile_x * {_d(unit5)}))
+                 / {_d(unit5 / 256.0)}) AS BIGINT), 0), 255) AS ix,
+            LEAST(GREATEST(CAST(floor((({_d(p5.origin_y)} - tile_y * {_d(unit5)}) - my)
+                 / {_d(unit5 / 256.0)}) AS BIGINT), 0), 255) AS iy
+          FROM t
+        ),
+        per_pixel AS (
+          SELECT tile_x, tile_y, ix, iy, COUNT(*) AS c
+          FROM px GROUP BY 1, 2, 3, 4
+        )
+        SELECT tile_x, tile_y, SUM(c) AS n_points, MAX(c) AS max_count
+        FROM per_pixel GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+    sql["knn_ring"] = f"""
+        WITH q AS (
+          SELECT s_suppkey AS query_id,
+                 {_merc_x_sql(_lon_sql('s_suppkey'))} AS qx,
+                 {_merc_y_sql(_lat_sql('s_suppkey'))} AS qy
+          FROM supplier
+        ),
+        c AS (
+          SELECT c_custkey AS cand_id,
+                 {_merc_x_sql(_lon_sql('c_custkey'))} AS cx,
+                 {_merc_y_sql(_lat_sql('c_custkey'))} AS cy
+          FROM customer
+        ),
+        p AS (
+          SELECT query_id, cand_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY sqrt((qx - cx) * (qx - cx) + (qy - cy) * (qy - cy)), cand_id
+                 ) AS rnk
+          FROM q CROSS JOIN c
+        )
+        SELECT query_id, cand_id, rnk AS "rank" FROM p
+        WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
+
+    bbox = WM.bbox()
+    p8c = _zp(8)
+    unit8 = p8c.resolution * 256.0
+    eps = "1e-11"
+    def cov_tile(coord, origin, flip):
+        inner = f"({origin}) - ({coord})" if flip else f"({coord}) - ({origin})"
+        return (f"LEAST(GREATEST(CAST(floor(({inner}) / {_d(unit8)}) AS BIGINT), 0), "
+                f"{p8c.matrix_width})")
+    wexp = f"GREATEST(minx, {_d(bbox.left)}) + {eps}"
+    sexp = f"GREATEST(miny, {_d(bbox.bottom)}) + {eps}"
+    eexp = f"LEAST(maxx, {_d(bbox.right)}) - {eps}"
+    nexp = f"LEAST(maxy, {_d(bbox.top)}) - {eps}"
+    ulx = cov_tile(_merc_x_sql(wexp), _d(p8c.origin_x), False)
+    lrx = cov_tile(_merc_x_sql(eexp), _d(p8c.origin_x), False)
+    uly = cov_tile(_merc_y_sql(nexp), _d(p8c.origin_y), True)
+    lry = cov_tile(_merc_y_sql(sexp), _d(p8c.origin_y), True)
+    sql["cover_counts"] = f"""
+        WITH rects AS (
+          SELECT n_nationkey,
+                 -170.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} AS minx,
+                 -75.0 + n_nationkey * 4.0 + {_d(1.0 / 7.0)} AS miny,
+                 -170.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} + 9.0 AS maxx,
+                 -75.0 + n_nationkey * 4.0 + {_d(1.0 / 7.0)} + 6.0 AS maxy
+          FROM nation
+        ),
+        lims AS (
+          SELECT n_nationkey,
+                 {ulx} AS ul_x, {lrx} AS lr_x, {uly} AS ul_y, {lry} AS lr_y
+          FROM rects
+        )
+        SELECT n_nationkey,
+               (lr_x - ul_x + 1) * (lr_y - ul_y + 1) AS n_tiles,
+               ul_x AS min_x, lr_x AS max_x, ul_y AS min_y, lr_y AS max_y
+        FROM lims ORDER BY n_nationkey
     """
 
     res10 = LEGACY.resolutions[10]

@@ -1,0 +1,141 @@
+"""Skew salting, lineage/resume, and streaming tile counts."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.core import tms
+from tile_grid_spark.plans.lineage import LineageLog, dataset_fingerprint, run_stage
+from tile_grid_spark.plans.skew import (
+    measure_tile_skew,
+    salted_tile_agg,
+    skew_stats,
+    with_salt,
+)
+
+
+@pytest.fixture(scope="module")
+def wm():
+    return tms().lookup("WebMercatorQuad")
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one mega-tile (5000 rows) + long tail (100 tiles x 10 rows)
+    big = spark.range(5000).select(
+        F.lit(10).alias("zoom"), F.lit(100).alias("tile_x"), F.lit(200).alias("tile_y"),
+        F.col("id").alias("row_id"), F.lit(1.0).alias("v"),
+    )
+    tail = spark.range(1000).select(
+        F.lit(10).alias("zoom"), (F.col("id") % 100 + 300).alias("tile_x"),
+        F.lit(7).alias("tile_y"), (F.col("id") + 10_000).alias("row_id"), F.lit(1.0).alias("v"),
+    )
+    return big.unionByName(tail)
+
+
+class TestSkew:
+    def test_measure_and_stats(self, skewed):
+        counts = measure_tile_skew(skewed)
+        s = skew_stats(counts)
+        assert s["n_tiles"] == 101
+        assert s["max_rows"] == 5000
+        assert s["total"] == 6000
+
+    def test_salt_buckets(self, skewed):
+        counts = measure_tile_skew(skewed)
+        salted = with_salt(skewed, counts, target_rows_per_task=1000, id_col="row_id")
+        prof = (
+            salted.groupBy("zoom", "tile_x", "tile_y")
+            .agg(F.countDistinct("salt").alias("n_salts"))
+            .collect()
+        )
+        by_tile = {(r.tile_x, r.tile_y): r.n_salts for r in prof}
+        assert by_tile[(100, 200)] == 5  # ceil(5000/1000)
+        assert all(v == 1 for k, v in by_tile.items() if k != (100, 200))
+
+    def test_salted_agg_equals_plain(self, skewed):
+        got = salted_tile_agg(
+            skewed, {"n": F.count("*")}, target_rows_per_task=1000, id_col="row_id"
+        )
+        plain = skewed.groupBy("zoom", "tile_x", "tile_y").agg(F.count("*").alias("n"))
+        assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+
+    def test_salt_deterministic(self, skewed):
+        counts = measure_tile_skew(skewed)
+        a = with_salt(skewed, counts, 1000, id_col="row_id").select("row_id", "salt")
+        b = with_salt(skewed.repartition(13), counts, 1000, id_col="row_id").select(
+            "row_id", "salt"
+        )
+        assert a.exceptAll(b).isEmpty()
+
+
+class TestLineage:
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+        n1, f1, _ = dataset_fingerprint(df)
+        n2, f2, _ = dataset_fingerprint(df.orderBy(F.desc("id")).repartition(7))
+        assert (n1, f1) == (n2, f2)
+        n3, f3, _ = dataset_fingerprint(df.filter("id < 999"))
+        assert f3 != f1
+
+    def test_run_stage_resume(self, spark, tmp_path):
+        root = str(tmp_path / "pipe")
+        log = LineageLog(spark, root)
+        calls = []
+
+        def build(unit):
+            calls.append(unit)
+            return spark.range(100).withColumn("unit", F.lit(unit))
+
+        r1 = run_stage(spark, log, "s1", ["a", "b"], build)
+        assert r1.ran_units == ["a", "b"] and r1.rows == 200
+        # resume: nothing rebuilt
+        r2 = run_stage(spark, log, "s1", ["a", "b"], build)
+        assert r2.ran_units == [] and r2.skipped_units == ["a", "b"]
+        assert calls == ["a", "b"]
+        # new unit only
+        r3 = run_stage(spark, log, "s1", ["a", "b", "c"], build)
+        assert r3.ran_units == ["c"]
+        # lineage rows recorded with fingerprints
+        lin = log.summary().collect()
+        assert len(lin) == 3
+        assert all(row.status == "complete" and row.row_count == 100 for row in lin)
+
+    def test_output_readable(self, spark, tmp_path):
+        root = str(tmp_path / "pipe2")
+        log = LineageLog(spark, root)
+        run_stage(spark, log, "st", ["x"], lambda u: spark.range(5))
+        back = spark.read.parquet(os.path.join(root, "st", "unit=x"))
+        assert back.count() == 5
+
+
+class TestStreaming:
+    def test_stream_tile_counts(self, spark, wm):
+        from tile_grid_spark.streaming.stream import (
+            stream_tile_counts,
+            synthetic_point_stream,
+        )
+
+        pts = synthetic_point_stream(spark, rows_per_second=500)
+        counts = stream_tile_counts(pts, wm, zoom=4, window="10 seconds", watermark="10 seconds")
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("tile_counts_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            rows = []
+            while time.time() < deadline:
+                time.sleep(2)
+                rows = spark.sql("SELECT * FROM tile_counts_test").collect()
+                if len(rows) >= 3:
+                    break
+            assert len(rows) >= 3, "stream produced no tile counts"
+            assert all(r.n_points > 0 for r in rows)
+            assert all(0 <= r.tile_x < 16 and 0 <= r.tile_y < 16 for r in rows)
+        finally:
+            q.stop()

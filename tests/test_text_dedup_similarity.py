@@ -1,0 +1,196 @@
+"""Text analysis, dedup suite, similarity search — vs exact oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.functions.text import (
+    bpe_ish_token_count,
+    whitespace_token_count,
+    with_lang_id,
+    with_quality_features,
+    word_shingles,
+)
+from tile_grid_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    with_simhash,
+)
+from tile_grid_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (3, "completely different text about spark dataframes and shuffle plans"),
+        (4, "der schnelle braune fuchs springt und ich sehe die schöne sache"),
+        (5, "les chats que nous avons une maison est grande dans les champs"),
+        (6, "numbers 123 456 789 000 111 222 333 444 555 666 777 888 999 000"),
+        (7, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    return spark.createDataFrame(base, "doc_id BIGINT, text STRING").cache()
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello world foo",), ("a b",)], "text STRING")
+        got = df.select(
+            whitespace_token_count("text").alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+        assert (got[0].ws, got[1].ws) == (3, 2)
+        assert got[0].bpe == 3
+
+    def test_bpe_splits_punct_numbers(self, spark):
+        df = spark.createDataFrame([("hello, world! 12345",)], "text STRING")
+        got = df.select(bpe_ish_token_count("text").alias("n")).collect()[0].n
+        # hello / , / world / ! / 123 / 45
+        assert got == 6
+
+    def test_quality_features(self, docs):
+        q = with_quality_features(docs).collect()
+        by_id = {r.doc_id: r for r in q}
+        assert by_id[7].max_repeat_ratio == 1.0  # all same token
+        assert by_id[7].quality_score < by_id[0].quality_score
+        assert by_id[6].digit_ratio > 0.5
+        assert by_id[6].quality_score < by_id[0].quality_score
+        assert by_id[0].stopword_ratio > 0.1
+
+    def test_lang_id(self, docs):
+        got = {r.doc_id: r.lang_pred for r in with_lang_id(docs).collect()}
+        assert got[0] == "en"
+        assert got[4] == "de"
+        assert got[5] == "fr"
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text STRING")
+        sh = df.select(word_shingles("text", 3).alias("s")).collect()[0].s
+        assert sh == ["a b c", "b c d"]
+        short = spark.createDataFrame([("a b",)], "text STRING")
+        sh = short.select(word_shingles("text", 3).alias("s")).collect()[0].s
+        assert sh == ["a b"]
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dedup_exact(docs).orderBy("doc_id").collect()
+        flags = [r.is_duplicate for r in out]
+        assert flags == [False, True, False, False, False, False, False, False]
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        pairs = minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.3).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got  # exact dup certainly caught
+        assert (0, 2) in got or (1, 2) in got  # near dup caught
+        assert all(a < b for a, b in got)
+        for r in pairs:
+            if (r.id_a, r.id_b) == (0, 1):
+                assert r.jaccard == 1.0
+
+    def test_minhash_no_false_positives_verified(self, docs):
+        pairs = minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.9).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert got == {(0, 1)}  # only the exact dup survives 0.9
+
+    def test_ngram_jaccard(self, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.3, prefilter_prefix=16).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got
+
+    def test_simhash(self, docs):
+        sh = with_simhash(docs)
+        vals = {r.doc_id: r.simhash for r in sh.collect()}
+        assert vals[0] == vals[1]  # identical text -> identical simhash
+        pairs = simhash_near_pairs(sh, max_hamming=8).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got
+        h = dict(((r.id_a, r.id_b), r.hamming) for r in pairs)
+        assert h[(0, 1)] == 0
+
+    def test_embedding_near_pairs(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, v.tolist()))
+        # 100..104: tiny perturbations of 0..4 (cosine ~1)
+        for i in range(5):
+            rows.append((100 + i, (base[i] + rng.standard_normal(16).astype(np.float32) * 0.01).tolist()))
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        pairs = embedding_near_pairs(df, threshold=0.98, bucket_bits=6).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        found = sum(1 for i in range(5) if (i, 100 + i) in got)
+        assert found >= 4  # LSH may drop at most one boundary case
+        assert all(r.cosine >= 0.98 for r in pairs)
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(11)
+        X = rng.standard_normal((500, 24)).astype(np.float32)
+        rows = [(i, X[i].tolist()) for i in range(500)]
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>").cache()
+        return df, X
+
+    def _numpy_topk(self, X, qids, k):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        out = {}
+        for q in qids:
+            sims = Xn[50:] @ Xn[q]
+            ids = np.arange(50, 500)
+            order = np.lexsort((ids, -sims))[:k]
+            out[q] = [int(ids[i]) for i in order]
+        return out
+
+    def test_brute_force_matches_numpy(self, spark, emb):
+        df, X = emb
+        q = df.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+        c = df.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        got = brute_force_topk(q, c, k=5).toPandas()
+        exp = self._numpy_topk(X, range(8), 5)
+        for qid in range(8):
+            mine = got[got.query_id == qid].sort_values("rank").cand_id.tolist()
+            assert mine == exp[qid], qid
+
+    def test_lsh_recall(self, spark, emb):
+        df, X = emb
+        q = df.filter("vec_id < 20").withColumnRenamed("vec_id", "query_id")
+        c = df.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        # NB: isotropic gaussian vectors are the LSH worst case (no cluster
+        # structure). 4 bucket bits + 4 probe flips examines ~5/16 of the
+        # corpus; hyperplane locality must still beat that sampling rate
+        # decisively on the true top-5.
+        got = lsh_topk(q, c, k=5, bucket_bits=4, n_probe_flips=4).toPandas()
+        exp = self._numpy_topk(X, range(20), 5)
+        hits = total = 0
+        for qid in range(20):
+            mine = set(got[got.query_id == qid].cand_id.tolist())
+            hits += len(mine & set(exp[qid]))
+            total += 5
+        recall = hits / total
+        assert recall > 0.45, recall  # ~1.5x the 5/16 examination rate
+
+    def test_ivf_recall(self, spark, emb):
+        df, X = emb
+        q = df.filter("vec_id < 20").withColumnRenamed("vec_id", "query_id")
+        c = df.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        got = ivf_topk(q, c, k=5, n_centroids=8, nprobe=3).toPandas()
+        exp = self._numpy_topk(X, range(20), 5)
+        hits = total = 0
+        for qid in range(20):
+            mine = set(got[got.query_id == qid].cand_id.tolist())
+            hits += len(mine & set(exp[qid]))
+            total += 5
+        assert hits / total > 0.6

@@ -1,0 +1,155 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path functions are native Column expressions (JVM, codegen);
+language ID uses a tiny broadcast n-gram profile table + native
+map_filter/aggregate — no Python in the loop.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword/repetition ratios), language ID (character n-gram
+heuristic), document fingerprinting (full/prefix md5 + rolling shingle
+hashes used by the dedup suite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pretokenizer: word pieces, numbers, punctuation runs — a regex in
+# the spirit of the GPT-2 pattern, simplified to RE2-safe constructs.
+BPE_SPLIT = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of regexp pretokens (upper bound on BPE token count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(c, F.lit(BPE_SPLIT), 0)
+    nonspace = F.filter(toks, lambda t: F.trim(t) != F.lit(""))
+    return F.size(nonspace)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for on as at by"
+).split()
+
+
+def with_quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach quality-signal columns (all native):
+    n_chars, n_tokens, punct_ratio, digit_ratio, upper_ratio,
+    stopword_ratio, mean_token_len, max_repeat_ratio (most frequent token
+    share), quality_score in [0,1]."""
+    c = F.col(text)
+    n_chars = F.length(c)
+    tokens = F.split(F.trim(F.lower(c)), r"\s+")
+    n_tokens = F.size(tokens)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    # most frequent token share via aggregate over a count map
+    tok_counts = F.aggregate(
+        tokens,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, t: F.map_zip_with(
+            acc,
+            F.create_map(t, F.lit(1)),
+            lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+        ),
+    )
+    max_rep = F.array_max(F.map_values(tok_counts))
+
+    df = df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct / F.greatest(n_chars, F.lit(1)).cast("double"),
+            "digit_ratio": digits / F.greatest(n_chars, F.lit(1)).cast("double"),
+            "upper_ratio": uppers / F.greatest(n_chars, F.lit(1)).cast("double"),
+            "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            "mean_token_len": n_chars / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            "max_repeat_ratio": max_rep / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        }
+    )
+    # simple monotone score: long enough, not punct/digit soup, some
+    # stopwords (natural language), not dominated by one token
+    score = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0)))
+        * (F.lit(0.5) + F.least(F.col("stopword_ratio") * 2.5, F.lit(0.5)))
+        * (F.lit(1.0) - F.least(F.greatest(F.col("max_repeat_ratio") - 0.2, F.lit(0.0)), F.lit(1.0)))
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny per-language trigram/stopword profiles (public common-knowledge lists)
+_LANG_MARKERS = {
+    "en": ["the", "and", "ing", "ion", "of", "to"],
+    "de": ["der", "die", "und", "sch", "ein", "ich"],
+    "fr": ["les", "des", "ent", "que", "une", "est"],
+    "es": ["los", "las", "que", "ión", "una", "del"],
+    "it": ["che", "gli", "zione", "una", "per", "di"],
+}
+
+
+def with_lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: score = sum of marker-token hits per language
+    (token AND substring hits), argmax; 'und' (undetermined) when all zero."""
+    lowered = F.lower(F.col(text))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            hit = (
+                F.size(F.split(lowered, F.lit(m).cast("string"), -1)) - 1
+            )  # substring occurrence count
+            s = hit if s is None else s + hit
+        scores.append(F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out, F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / shingles (shared by the dedup suite)
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5(text: Column | str, prefix_chars: int | None = None) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    if prefix_chars is not None:
+        c = F.substring(c, 1, prefix_chars)
+    return F.md5(c)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (native transform over a token slice)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(sh)
+
+
+def shingle_hashes(text: Column | str, n: int = 3) -> Column:
+    """64-bit rolling-shingle hashes (xxhash64 over word shingles)."""
+    return F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))

