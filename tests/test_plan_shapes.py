@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+correct answers. Checks pushdown/pruning, shuffle-freedom of the
+assignment path, broadcast joins for small layers, and codegen coverage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.core import tms
+from tile_grid_spark.functions import grid_cols as G
+from tile_grid_spark.operators import cover as C
+from tile_grid_spark.operators.pip_join import generate_polygons, pip_join
+from tile_grid_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def wm():
+    return tms().lookup("WebMercatorQuad")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_assignment_no_shuffle(self, spark, wm, sf_dir):
+        pts = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"),
+            (F.col("o_orderkey") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("o_orderkey") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        out = G.with_tiles_multizoom(pts, wm, list(range(15)))
+        plan = plan_of(out)
+        assert "Exchange" not in plan, plan  # narrow end to end
+        assert "Generate explode" in plan or "Generate" in plan
+
+    def test_column_pruning_reaches_scan(self, spark, wm, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        out = G.with_tile(
+            li.select(
+                (F.col("l_orderkey") % 360 - 180.0).cast("double").alias("lon"),
+                (F.col("l_orderkey") % 160 - 80.0).cast("double").alias("lat"),
+            ),
+            wm,
+            8,
+        )
+        plan = plan_of(out)
+        # only l_orderkey should be read from the 11-column table
+        assert "ReadSchema: struct<l_orderkey:bigint>" in plan, plan
+
+    def test_filter_pushdown_reaches_scan(self, spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+        plan = plan_of(li)
+        assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" in plan, plan
+
+    def test_pip_join_broadcasts_polygons(self, spark, wm):
+        pts = spark.range(1000).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        polys = generate_polygons(spark, 10, seed=1)
+        out = pip_join(pts, polys, wm, zoom=6)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan
+
+    def test_assignment_wholestage_codegen(self, spark, wm):
+        pts = spark.range(1000).select(
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        out = G.with_tile(pts, wm, 10)
+        plan = plan_of(out)
+        # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+        assert plan.lstrip().startswith("*("), plan
+        # no Python evaluation anywhere in the hot path
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_per_tile_agg_partial_aggregation(self, spark, wm):
+        pts = spark.range(10000).select(
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        agg = G.with_tile(pts, wm, 10).groupBy("tile_x", "tile_y").count()
+        plan = plan_of(agg)
+        # map-side combine (partial_count) before the exchange
+        assert "partial_count" in plan, plan
+
+
+class TestLegacyEnumeration:
+    def test_matches_core_iterator(self, spark, wm):
+        from tile_grid_spark.core import Grid, grid_iterator
+
+        g = Grid.web_mercator()
+        limits = g.tile_limits(g.extent, 0)
+        expected = list(grid_iterator(0, 2, limits))
+        got = [
+            (r.zoom, r.tile_x, r.tile_y)
+            for r in C.enumerate_legacy(spark, g, g.extent, 0, 0, 2)
+            .orderBy("zoom", "tile_x", "tile_y")
+            .collect()
+        ]
+        assert got == sorted(expected)
+
+    def test_empty_params(self, spark):
+        from tile_grid_spark.core import Grid
+
+        g = Grid.web_mercator()
+        assert C.enumerate_legacy(spark, g, g.extent, 0, 3, 2).count() == 0

@@ -120,6 +120,32 @@ def with_tile(
     ).drop("_gx", "_gy")
 
 
+def with_tile_xy(
+    df: DataFrame,
+    tms: Tms,
+    zoom: int,
+    x: str = "x",
+    y: str = "y",
+    out_x: str = "tile_x",
+    out_y: str = "tile_y",
+) -> DataFrame:
+    """Tile assignment from coordinates ALREADY in the TMS CRS — works for
+    any grid including custom ones (LV95/CH1903+), mirroring xy_tile
+    (tms.rs:490-535) with no geographic transform."""
+    p = tms.zoom_params(zoom)
+    return df.withColumns(
+        {out_x: xy_tile_x(_col(x), p), out_y: xy_tile_y(_col(y), p)}
+    )
+
+
+def legacy_ytile_from_xyz(grid, zoom: int, tile_y: ColumnOrName = "tile_y") -> Column:
+    """XYZ->TMS row flip with u32-saturating subtraction
+    (/root/reference/src/wmts/grid.rs:224-229) as a Column."""
+    maxy = grid.level_max_list[zoom][1]
+    ty = _col(tile_y)
+    return F.greatest(F.greatest(F.lit(maxy) - ty, F.lit(0)) - F.lit(1), F.lit(0))
+
+
 def zoom_params_df(spark: SparkSession, tms: Tms, zooms: Sequence[int]) -> DataFrame:
     """Tiny per-zoom parameter table (broadcast side of multi-zoom assignment)."""
     rows = []

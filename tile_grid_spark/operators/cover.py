@@ -123,6 +123,28 @@ def cover_multizoom(
     return out
 
 
+def enumerate_legacy(spark, grid, extent, tolerance: int, minzoom: int, maxzoom: int) -> DataFrame:
+    """Legacy GridIterator as a DataFrame: tile_limits (EXCLUSIVE maxx/maxy,
+    /root/reference/src/wmts/grid_iterator.rs:51-71) -> explode. Golden
+    order reproduced by ORDER BY zoom, tile_x, tile_y."""
+    limits = grid.tile_limits(extent, tolerance)
+    if minzoom > maxzoom or len(limits) <= minzoom:
+        return spark.createDataFrame([], "zoom INT, tile_x BIGINT, tile_y BIGINT")
+    maxzoom = min(maxzoom, len(limits) - 1)
+    rows = [
+        (z, limits[z].minx, limits[z].maxx - 1, limits[z].miny, limits[z].maxy - 1)
+        for z in range(minzoom, maxzoom + 1)
+    ]
+    base = spark.createDataFrame(
+        rows, "zoom INT, x_min BIGINT, x_max BIGINT, y_min BIGINT, y_max BIGINT"
+    )
+    return (
+        base.withColumn("tile_x", F.explode(F.sequence("x_min", "x_max")))
+        .withColumn("tile_y", F.explode(F.sequence("y_min", "y_max")))
+        .select("zoom", "tile_x", "tile_y")
+    )
+
+
 def enumerate_tms(spark_df_or_session, tms: Tms, minzoom: int, maxzoom: int) -> DataFrame:
     """All tiles of a TMS between zooms — DataFrame form of XyzIterator over
     the whole xy_bbox (tms_iterator.rs golden: 21 rows for z0-2)."""
