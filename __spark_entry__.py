@@ -223,9 +223,11 @@ def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rects = rects.withColumns(
         {"maxx": F.col("minx") + F.lit(21.0), "maxy": F.col("miny") + F.lit(17.0)}
     )
-    rect_tiles = C.cover_bbox_geographic(rects, WM, ZOOM)
-    joined = pts.join(
-        F.broadcast(rect_tiles), on=["tile_x", "tile_y"], how="inner"
+    rect_tiles = C.cover_bbox_geographic(rects, WM, ZOOM).withColumn(
+        "_tk", G.tile_key("tile_x", "tile_y")
+    ).drop("tile_x", "tile_y")
+    joined = pts.withColumn("_tk", G.tile_key("tile_x", "tile_y")).join(
+        F.broadcast(rect_tiles), on="_tk", how="inner"
     ).filter(
         (F.col("lon") >= F.col("minx"))
         & (F.col("lon") <= F.col("maxx"))

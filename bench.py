@@ -88,8 +88,11 @@ def bench_pip_scale(spark: SparkSession) -> dict:
     rects = rects.withColumns(
         {"maxx": F.col("minx") + F.lit(12.0), "maxy": F.col("miny") + F.lit(8.0)}
     )
-    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM)
-    joined = pts.join(F.broadcast(rect_tiles), ["tile_x", "tile_y"]).filter(
+    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM).withColumn(
+        "_tk", G.tile_key("tile_x", "tile_y")
+    ).drop("tile_x", "tile_y")
+    pts = pts.withColumn("_tk", G.tile_key("tile_x", "tile_y"))
+    joined = pts.join(F.broadcast(rect_tiles), "_tk").filter(
         (F.col("lon") >= F.col("minx"))
         & (F.col("lon") <= F.col("maxx"))
         & (F.col("lat") >= F.col("miny"))
@@ -139,8 +142,11 @@ def bench_pip_join(spark: SparkSession) -> dict:
     rects = rects.withColumns(
         {"maxx": F.col("minx") + F.lit(12.0), "maxy": F.col("miny") + F.lit(8.0)}
     )
-    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM)
-    joined = pts.join(F.broadcast(rect_tiles), ["tile_x", "tile_y"]).filter(
+    rect_tiles = C.cover_bbox_geographic(rects, E.WM, ZOOM).withColumn(
+        "_tk", G.tile_key("tile_x", "tile_y")
+    ).drop("tile_x", "tile_y")
+    pts = pts.withColumn("_tk", G.tile_key("tile_x", "tile_y"))
+    joined = pts.join(F.broadcast(rect_tiles), "_tk").filter(
         (F.col("lon") >= F.col("minx"))
         & (F.col("lon") <= F.col("maxx"))
         & (F.col("lat") >= F.col("miny"))
@@ -219,10 +225,13 @@ def main() -> None:
         (F.lit(-10.0) + F.col("id") * 5.0).alias("minx"), F.lit(-10.0).alias("miny"),
         (F.lit(-5.0) + F.col("id") * 5.0).alias("maxx"), F.lit(10.0).alias("maxy"),
     )
-    wt = C.cover_bbox_geographic(wrects, E.WM, 7)
+    wt = C.cover_bbox_geographic(wrects, E.WM, 7).withColumn(
+        "_tk", G.tile_key("tile_x", "tile_y")
+    ).drop("tile_x", "tile_y")
     force(
         G.with_tile(warm, E.WM, 7)
-        .join(F.broadcast(wt), ["tile_x", "tile_y"])
+        .withColumn("_tk", G.tile_key("tile_x", "tile_y"))
+        .join(F.broadcast(wt), "_tk")
         .filter((F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx")))
         .select("pid", "poly_id")
     )

@@ -41,14 +41,17 @@ _CAL_CODE = (
 )
 
 
-def calibrate_machine() -> dict:
+def calibrate_machine(reps: int = 3) -> dict:
     """Aggregate pure-CPU throughput at each level (units: fixed-work
     completions per second). The ratio bounds what any parallel program
-    can achieve on this box."""
-    out = {}
-    for n in LEVELS:
-        best = None
-        for _ in range(2):
+    can achieve on this box. The host is noisy (ceiling observed anywhere
+    in 0.57-0.84 across sessions), so take the MEDIAN of `reps`
+    interleaved measurements."""
+    import statistics
+
+    rates: dict[int, list[float]] = {n: [] for n in LEVELS}
+    for _ in range(reps):
+        for n in LEVELS:
             t0 = time.time()
             ps = [
                 subprocess.Popen([sys.executable, "-c", _CAL_CODE], stdout=subprocess.DEVNULL)
@@ -56,10 +59,8 @@ def calibrate_machine() -> dict:
             ]
             for p in ps:
                 p.wait()
-            dt = time.time() - t0
-            rate = n / dt
-            best = rate if best is None else max(best, rate)
-        out[n] = best
+            rates[n].append(n / (time.time() - t0))
+    out = {n: statistics.median(rates[n]) for n in LEVELS}
     n, n4 = LEVELS
     out["ceiling"] = out[n4] / (4.0 * out[n])
     return out
@@ -68,7 +69,12 @@ def calibrate_machine() -> dict:
 def run_level(cpus: int) -> dict:
     best: dict | None = None
     for _ in range(REPEATS):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, timeout=1800,

@@ -120,6 +120,30 @@ def with_tile(
     ).drop("_gx", "_gy")
 
 
+def tile_key(
+    tile_x: ColumnOrName, tile_y: ColumnOrName, zoom: ColumnOrName | int | None = None
+) -> Column:
+    """Pack (zoom?, tile_x, tile_y) into ONE BIGINT join key.
+
+    Load-bearing at scale: Spark's broadcast hash joins take the
+    LongHashedRelation fast path only for a single bigint key; joining on
+    the 2-column (tile_x, tile_y) key falls back to UnsafeHashedRelation,
+    measured 3-10x slower per probe on this engine's PIP plan AND
+    anti-scaling with core count (allocation per probe). Always join on
+    this packed key.
+
+    Layout: [zoom:6][tile_x:28][tile_y:28] — valid for zoom <= 28 grids
+    (indices < 2^28), which covers every registered TMS's predefined range.
+    """
+    tx = _col(tile_x).cast("bigint")
+    ty = _col(tile_y).cast("bigint")
+    key = tx * F.lit(1 << 28) + ty
+    if zoom is not None:
+        z = F.lit(zoom) if isinstance(zoom, int) else _col(zoom)
+        key = key + z.cast("bigint") * F.lit(1 << 56)
+    return key
+
+
 def with_tile_xy(
     df: DataFrame,
     tms: Tms,

@@ -44,8 +44,11 @@ def _ring_explode(df: DataFrame, r: int, r_exclude: int | None = None) -> DataFr
         e = e.filter(
             (F.abs(F.col("_dx")) > r_exclude) | (F.abs(F.col("_dy")) > r_exclude)
         )
-    return e.withColumns(
-        {"jx": F.col("tile_x") + F.col("_dx"), "jy": F.col("tile_y") + F.col("_dy")}
+    from ..functions.grid_cols import tile_key
+
+    return e.withColumn(
+        "_jk",
+        tile_key(F.col("tile_x") + F.col("_dx"), F.col("tile_y") + F.col("_dy")),
     ).drop("_dx", "_dy")
 
 
@@ -75,10 +78,12 @@ def knn_join(
     ).withColumns({"qx": mercator_x(lon), "qy": mercator_y(lat)}).select(
         query_id, "tile_x", "tile_y", "qx", "qy"
     )
+    from ..functions.grid_cols import tile_key
+
     c = with_tile(
         candidates.select(cand_id, lon, lat), tms, zoom, lon=lon, lat=lat
     ).withColumns({"cx": mercator_x(lon), "cy": mercator_y(lat)}).select(
-        cand_id, F.col("tile_x").alias("jx"), F.col("tile_y").alias("jy"), "cx", "cy"
+        cand_id, tile_key("tile_x", "tile_y").alias("_jk"), "cx", "cy"
     )
     c = c.cache()
 
@@ -92,7 +97,7 @@ def knn_join(
     r = 1
     while r <= max_ring:
         ringed = _ring_explode(pending, r)
-        joined = ringed.join(c, on=["jx", "jy"], how="inner").withColumn("dist", dist)
+        joined = ringed.join(c, on="_jk", how="inner").withColumn("dist", dist)
         topk = (
             joined.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

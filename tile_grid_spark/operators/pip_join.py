@@ -99,14 +99,20 @@ def pip_join(
     on the tile key — both sides already share the (tile_x, tile_y)
     partitioning domain, and AQE handles skewed tiles.
     """
-    pts = with_tile(points, tms, zoom, lon=lon, lat=lat)
+    from ..functions.grid_cols import tile_key
+
+    pts = with_tile(points, tms, zoom, lon=lon, lat=lat).withColumn(
+        "_tk", tile_key("tile_x", "tile_y")
+    )
     cover = cover_bbox_geographic(polygons, tms, zoom)
+    # single packed bigint key -> LongHashedRelation fast path (3-10x
+    # faster probes than the two-column key; see grid_cols.tile_key)
     poly_side = cover.select(
-        "tile_x", "tile_y", poly_id, ring_lon, ring_lat
+        tile_key("tile_x", "tile_y").alias("_tk"), poly_id, ring_lon, ring_lat
     )
     if broadcast_polys:
         poly_side = F.broadcast(poly_side)
-    joined = pts.join(poly_side, on=["tile_x", "tile_y"], how="inner")
+    joined = pts.join(poly_side, on="_tk", how="inner")
 
     inside = _ray_cast_udf()
     exact = joined.filter(
