@@ -111,3 +111,32 @@ class TestLegacyEnumeration:
 
         g = Grid.web_mercator()
         assert C.enumerate_legacy(spark, g, g.extent, 0, 3, 2).count() == 0
+
+
+class TestTileLayoutWrite:
+    def test_partition_pruning_on_zoom(self, spark, wm, tmp_path):
+        """write_partitioned layout must let zoom filters prune partitions
+        and tile ranges skip files (the 100 TB read path)."""
+        from tile_grid_spark.functions import grid_cols as G
+        from tile_grid_spark.sources.io import write_partitioned
+        from pyspark.sql import functions as F
+
+        pts = spark.range(20000).select(
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        out = G.with_tiles_multizoom(pts, wm, [4, 6, 8])
+        path = str(tmp_path / "tiles")
+        write_partitioned(out, path)
+
+        back = spark.read.parquet(path).filter(F.col("zoom") == 6)
+        plan = plan_of(back)
+        assert "PartitionFilters: [isnotnull(zoom" in plan, plan
+        assert back.count() == 20000  # only z6 rows
+        # file-level min/max skipping: a narrow tile_x range reads fewer
+        # rows than a full scan would (statistically certain given the sort)
+        narrow = spark.read.parquet(path).filter(
+            (F.col("zoom") == 8) & (F.col("tile_x") < 5)
+        )
+        assert "PushedFilters: [" in plan_of(narrow)
+        assert 0 < narrow.count() < 20000

@@ -139,3 +139,39 @@ class TestStreaming:
             assert all(0 <= r.tile_x < 16 and 0 <= r.tile_y < 16 for r in rows)
         finally:
             q.stop()
+
+
+class TestStatefulStreaming:
+    def test_running_totals(self, spark, wm):
+        from tile_grid_spark.streaming.stream import (
+            stream_tile_running_totals,
+            synthetic_point_stream,
+        )
+
+        pts = synthetic_point_stream(spark, rows_per_second=400)
+        totals = stream_tile_running_totals(pts, wm, zoom=3)
+        q = (
+            totals.writeStream.format("memory")
+            .queryName("tile_totals_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 40
+            ok = False
+            while _t.time() < deadline:
+                _t.sleep(3)
+                rows = spark.sql(
+                    "SELECT tile_x, tile_y, max(total) AS total, max(batches) AS batches "
+                    "FROM tile_totals_test GROUP BY tile_x, tile_y"
+                ).collect()
+                # state accumulates: some tile must have seen >1 batch with
+                # a growing total
+                if any(r.batches >= 2 and r.total > 0 for r in rows):
+                    ok = True
+                    break
+            assert ok, f"stateful totals never accumulated: {rows[:5] if rows else []}"
+        finally:
+            q.stop()

