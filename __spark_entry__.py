@@ -565,6 +565,37 @@ def q_lv95_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s_suppkey", "x", "y", "tile_x", "tile_y").orderBy("s_suppkey")
 
 
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table (window functions
+    beyond top-k: lag + conditional cumulative sum). A session breaks
+    after a >30 min gap per user; output per-user session stats."""
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    e = ev.withColumn("new_session", (gap.isNull() | (gap > 1800)).cast("int"))
+    e = e.withColumn("session_id", F.sum("new_session").over(w))
+    ep2 = F.col("ts").cast("timestamp").cast("long")
+    return (
+        e.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(ep2) - F.min(ep2)).alias("dur_sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("dur_sec").alias("max_dur_sec"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -590,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_wgs84": q_tile_assign_wgs84,
         "minhash_pairs": q_minhash_pairs,
         "lv95_assign": q_lv95_assign,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -956,6 +988,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s_suppkey, x, y, {txl} AS tile_x, {tyl} AS tile_y
         FROM pts ORDER BY s_suppkey
+    """
+
+
+    sql["user_sessions"] = """
+        WITH ep AS (
+          SELECT user_id, ts,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+          FROM events
+        ),
+        e AS (
+          SELECT user_id, ts, es,
+                 CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL
+                      OR es - lag(es) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ep
+        ),
+        s AS (
+          SELECT user_id, es,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM e
+        ),
+        per AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 MAX(es) - MIN(es) AS dur_sec
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+               MAX(dur_sec) AS max_dur_sec
+        FROM per GROUP BY user_id ORDER BY user_id
     """
 
     res10 = LEGACY.resolutions[10]

@@ -1,0 +1,81 @@
+"""Independent (pandas brute-force) oracles for the relational entry
+queries that are not covered by the operator-level test files. The
+driver's DuckDB parity check (scripts/check_oracle.py) is the primary
+gate; these tests catch regressions without a JVM<->DuckDB round trip
+and pin the exact sessionization / as-of semantics.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _events_pdf(sf_dir):
+    return pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def test_user_sessions_matches_pandas(spark, sf_dir):
+    got = (
+        entry.q_user_sessions(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    ev = _events_pdf(sf_dir).sort_values(["user_id", "ts"])
+    # floor to whole seconds exactly like Spark's cast(timestamp as long)
+    ev["es"] = ev["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        gaps = g["es"].diff()
+        new_sess = gaps.isna() | (gaps > 1800)
+        sess_id = new_sess.cumsum()
+        per = g.groupby(sess_id)["es"].agg(["count", "min", "max"])
+        rows.append(
+            {
+                "user_id": uid,
+                "n_sessions": len(per),
+                "n_events": int(per["count"].sum()),
+                "max_dur_sec": int((per["max"] - per["min"]).max()),
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+
+    assert len(got) == len(want)
+    for col in ("n_sessions", "n_events", "max_dur_sec"):
+        assert got[col].astype("int64").tolist() == want[col].astype("int64").tolist(), col
+
+
+def test_user_sessions_session_split_semantics(spark):
+    # two users: one with a single >30min gap (2 sessions), one without
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(5),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:10:00",
+                    "2024-01-01 01:00:00",  # 50 min gap -> new session
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:30:00",  # exactly 1800s -> same session
+                ]
+            ),
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view"] * 5,
+            "value": [0.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = entry.q_user_sessions(spark, d).toPandas().set_index("user_id")
+    assert int(got.loc[1, "n_sessions"]) == 2
+    assert int(got.loc[1, "max_dur_sec"]) == 600
+    assert int(got.loc[2, "n_sessions"]) == 1
+    assert int(got.loc[2, "max_dur_sec"]) == 1800
