@@ -596,6 +596,30 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each 'error' event picks
+    the same user's most recent 'view' event at-or-before it. Union +
+    running-window plan — one shuffle on user_id, no range-join blowup.
+    Ties at equal ts break to the greatest event_id (deterministic)."""
+    from tile_grid_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    out = asof_join(
+        errors, views, ["user_id"], "ts", "ts", ["event_id"], tiebreak="event_id"
+    )
+    gap = F.col("ts").cast("timestamp").cast("long") - F.col("asof_ts").cast(
+        "timestamp"
+    ).cast("long")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        gap.alias("gap_sec"),
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -622,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "lv95_assign": q_lv95_assign,
         "user_sessions": q_user_sessions,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1019,6 +1044,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
                MAX(dur_sec) AS max_dur_sec
         FROM per GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["asof_join"] = """
+        SELECT e.event_id, e.user_id,
+               v.view_event_id,
+               CASE WHEN v.view_event_id IS NULL THEN NULL
+                    ELSE CAST(FLOOR(epoch(e.ts)) AS BIGINT)
+                         - CAST(FLOOR(epoch(v.view_ts)) AS BIGINT) END AS gap_sec
+        FROM events e
+        LEFT JOIN LATERAL (
+          SELECT w.event_id AS view_event_id, w.ts AS view_ts
+          FROM events w
+          WHERE w.event_type = 'view' AND w.user_id = e.user_id
+            AND w.ts <= e.ts
+          ORDER BY w.ts DESC, w.event_id DESC
+          LIMIT 1
+        ) v ON TRUE
+        WHERE e.event_type = 'error'
+        ORDER BY e.event_id
     """
 
     res10 = LEGACY.resolutions[10]
