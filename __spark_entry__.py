@@ -620,6 +620,65 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprinting (winnowing base):
+    per doc the min window hash, window count and distinct-window count.
+    Exact BIGINT polynomial arithmetic -> bit-identical in any engine."""
+    from tile_grid_spark.functions.text import with_rolling_fingerprints
+
+    d = read_table(spark, sf_dir, "documents")
+    staged = with_rolling_fingerprints(d.select("doc_id", "text"), "text", "fps")
+    return (
+        staged.select(
+            "doc_id",
+            F.array_min("fps").alias("fp_min"),
+            F.size("fps").alias("n_windows"),
+            F.size(F.array_distinct("fps")).alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (id_a < id_b, cosine >= 0.4 — the synthetic embeddings have no true
+    near-dups, max cos ~0.51, so the threshold sits inside the observed
+    range). Output is id-only so the oracle hash is float-free; the
+    LSH-bucketed scale path is operators/dedup.embedding_near_pairs
+    (tested in tests/test_text_dedup_similarity.py)."""
+    from tile_grid_spark.operators.similarity import cosine_expr
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_emb"),
+    )
+    return (
+        e.alias("l")
+        .join(e.alias("r"), F.col("l._id") < F.col("r._id"))
+        .filter(cosine_expr("l._emb", "r._emb") >= 0.4)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k cosine (operators/similarity.ivf_topk):
+    k-means-lite centroids, candidates hashed to nearest list, queries
+    probe 3 lists. NO oracle_sql: the result depends on learned centroid
+    placement (iterative, not SQL-expressible); correctness is gated by
+    the recall-vs-bruteforce pytest instead (rows-only driver check)."""
+    from tile_grid_spark.operators.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), "embedding"
+    )
+    return ivf_topk(q, c, k=5, n_centroids=16, nprobe=3).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -647,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lv95_assign": q_lv95_assign,
         "user_sessions": q_user_sessions,
         "asof_join": q_asof_join,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embed_neardup": q_embed_neardup,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -1063,6 +1125,40 @@ def oracle_sql() -> dict[str, str]:
         ) v ON TRUE
         WHERE e.event_type = 'error'
         ORDER BY e.event_id
+    """
+
+    # same 8-term BIGINT polynomial as functions/text.rolling_fingerprints
+    _win = 8
+    _pows = [131 ** (_win - 1 - j) for j in range(_win)]
+    _terms = " + ".join(
+        f"CAST(ascii(substr(text, CAST(i AS INTEGER) + {j}, 1)) AS BIGINT) * {p}"
+        for j, p in enumerate(_pows)
+    )
+    sql["doc_fingerprint"] = f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - {_win - 2}),
+                                i -> {_terms}) AS fps
+          FROM documents
+        )
+        SELECT doc_id,
+               list_min(fps) AS fp_min,
+               CAST(len(fps) AS INTEGER) AS n_windows,
+               CAST(len(list_distinct(fps)) AS INTEGER) AS n_unique
+        FROM fp ORDER BY doc_id
+    """
+
+    sql["embed_neardup"] = """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+        ORDER BY id_a, id_b
     """
 
     res10 = LEGACY.resolutions[10]

@@ -58,6 +58,31 @@ class TestText:
         # hello / , / world / ! / 123 / 45
         assert got == 6
 
+    def test_rolling_fingerprints_match_python(self, spark):
+        from tile_grid_spark.functions.text import (
+            ROLLING_BASE,
+            ROLLING_WINDOW,
+            with_rolling_fingerprints,
+        )
+
+        texts = ["the quick brown fox jumps", "aaaaaaaaaa", "short", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+        )
+        got = {
+            r.doc_id: r.fps
+            for r in with_rolling_fingerprints(df).select("doc_id", "fps").collect()
+        }
+        w = ROLLING_WINDOW
+        for i, t in enumerate(texts):
+            want = [
+                sum(
+                    ord(t[s + j]) * ROLLING_BASE ** (w - 1 - j) for j in range(w)
+                )
+                for s in range(max(len(t) - w + 1, 0))
+            ]
+            assert got[i] == want, t
+
     def test_quality_features(self, docs):
         q = with_quality_features(docs).collect()
         by_id = {r.doc_id: r for r in q}

@@ -153,3 +153,61 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """64-bit rolling-shingle hashes (xxhash64 over word shingles)."""
     return F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
+
+
+# Rabin-Karp-style polynomial base. 255*131^7*(131/130) < 2^63: the whole
+# window hash stays in exact BIGINT arithmetic, so any engine that sums
+# the same 8 integer terms reproduces it bit-for-bit (oracle-able, unlike
+# murmur3/xxhash which are engine-specific).
+ROLLING_BASE = 131
+ROLLING_WINDOW = 8
+
+
+def rolling_fingerprints(text: Column | str, window: int = ROLLING_WINDOW) -> Column:
+    """Array of polynomial rolling hashes over `window`-char slices.
+
+    hash(i) = sum_j ascii(text[i+j]) * BASE^(window-1-j) — classic
+    Rabin-Karp document fingerprinting (winnow by taking array_min
+    downstream). Native Columns only: one split to char codes, then a
+    transform over window start positions.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return _rolling_from_codes(codes, F.length(c), window)
+
+
+def _rolling_from_codes(codes: Column, text_len: Column, window: int) -> Column:
+    n_win = text_len - F.lit(window - 1)
+    pows = [ROLLING_BASE ** (window - 1 - j) for j in range(window)]
+
+    def win_hash(i):
+        terms = [
+            F.element_at(codes, i + F.lit(j)) * F.lit(pows[j]) for j in range(window)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))), win_hash)
+    )
+
+
+def with_rolling_fingerprints(
+    df: DataFrame, text: str = "text", out: str = "fps", window: int = ROLLING_WINDOW
+) -> DataFrame:
+    """Staged-projection variant of rolling_fingerprints.
+
+    Materializes the char-code array, then the window-hash array, as real
+    columns. Composing everything into one expression makes Catalyst
+    re-evaluate split() per lambda term (O(len^2 * window) per row — a
+    measured 25x slowdown); two projections keep it O(len * window).
+    """
+    staged = df.withColumn(
+        "_rk_codes",
+        F.transform(F.split(F.col(text), ""), lambda ch: F.ascii(ch).cast("long")),
+    ).withColumn("_rk_len", F.length(text))
+    return staged.withColumn(
+        out, _rolling_from_codes(F.col("_rk_codes"), F.col("_rk_len"), window)
+    ).drop("_rk_codes", "_rk_len")
