@@ -679,6 +679,47 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, c, k=5, n_centroids=16, nprobe=3).orderBy("query_id", "rank")
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: grouped partial
+    aggregation (map-side combine via Catalyst hash agg). Sums are exact
+    multiples of 1e-6, so round(...,2) is hash-stable across engines;
+    averages are deliberately emitted as (sum, count) pairs instead."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table join + top-k: customer x orders x lineitem,
+    revenue per order, top 10 by rounded revenue (tie-break orderkey).
+    Customer and orders sides stay small after filters -> Catalyst picks
+    broadcast-hash joins; revenue agg shuffles on the bigint orderkey."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("o_orderstatus") == "O")
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(revenue), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -709,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
     }
 
 
@@ -1159,6 +1202,32 @@ def oracle_sql() -> dict[str, str]:
               / (sqrt(list_dot_product(a.emb, a.emb))
                  * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
         ORDER BY id_a, id_b
+    """
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(SUM(l_quantity), 2) + 0.0 AS sum_qty,
+               round(SUM(l_extendedprice), 2) + 0.0 AS sum_base_price,
+               round(SUM(l_extendedprice * (1e0 - l_discount)), 2) + 0.0
+                 AS sum_disc_price,
+               round(SUM(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)), 2)
+                 + 0.0 AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    sql["top_revenue_orders"] = """
+        SELECT o_orderkey, o_orderdate,
+               round(SUM(l_extendedprice * (1e0 - l_discount)), 2) + 0.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
     """
 
     res10 = LEGACY.resolutions[10]

@@ -39,6 +39,12 @@ ALL_ZOOMS = list(range(25))
 # job overheads amortize away — the sf0.1 parquet alone is 1-3s of work,
 # which measures scheduler overhead, not engine throughput.
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
+# The PIP probe is ~10x cheaper per input row than 25-zoom assignment, so
+# it gets its own (larger) row count: at SCALE_ROWS the join finishes in
+# ~1s and fixed job overheads dominate, which under-measures scaling.
+PIP_SCALE_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PIP_ROWS", str(SCALE_ROWS * 16))
+)
 
 
 def synth_points(spark: SparkSession, n: int) -> DataFrame:
@@ -75,11 +81,11 @@ def bench_tile_assign_scale(spark: SparkSession) -> dict:
 
 
 def bench_pip_scale(spark: SparkSession) -> dict:
-    """Headline PIP throughput: SCALE_ROWS generated points x 400-rect
+    """Headline PIP throughput: PIP_SCALE_ROWS generated points x 400-rect
     layer via cover prefilter + broadcast join (output ~0.6 rows/point,
     long enough to amortize broadcast build + JIT)."""
     ZOOM = 7
-    pts = G.with_tile(synth_points(spark, SCALE_ROWS), E.WM, ZOOM)
+    pts = G.with_tile(synth_points(spark, PIP_SCALE_ROWS), E.WM, ZOOM)
     rects = spark.range(400).select(
         F.col("id").alias("poly_id"),
         (F.lit(-180.0) + (F.col("id") % 24) * F.lit(15.0) + F.lit(1.0 / 7.0)).alias("minx"),

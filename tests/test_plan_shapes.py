@@ -80,6 +80,30 @@ class TestPlanShapes:
         # no Python evaluation anywhere in the hot path
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_asof_join_single_shuffle_no_join_node(self, spark):
+        """The as-of join must compile to union + one hash exchange on the
+        keys + running window — never a join operator (a theta-join plan
+        is quadratic per key and anti-scales)."""
+        from tile_grid_spark.operators.asof import asof_join
+
+        left = spark.range(1000).select(
+            (F.col("id") % 7).alias("k"),
+            F.timestamp_seconds(F.col("id") * 60).alias("lts"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(500).select(
+            (F.col("id") % 7).alias("k"),
+            F.timestamp_seconds(F.col("id") * 97).alias("rts"),
+            F.col("id").alias("rid"),
+        )
+        out = asof_join(left, right, ["k"], "lts", "rts", ["rid"])
+        plan = plan_of(out)
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"):
+            assert node not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Window" in plan and "Union" in plan
+
     def test_per_tile_agg_partial_aggregation(self, spark, wm):
         pts = spark.range(10000).select(
             (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
