@@ -720,6 +720,71 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
 
 
+def q_bbox_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-layer x rectangle-layer overlap join via the tile-bucket
+    range-join operator (operators/overlap_join.py): cover explode ->
+    equi-join on packed tile key -> exact open-interval predicate ->
+    distinct pairs. Oracle is the plain theta-join (fine at sf0.01,
+    quadratic at scale — which is the point of the operator)."""
+    from tile_grid_spark.operators.overlap_join import bbox_overlap_join
+
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"),
+        F.expr(_lon_sql("s_suppkey")).alias("minx"),
+        F.expr(_lat_sql("s_suppkey")).alias("miny"),
+    )
+    sup = sup.withColumns(
+        {"maxx": F.col("minx") + F.lit(9.0), "maxy": F.col("miny") + F.lit(7.0)}
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-180.0) + F.col("n_nationkey") * F.lit(13.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-80.0) + F.col("n_nationkey") * F.lit(5.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    nat = nat.withColumns(
+        {"maxx": F.col("minx") + F.lit(21.0), "maxy": F.col("miny") + F.lit(17.0)}
+    )
+    return bbox_overlap_join(
+        sup, nat, WM, zoom=5, left_id="s_suppkey", right_id="n_nationkey",
+        broadcast_right=True,
+    ).orderBy("s_suppkey", "n_nationkey")
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical per-tile rollup (z10 -> z8 -> z6): aggregate the raw
+    points ONCE at the finest zoom, derive coarser levels from the
+    aggregate by quadtree bit-shift (parent x = x >> dz, tms.rs:982-1015
+    power-of-2 case). At 100 TB this re-aggregates |tiles| rows per
+    level instead of rescanning |points| — the continuous-aggregate
+    pattern."""
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    base = (
+        G.with_tile(pts, WM, 10)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+        .withColumn("zoom", F.lit(10))
+    )
+    levels = [base]
+    for z in (8, 6):
+        dz = 10 - z
+        levels.append(
+            base.select(
+                F.expr(f"shiftright(tile_x, {dz})").alias("tile_x"),
+                F.expr(f"shiftright(tile_y, {dz})").alias("tile_y"),
+                "n",
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("zoom", F.lit(z))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("zoom", "tile_x", "tile_y", "n").orderBy(
+        "zoom", "tile_x", "tile_y"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -752,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
+        "bbox_overlap": q_bbox_overlap,
+        "tile_pyramid": q_tile_pyramid,
     }
 
 
@@ -1228,6 +1295,43 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
+    """
+
+    sql["bbox_overlap"] = f"""
+        WITH sup AS (
+          SELECT s_suppkey,
+                 {_lon_sql('s_suppkey')} AS minx,
+                 {_lat_sql('s_suppkey')} AS miny
+          FROM supplier
+        ),
+        nat AS (
+          SELECT n_nationkey,
+                 -180.0 + n_nationkey * 13.0 + {_d(1.0 / 7.0)} AS minx,
+                 -80.0 + n_nationkey * 5.0 + {_d(1.0 / 7.0)} AS miny
+          FROM nation
+        )
+        SELECT sup.s_suppkey, nat.n_nationkey
+        FROM sup JOIN nat
+          ON sup.minx < nat.minx + 21.0 AND sup.minx + 9.0 > nat.minx
+         AND sup.miny < nat.miny + 17.0 AND sup.miny + 7.0 > nat.miny
+        ORDER BY s_suppkey, n_nationkey
+    """
+
+    txp, typ = _tile_xy_sql(10)
+    sql["tile_pyramid"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        base AS (
+          SELECT {txp} AS tile_x, {typ} AS tile_y, COUNT(*) AS n
+          FROM pts GROUP BY 1, 2
+        )
+        SELECT 10 AS zoom, tile_x, tile_y, n FROM base
+        UNION ALL
+        SELECT 8, tile_x >> 2, tile_y >> 2, SUM(n)
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 6, tile_x >> 4, tile_y >> 4, SUM(n)
+        FROM base GROUP BY 2, 3
+        ORDER BY zoom, tile_x, tile_y
     """
 
     res10 = LEGACY.resolutions[10]

@@ -31,7 +31,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 LEVELS = (8, 32)
 
 _CAL_CODE = (
@@ -86,24 +86,24 @@ def calibrate_machine(reps: int = 3) -> dict:
     }
 
 
-def run_level(cpus: int) -> dict:
-    best: dict | None = None
-    for _ in range(REPEATS):
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_SF_DIR=SF_DIR,
-            SPARK_GRAFT_CPUS=str(cpus),
-            SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        r = json.loads(line)
-        if best is None or r["value"] < best["value"]:
-            best = r
-    return best
+def run_once(cpus: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def pair_eff(pair: tuple[dict, dict], key: str) -> float:
+    r8, r32 = pair
+    return r32[key] / (4.0 * r8[key])
 
 
 def main() -> None:
@@ -113,28 +113,46 @@ def main() -> None:
     print(f"machine ceilings 8->32: cpu {cpu_ceil:.2f}, mem {mem_ceil:.2f}",
           file=sys.stderr)
 
-    results = {}
-    for cpus in LEVELS:
+    # The host has minutes-scale noise windows where even a perfect
+    # program cannot show scaling (observed: a window where local[32]
+    # ran SLOWER than local[8] wall-clock on identical work). Each
+    # interleaved (8,32) pair therefore carries its own quick pure-CPU
+    # calibration, and the REPORTED pair is the one measured in the
+    # quietest window (max per-pair calibration ceiling) — selection is
+    # keyed on an outcome-INDEPENDENT measurement, never on the
+    # efficiency itself; all pair efficiencies ship in the raw JSON.
+    pairs: list[tuple[dict, dict]] = []
+    window_cals: list[float] = []
+    for rep in range(REPEATS):
         t0 = time.time()
-        results[cpus] = run_level(cpus)
-        print(f"local[{cpus}]: {results[cpus]['value']}s total "
-              f"({time.time()-t0:.0f}s incl. startup)", file=sys.stderr)
+        wc = _calibrate(_CAL_CODE, 1)["ceiling"]
+        pair = tuple(run_once(cpus) for cpus in LEVELS)
+        pairs.append(pair)
+        window_cals.append(wc)
+        print(
+            f"pair {rep + 1}/{REPEATS}: window-cal {wc:.2f}, "
+            f"local[8] {pair[0]['value']}s, local[32] {pair[1]['value']}s "
+            f"({time.time()-t0:.0f}s incl. startup)",
+            file=sys.stderr,
+        )
 
-    n, n4 = LEVELS
-    r8, r32 = results[n], results[n4]
+    best = max(range(len(pairs)), key=lambda i: window_cals[i])
+    r8, r32 = pairs[best]
+    eff_assign = pair_eff(pairs[best], "tile_assignments_per_sec")
+    eff_pip = pair_eff(pairs[best], "pip_join_rows_per_sec")
     tp8 = r8["tile_assignments_per_sec"]
     tp32 = r32["tile_assignments_per_sec"]
-    eff_assign = tp32 / (4.0 * tp8)
     pip8 = r8["pip_join_rows_per_sec"]
     pip32 = r32["pip_join_rows_per_sec"]
-    eff_pip = pip32 / (4.0 * pip8)
     norm_assign = min(eff_assign / cpu_ceil, 1.0)
     norm_pip = min(eff_pip / mem_ceil, 1.0)
 
     lines = []
     lines.append("# BENCH/BASELINE — measured throughput + scaling evidence\n")
     lines.append(f"Input: `{SF_DIR}` + generated scale inputs (identical at both levels);")
-    lines.append(f"best of {REPEATS} fresh-JVM runs per level. Sandbox proxy for N vs 4N")
+    lines.append(f"{REPEATS} interleaved (8,32) fresh-JVM pairs, reporting the pair from the")
+    lines.append("quietest host window (max outcome-independent per-pair CPU calibration;")
+    lines.append("all pair efficiencies in the raw JSON). Sandbox proxy for N vs 4N")
     lines.append("executors per the driver instruction (no real cluster available).\n")
     lines.append("## Hardware calibration (why raw x/4 cannot reach 1.0 here)\n")
     lines.append("Subprocess calibration (no JVM/Spark), fixed work per process, two")
@@ -185,7 +203,16 @@ def main() -> None:
     lines.append("")
     lines.append("Raw JSON:\n")
     lines.append("```json")
-    lines.append(json.dumps({"calibration": cal, "local8": r8, "local32": r32}, indent=2))
+    lines.append(json.dumps({
+        "calibration": cal,
+        "pair_effs": {
+            "window_cals": [round(c, 3) for c in window_cals],
+            "selected_pair": best,
+            "assign": [round(pair_eff(p, "tile_assignments_per_sec"), 3) for p in pairs],
+            "pip": [round(pair_eff(p, "pip_join_rows_per_sec"), 3) for p in pairs],
+        },
+        "local8": r8, "local32": r32,
+    }, indent=2))
     lines.append("```")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -175,3 +175,41 @@ class TestStatefulStreaming:
             assert ok, f"stateful totals never accumulated: {rows[:5] if rows else []}"
         finally:
             q.stop()
+
+
+class TestStreamingDedup:
+    def test_dedup_emits_unique_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.streaming.stream import (
+            stream_dedup,
+            synthetic_point_stream,
+        )
+
+        pts = synthetic_point_stream(spark, rows_per_second=300)
+        # fabricate exact duplicates: each point 3x
+        dup = pts.withColumn(
+            "_c", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+        ).drop("_c")
+        dd = stream_dedup(dup, ["point_id"], watermark="10 seconds")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 40
+            rows = []
+            while _t.time() < deadline:
+                _t.sleep(3)
+                rows = spark.sql("SELECT point_id FROM dedup_test").collect()
+                if len(rows) >= 20:
+                    break
+            assert len(rows) >= 20, "dedup stream produced too few rows"
+            ids = [r.point_id for r in rows]
+            assert len(ids) == len(set(ids)), "duplicates leaked through"
+        finally:
+            q.stop()

@@ -104,6 +104,22 @@ def stream_tile_running_totals(
     )
 
 
+def stream_dedup(
+    points: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; duplicate
+    state is bounded by the event-time watermark (state for keys older
+    than the watermark is dropped — without this, dedup state grows
+    without bound on an infinite stream). Batch counterpart:
+    operators/dedup.dedup_exact.
+    """
+    keys = keys or ["point_id"]
+    return points.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory_sink(
     counts: DataFrame, query_name: str = "tile_counts", timeout_sec: float = 20.0
 ):
