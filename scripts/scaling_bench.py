@@ -114,23 +114,25 @@ def main() -> None:
           file=sys.stderr)
 
     # The host has minutes-scale noise windows where even a perfect
-    # program cannot show scaling (observed: a window where local[32]
-    # ran SLOWER than local[8] wall-clock on identical work). Each
-    # interleaved (8,32) pair therefore carries its own quick pure-CPU
-    # calibration, and the REPORTED pair is the one measured in the
-    # quietest window (max per-pair calibration ceiling) — selection is
-    # keyed on an outcome-INDEPENDENT measurement, never on the
-    # efficiency itself; all pair efficiencies ship in the raw JSON.
+    # program cannot show scaling (observed: windows where local[32] ran
+    # SLOWER than local[8] wall-clock on identical work, and where the
+    # calibration RATIO itself read > 1.0 because load flipped between
+    # its two phases). Each interleaved (8,32) pair therefore carries a
+    # quick calibration, and the REPORTED pair is the one measured in
+    # the quietest window — quietness = the ABSOLUTE 32-proc aggregate
+    # calibration rate (total CPU actually available then), which is
+    # outcome-independent and immune to the ratio's flip artifact. All
+    # pair efficiencies + quietness signals ship in the raw JSON.
     pairs: list[tuple[dict, dict]] = []
     window_cals: list[float] = []
     for rep in range(REPEATS):
         t0 = time.time()
-        wc = _calibrate(_CAL_CODE, 1)["ceiling"]
+        wc = _calibrate(_CAL_CODE, 1)[LEVELS[1]]
         pair = tuple(run_once(cpus) for cpus in LEVELS)
         pairs.append(pair)
         window_cals.append(wc)
         print(
-            f"pair {rep + 1}/{REPEATS}: window-cal {wc:.2f}, "
+            f"pair {rep + 1}/{REPEATS}: window-rate {wc:.2f} u/s, "
             f"local[8] {pair[0]['value']}s, local[32] {pair[1]['value']}s "
             f"({time.time()-t0:.0f}s incl. startup)",
             file=sys.stderr,

@@ -80,6 +80,56 @@ class TestTileAssignment:
         for r in out:
             assert r.mx <= 2**r.zoom - 1
 
+    def test_multizoom_shift_path_equals_per_zoom(self, spark, wm):
+        """The quadtree fast path (base tile at zmax + bit shift) must be
+        bit-identical to the per-zoom floor formula, including clamps,
+        poles, antimeridian edges, exact tile boundaries and inf/NaN.
+
+        JSON-loaded WebMercatorQuad must NOT take the fast path: its
+        scale denominators were serialized with decimal rounding, so the
+        per-zoom resolutions are ~1 ulp off exact halving and the shift
+        identity breaks at tile boundaries. A computed custom TMS halves
+        exactly (scaling by 2^-z commutes with IEEE rounding through the
+        whole sd round-trip) and must take it."""
+        from tile_grid_spark.core.tms import Tms
+        from tile_grid_spark.core.model import Crs
+
+        assert not G._quadtree_shiftable([wm.zoom_params(z) for z in range(0, 25)])
+
+        wm = Tms.custom(
+            [-20037508.3427892, -20037508.3427892, 20037508.3427892, 20037508.3427892],
+            Crs.from_epsg(3857),
+            id="CustomMercQuad",
+        )
+        assert G._quadtree_shiftable([wm.zoom_params(z) for z in range(0, 25)])
+
+        lon, lat = sample_points(800, seed=13)
+        edge = [
+            (-180.0, 0.0), (180.0, 0.0), (0.0, 85.0511287798066),
+            (0.0, -85.0511287798066), (0.0, 0.0), (-179.999999, 84.999999),
+            (float("inf"), 1.0), (1.0, float("-inf")), (float("nan"), 1.0),
+        ]
+        # exact z10 tile boundaries in mercator -> lon of tile edges
+        edge += [(-180.0 + 360.0 * k / 1024.0, 41.7) for k in range(0, 1024, 97)]
+        pts = list(zip(lon.tolist(), lat.tolist())) + edge
+        pdf = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pts)], "id INT, lon DOUBLE, lat DOUBLE"
+        )
+        zooms = [0, 3, 7, 10, 15, 24]
+        fast = {
+            (r.id, r.zoom): (r.tile_x, r.tile_y)
+            for r in G.with_tiles_multizoom(pdf, wm, zooms).collect()
+        }
+        for z in zooms:
+            p = wm.zoom_params(z)
+            slow = pdf.select(
+                "id",
+                G.tile_x_from_lonlat("lon", p).alias("x"),
+                G.tile_y_from_lonlat("lat", p).alias("y"),
+            ).collect()
+            for r in slow:
+                assert fast[(r.id, z)] == (r.x, r.y), (r.id, z)
+
     def test_inf_nan_semantics(self, spark, wm):
         # reference: +-inf coord -> tile 0; NaN floor -> 0 (tms.rs:506-520)
         p = wm.zoom_params(3)

@@ -213,6 +213,10 @@ def with_tiles_multizoom(
     params = [tms.zoom_params(z) for z in zooms]
     if any(p.matrix_width >= 2**53 for p in params):
         raise ValueError("degenerate extended matrix not supported in columnar path")
+
+    if _quadtree_shiftable(params):
+        return _multizoom_by_shift(staged, params).drop("_gx", "_gy")
+
     arr = F.array(
         *[
             F.struct(
@@ -241,6 +245,72 @@ def with_tiles_multizoom(
         )
         .drop("_p", "_gx", "_gy")
     )
+
+
+def _quadtree_shiftable(params) -> bool:
+    """True iff every requested zoom is an exact power-of-2 refinement of
+    the deepest one IN DOUBLES, so base-tile + bit-shift is bit-identical
+    to the per-zoom floor formula (see _multizoom_by_shift proof)."""
+    deepest = max(params, key=lambda p: p.zoom)
+    for p in params:
+        k = deepest.zoom - p.zoom
+        if (
+            p.origin_x != deepest.origin_x
+            or p.origin_y != deepest.origin_y
+            or p.tile_width != deepest.tile_width
+            or p.tile_height != deepest.tile_height
+            or p.matrix_width * 2**k != deepest.matrix_width
+            or p.matrix_height * 2**k != deepest.matrix_height
+            or p.resolution != deepest.resolution * float(2**k)
+        ):
+            return False
+    return True
+
+
+def _multizoom_by_shift(staged: DataFrame, params) -> DataFrame:
+    """Quadtree fast path: ONE floor-division per point at the deepest
+    zoom, coarser zooms derived by integer shift — 25x fewer divisions
+    for a z0-24 sweep, the dominant cost of the 100 TB assignment scan.
+
+    Bit-exactness vs the per-zoom formula (given _quadtree_shiftable):
+    u_z == u_zmax * 2^k exactly in doubles, and dividing a double by an
+    exact power of two commutes with round-to-nearest, so
+    fl(a/u_z) == fl(a/u_zmax) / 2^k exactly; then
+    floor(floor(v) / 2^k) == floor(v / 2^k) for any real v (floor
+    nesting), so shifting the floored base index equals flooring the
+    per-zoom quotient. Clamps: raw<0 -> 0 shifts to 0; raw>mw_zmax
+    clamps to 2^zmax which shifts to exactly 2^z (the reference's
+    clamp-at-width, tms.rs:522-532); NaN/inf -> 0 at the base, 0
+    shifted."""
+    deepest = max(params, key=lambda p: p.zoom)
+    x, y = F.col("_gx"), F.col("_gy")
+    uw = F.lit(deepest.resolution * float(deepest.tile_width))
+    uh = F.lit(deepest.resolution * float(deepest.tile_height))
+    raw_x = F.floor((x - F.lit(deepest.origin_x)) / uw)
+    raw_y = F.floor((F.lit(deepest.origin_y) - y) / uh)
+    based = staged.withColumns(
+        {
+            "_bx": _tile_index(x, raw_x, F.lit(deepest.matrix_width)),
+            "_by": _tile_index(y, raw_y, F.lit(deepest.matrix_height)),
+        }
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(p.zoom).alias("zoom"),
+                F.lit(deepest.zoom - p.zoom).alias("k"),
+            )
+            for p in params
+        ]
+    )
+    e = based.withColumn("_p", F.explode(arr))
+    return e.withColumns(
+        {
+            "zoom": F.col("_p.zoom"),
+            "tile_x": F.expr("shiftright(_bx, _p.k)"),
+            "tile_y": F.expr("shiftright(_by, _p.k)"),
+        }
+    ).drop("_p", "_bx", "_by")
 
 
 # ---------------------------------------------------------------------------
