@@ -39,11 +39,12 @@ ALL_ZOOMS = list(range(25))
 # job overheads amortize away — the sf0.1 parquet alone is 1-3s of work,
 # which measures scheduler overhead, not engine throughput.
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
-# The PIP probe is ~10x cheaper per input row than 25-zoom assignment, so
-# it gets its own (larger) row count: at SCALE_ROWS the join finishes in
-# ~1s and fixed job overheads dominate, which under-measures scaling.
+# The PIP probe and the checksum-consumed assignment have very different
+# per-row costs, so PIP gets its own row count (scaling_bench.py sets
+# both explicitly so each job runs long enough to measure scaling, not
+# fixed job-submission overhead).
 PIP_SCALE_ROWS = int(
-    os.environ.get("SPARK_GRAFT_PIP_ROWS", str(SCALE_ROWS * 16))
+    os.environ.get("SPARK_GRAFT_PIP_ROWS", str(SCALE_ROWS * 8))
 )
 
 
@@ -69,14 +70,28 @@ def force_noop(df: DataFrame) -> None:
 
 def bench_tile_assign_scale(spark: SparkSession) -> dict:
     """Headline throughput: SCALE_ROWS generated points -> tiles at all 25
-    zooms (SCALE_ROWS*25 assignments), zero shuffles, noop sink."""
+    zooms (SCALE_ROWS*25 assignments), zero shuffles.
+
+    The result is consumed by a checksum aggregate, NOT a row sink: the
+    whole generate->assign->agg pipeline stays in whole-stage-codegen
+    registers, so the metric measures assignment COMPUTE. A noop sink
+    still pays one UnsafeRow materialization per output row, which makes
+    the job memory-bandwidth-bound and (on this shared box) hostage to
+    neighbors' bandwidth use — measured anti-scaling 43s->69s from 8 to
+    32 threads in a bandwidth-contended window, with the checksum
+    variant unaffected. The checksum also pins correctness: Catalyst
+    cannot dead-code-eliminate the tile math under sum()."""
     pts = synth_points(spark, SCALE_ROWS).drop("pid")
     assigned = G.with_tiles_multizoom(pts, E.WM, ALL_ZOOMS).select(
         "zoom", "tile_x", "tile_y"
     )
     t0 = time.time()
-    force_noop(assigned)
+    row = assigned.agg(
+        F.sum(F.col("tile_x") + F.col("tile_y")).alias("cksum"),
+        F.count("*").alias("n"),
+    ).collect()[0]
     dt = time.time() - t0
+    assert row["n"] == SCALE_ROWS * len(ALL_ZOOMS)
     return {"sec": dt, "assignments": SCALE_ROWS * len(ALL_ZOOMS)}
 
 

@@ -34,9 +34,11 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 REPEATS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 LEVELS = (8, 32)
 
+# ~3s per process: long enough to reflect SUSTAINED hypervisor
+# scheduling, not burst credits (short bursts measure up to 0.3 higher).
 _CAL_CODE = (
     "import math\nx=0.0\n"
-    "for i in range(4_000_000): x += math.tan(0.5+i*1e-9)\n"
+    "for i in range(16_000_000): x += math.tan(0.5+i*1e-9)\n"
     "print(x)"
 )
 
@@ -91,7 +93,8 @@ def run_once(cpus: int) -> dict:
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=str(cpus),
-        SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"),
+        SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "160000000"),
+        SPARK_GRAFT_PIP_ROWS=os.environ.get("SPARK_GRAFT_PIP_ROWS", "320000000"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
