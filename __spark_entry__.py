@@ -785,6 +785,30 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile aggregate through the SKEW-SALTED two-stage path
+    (plans/skew.py: measured per-tile counts -> salt buckets -> partial
+    agg on (tile, salt) -> final on tile). Salting must be semantically
+    invisible, so the oracle is the plain GROUP BY — this gates the
+    whole salting machinery end-to-end."""
+    from tile_grid_spark.plans.skew import salted_tile_agg
+
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    t = G.with_tile(pts, WM, 4).withColumn("zoom", F.lit(4))
+    out = salted_tile_agg(
+        t,
+        {
+            "n": F.count("*"),
+            "min_pid": F.min("pid"),
+            "max_pid": F.max("pid"),
+        },
+        id_col="pid",
+    )
+    return out.select("zoom", "tile_x", "tile_y", "n", "min_pid", "max_pid").orderBy(
+        "tile_x", "tile_y"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -819,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "bbox_overlap": q_bbox_overlap,
         "tile_pyramid": q_tile_pyramid,
+        "salted_tile_agg": q_salted_tile_agg,
     }
 
 
@@ -1332,6 +1357,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT 6, tile_x >> 4, tile_y >> 4, SUM(n)
         FROM base GROUP BY 2, 3
         ORDER BY zoom, tile_x, tile_y
+    """
+
+    tx4, ty4 = _tile_xy_sql(4)
+    sql["salted_tile_agg"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')})
+        SELECT 4 AS zoom, {tx4} AS tile_x, {ty4} AS tile_y,
+               COUNT(*) AS n, MIN(pid) AS min_pid, MAX(pid) AS max_pid
+        FROM pts GROUP BY 2, 3 ORDER BY tile_x, tile_y
     """
 
     res10 = LEGACY.resolutions[10]
