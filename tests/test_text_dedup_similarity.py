@@ -83,6 +83,23 @@ class TestText:
             ]
             assert got[i] == want, t
 
+    def test_compression_ratio(self, spark):
+        import zlib
+
+        from tile_grid_spark.functions.text import compression_ratio_udf
+
+        texts = ["spam " * 200, "the quick brown fox jumps over the lazy dog", ""]
+        df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+        got = [r.cr for r in df.select(compression_ratio_udf()("text").alias("cr")).collect()]
+        for g, t in zip(got, texts):
+            want = (
+                1.0
+                if not t
+                else len(zlib.compress(t.encode(), 6)) / len(t.encode())
+            )
+            assert abs(g - want) < 1e-12
+        assert got[0] < 0.1 < got[1]  # repetition compresses far better
+
     def test_quality_features(self, docs):
         q = with_quality_features(docs).collect()
         by_id = {r.doc_id: r for r in q}

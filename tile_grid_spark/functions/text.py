@@ -12,6 +12,7 @@ hashes used by the dedup suite).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +133,28 @@ def with_lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> D
 # ---------------------------------------------------------------------------
 # Fingerprinting / shingles (shared by the dedup suite)
 # ---------------------------------------------------------------------------
+
+def compression_ratio_udf():
+    """len(zlib(text)) / len(text) — the classic cheap redundancy signal
+    for corpus quality filtering (boilerplate and spam compress far
+    better than prose). Arrow-batched pandas UDF (zlib has no Column
+    equivalent and no DuckDB oracle — gated by pytest instead)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f(text: pd.Series) -> pd.Series:
+        def ratio(s):
+            if not s:
+                return 1.0
+            b = s.encode("utf-8", "ignore")
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return text.map(ratio)
+
+    return f
+
 
 def fingerprint_md5(text: Column | str, prefix_chars: int | None = None) -> Column:
     c = F.col(text) if isinstance(text, str) else text
