@@ -64,6 +64,13 @@ def asof_join(
     on = list(on)
     right_cols = list(right_cols)
     tiebreak = tiebreak or right_cols[0]
+    from pyspark.sql.types import DateType, NumericType, TimestampType, TimestampNTZType
+
+    tb_type = right.schema[tiebreak].dataType
+    if not isinstance(tb_type, (NumericType, TimestampType, TimestampNTZType, DateType)):
+        # a non-castable tiebreak would silently become NULL and make
+        # equal-ts matches nondeterministic across runs/partitionings
+        raise TypeError(f"tiebreak column {tiebreak!r} must be numeric/temporal, got {tb_type}")
 
     l_tagged = left.select(
         *on,
@@ -78,7 +85,11 @@ def asof_join(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(tiebreak).cast("long").alias("_tie"),
+        (
+            F.col(tiebreak).cast("timestamp").cast("long")
+            if isinstance(tb_type, (TimestampType, TimestampNTZType, DateType))
+            else F.col(tiebreak).cast("long")
+        ).alias("_tie"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias("_r_ts"),
         F.lit(None)
