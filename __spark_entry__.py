@@ -809,6 +809,43 @@ def q_salted_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell density: native-Column interleave (functions/cells
+    geohash_code_col — shifts/adds in whole-stage codegen, no UDF),
+    base32 string from the materialized code, counts per cell."""
+    from tile_grid_spark.functions.cells import geohash_code_col, geohash_str_from_code
+
+    P = 5
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    coded = pts.withColumn("_code", geohash_code_col("lon", "lat", P))
+    return (
+        coded.withColumn("geohash", geohash_str_from_code(F.col("_code"), P))
+        .groupBy("geohash")
+        .agg(F.count("*").alias("n"), F.min("pid").alias("min_pid"))
+        .orderBy("geohash")
+    )
+
+
+def _geohash_code_sql(lon: str, lat: str, precision: int) -> str:
+    """Same shift/add interleave as cells.geohash_code_col, in ANSI SQL."""
+    nbits = 5 * precision
+    nb_lon = (nbits + 1) // 2
+    nb_lat = nbits // 2
+    qlon = (
+        f"CAST(LEAST(GREATEST(floor((({lon}) + 180.0) / 360.0 * {float(1 << nb_lon)}), 0), "
+        f"{(1 << nb_lon) - 1}) AS BIGINT)"
+    )
+    qlat = (
+        f"CAST(LEAST(GREATEST(floor((({lat}) + 90.0) / 180.0 * {float(1 << nb_lat)}), 0), "
+        f"{(1 << nb_lat) - 1}) AS BIGINT)"
+    )
+    terms = []
+    for i in range(nbits):
+        src, s = ("ql", nb_lon - 1 - i // 2) if i % 2 == 0 else ("qa", nb_lat - 1 - i // 2)
+        terms.append(f"(({src} >> {s}) & 1) * {1 << (nbits - 1 - i)}")
+    return qlon, qlat, " + ".join(terms)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign_z8": q_tile_assign_z8,
@@ -844,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap": q_bbox_overlap,
         "tile_pyramid": q_tile_pyramid,
         "salted_tile_agg": q_salted_tile_agg,
+        "geohash_density": q_geohash,
     }
 
 
@@ -1365,6 +1403,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT 4 AS zoom, {tx4} AS tile_x, {ty4} AS tile_y,
                COUNT(*) AS n, MIN(pid) AS min_pid, MAX(pid) AS max_pid
         FROM pts GROUP BY 2, 3 ORDER BY tile_x, tile_y
+    """
+
+    _P = 5
+    _ql, _qa, _code_terms = _geohash_code_sql("lon", "lat", _P)
+    _b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    _chars = " || ".join(
+        f"substr('{_b32}', CAST(((code >> {5 * (_P - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
+        for j in range(_P)
+    )
+    sql["geohash_density"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        q AS (SELECT pid, {_ql} AS ql, {_qa} AS qa FROM pts),
+        coded AS (SELECT pid, {_code_terms} AS code FROM q)
+        SELECT {_chars} AS geohash, COUNT(*) AS n, MIN(pid) AS min_pid
+        FROM coded GROUP BY 1 ORDER BY geohash
     """
 
     res10 = LEGACY.resolutions[10]

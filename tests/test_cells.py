@@ -177,3 +177,108 @@ class TestSparkUdfs:
         out = df.withColumn("cell", S.hex_cell_udf(7)("lon", "lat")).toPandas()
         exp = np.asarray(S.hex_cell_id(lon, lat, 7))
         assert (out["cell"].to_numpy() == exp).all()
+
+
+class TestGeohash:
+    def _scalar_bisect(self, lon, lat, precision):
+        # independent oracle: textbook bisection, one char at a time
+        from tile_grid_spark.functions.cells import GEOHASH_B32
+
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        out, even, v, nb = [], True, 0, 0
+        while len(out) < precision:
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if lon >= mid:
+                    v = v * 2 + 1
+                    lo_lon = mid
+                else:
+                    v *= 2
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if lat >= mid:
+                    v = v * 2 + 1
+                    lo_lat = mid
+                else:
+                    v *= 2
+                    hi_lat = mid
+            even = not even
+            nb += 1
+            if nb == 5:
+                out.append(GEOHASH_B32[v])
+                v, nb = 0, 0
+        return "".join(out)
+
+    def test_wikipedia_golden(self):
+        from tile_grid_spark.functions.cells import geohash_encode
+
+        assert geohash_encode([10.40744], [57.64911], 11)[0] == "u4pruydqqvj"
+        assert geohash_encode([-5.6], [42.6], 5)[0] == "ezs42"
+
+    def test_matches_bisection_oracle(self):
+        import numpy as np
+
+        from tile_grid_spark.functions.cells import geohash_encode
+
+        rng = np.random.default_rng(21)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-90, 90, 300)
+        for p in (1, 5, 9, 12):
+            got = geohash_encode(lon, lat, p)
+            for i in range(len(lon)):
+                assert got[i] == self._scalar_bisect(lon[i], lat[i], p), (
+                    lon[i], lat[i], p,
+                )
+
+    def test_decode_roundtrip_contains_point(self):
+        import numpy as np
+
+        from tile_grid_spark.functions.cells import (
+            geohash_decode_bbox,
+            geohash_encode,
+        )
+
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-180, 180, 50)
+        lat = rng.uniform(-90, 90, 50)
+        for g, lo, la in zip(geohash_encode(lon, lat, 8), lon, lat):
+            minx, miny, maxx, maxy = geohash_decode_bbox(g)
+            assert minx <= lo < maxx and miny <= la < maxy
+
+    def test_spark_udf(self, spark):
+        from tile_grid_spark.functions.cells import geohash_udf
+
+        df = spark.createDataFrame(
+            [(10.40744, 57.64911), (0.0, 0.0)], "lon DOUBLE, lat DOUBLE"
+        )
+        got = [r.g for r in df.select(geohash_udf(7)("lon", "lat").alias("g")).collect()]
+        assert got[0] == "u4pruyd"
+        assert len(got[1]) == 7
+
+    def test_native_columns_match_numpy(self, spark):
+        import numpy as np
+
+        from tile_grid_spark.functions.cells import (
+            geohash_code_col,
+            geohash_encode,
+            geohash_str_from_code,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(9)
+        lon = rng.uniform(-180, 180, 400)
+        lat = rng.uniform(-90, 90, 400)
+        df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+            "id INT, lon DOUBLE, lat DOUBLE",
+        )
+        for p in (1, 5, 9):
+            got = {
+                r.id: r.g
+                for r in df.withColumn("c", geohash_code_col("lon", "lat", p))
+                .select("id", geohash_str_from_code(F.col("c"), p).alias("g"))
+                .collect()
+            }
+            want = geohash_encode(lon, lat, p)
+            assert [got[i] for i in range(len(lon))] == list(want), p

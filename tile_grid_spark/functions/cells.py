@@ -343,3 +343,138 @@ def hex_cell_udf(res: int):
         return pd.Series(hex_cell_id(lon.to_numpy(), lat.to_numpy(), res))
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# Geohash (public-domain algorithm: alternating lon/lat bisection, base32)
+# ---------------------------------------------------------------------------
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon, lat, precision: int = 9) -> np.ndarray:
+    """Vectorized geohash strings at `precision` chars (<= 12).
+
+    Quantize-then-interleave form of the classic bisection algorithm:
+    lon gets ceil(5p/2) bits, lat floor(5p/2); bit i of the 5p-bit code
+    (MSB first) is a lon bit when i is even, else lat. Pure numpy —
+    no per-row Python.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    nbits = 5 * precision
+    nb_lon = (nbits + 1) // 2
+    nb_lat = nbits // 2
+    qlon = np.clip(
+        np.floor((lon + 180.0) / 360.0 * (1 << nb_lon)), 0, (1 << nb_lon) - 1
+    ).astype(np.uint64)
+    qlat = np.clip(
+        np.floor((lat + 90.0) / 180.0 * (1 << nb_lat)), 0, (1 << nb_lat) - 1
+    ).astype(np.uint64)
+
+    code = np.zeros(lon.shape, dtype=np.uint64)
+    for i in range(nbits):  # loop over BITS (<=60), not rows
+        if i % 2 == 0:  # lon bit, MSB first
+            bit = (qlon >> np.uint64(nb_lon - 1 - i // 2)) & np.uint64(1)
+        else:
+            bit = (qlat >> np.uint64(nb_lat - 1 - i // 2)) & np.uint64(1)
+        code = (code << np.uint64(1)) | bit
+    # split into 5-bit chars
+    chars = np.empty((precision,) + lon.shape, dtype="<U1")
+    b32 = np.array(list(GEOHASH_B32))
+    for j in range(precision):
+        shift = np.uint64(5 * (precision - 1 - j))
+        chars[j] = b32[((code >> shift) & np.uint64(31)).astype(np.int64)]
+    out = chars[0]
+    for j in range(1, precision):
+        out = np.char.add(out, chars[j])
+    return out
+
+
+def geohash_decode_bbox(gh: str):
+    """(minlon, minlat, maxlon, maxlat) of one geohash cell (scalar,
+    test oracle use)."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for ch in gh:
+        v = GEOHASH_B32.index(ch)
+        for b in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if v & b:
+                    lo_lon = mid
+                else:
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if v & b:
+                    lo_lat = mid
+                else:
+                    hi_lat = mid
+            even = not even
+    return lo_lon, lo_lat, hi_lon, hi_lat
+
+
+def geohash_udf(precision: int = 9):
+    @F.pandas_udf("string")
+    def f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(geohash_encode(lon.to_numpy(), lat.to_numpy(), precision))
+
+    return f
+
+
+def geohash_code_col(lon, lat, precision: int = 9):
+    """Native-Column geohash integer code (the 5p-bit interleave before
+    base32). Pure shifts/adds generated at plan-build time — stays in
+    whole-stage codegen; also trivially mirrored in ANSI SQL for the
+    DuckDB oracle."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in 1..12")
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    nbits = 5 * precision
+    nb_lon = (nbits + 1) // 2
+    nb_lat = nbits // 2
+    qlon = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nb_lon))),
+            F.lit(0),
+        ),
+        F.lit((1 << nb_lon) - 1),
+    ).cast("long")
+    qlat = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nb_lat))),
+            F.lit(0),
+        ),
+        F.lit((1 << nb_lat) - 1),
+    ).cast("long")
+    code = F.lit(0).cast("long")
+    for i in range(nbits):
+        src, s = (qlon, nb_lon - 1 - i // 2) if i % 2 == 0 else (qlat, nb_lat - 1 - i // 2)
+        bit = F.shiftright(src, s).bitwiseAND(F.lit(1))
+        code = code + bit * F.lit(1 << (nbits - 1 - i))
+    return code
+
+
+def geohash_str_from_code(code, precision: int = 9):
+    """Base32 string from a (materialized) geohash code column. Take a
+    real column, not the composed expression: Catalyst re-evaluates a
+    composed code expression once per character otherwise."""
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_B32),
+            (F.shiftright(code, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_str_col(lon, lat, precision: int = 9):
+    """Native-Column base32 geohash string (no UDF); for hot paths
+    materialize geohash_code_col first and use geohash_str_from_code."""
+    return geohash_str_from_code(geohash_code_col(lon, lat, precision), precision)
