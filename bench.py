@@ -38,7 +38,7 @@ ALL_ZOOMS = list(range(25))
 # BASELINE.md gates on). Sized so a run takes tens of seconds and fixed
 # job overheads amortize away — the sf0.1 parquet alone is 1-3s of work,
 # which measures scheduler overhead, not engine throughput.
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "20000000"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
 # The PIP probe and the checksum-consumed assignment have very different
 # per-row costs, so PIP gets its own row count (scaling_bench.py sets
 # both explicitly so each job runs long enough to measure scaling, not
