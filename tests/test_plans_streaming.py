@@ -213,3 +213,46 @@ class TestStreamingDedup:
             assert len(ids) == len(set(ids)), "duplicates leaked through"
         finally:
             q.stop()
+
+
+class TestStreamingSessionize:
+    def test_running_session_stats(self, spark):
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.streaming.stream import (
+            stream_sessionize,
+            synthetic_point_stream,
+        )
+
+        pts = synthetic_point_stream(spark, rows_per_second=200).withColumn(
+            "point_id", F.col("point_id") % 5
+        )
+        sess = stream_sessionize(pts, key="point_id", gap_sec=3600)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessionize_test")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 40
+            ok = False
+            while _t.time() < deadline:
+                _t.sleep(3)
+                rows = spark.sql(
+                    "SELECT point_id, max(n_events) AS n, max(n_sessions) AS s, "
+                    "max(session_start_epoch) AS st, max(last_epoch) AS le "
+                    "FROM sessionize_test GROUP BY point_id"
+                ).collect()
+                # rate events arrive seconds apart << 1h gap: exactly one
+                # session per key, events accumulating across batches
+                if rows and all(r.s == 1 and r.st <= r.le for r in rows) and any(
+                    r.n >= 10 for r in rows
+                ):
+                    ok = True
+                    break
+            assert ok, f"sessionize never accumulated: {rows[:5] if rows else []}"
+        finally:
+            q.stop()

@@ -104,6 +104,63 @@ def stream_tile_running_totals(
     )
 
 
+def stream_sessionize(
+    events: DataFrame,
+    key: str = "point_id",
+    ts_col: str = "ts",
+    gap_sec: int = 1800,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming sessionization (applyInPandasWithState):
+    the streaming counterpart of the batch user_sessions window plan.
+    Per key, GroupState carries (session_start, last_ts, n_events,
+    n_sessions); a batch whose earliest event is > gap_sec after last_ts
+    closes the session and starts a new one. Emits the current running
+    session stats per key each micro-batch (update mode). State idles
+    out after `timeout_minutes` without traffic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} BIGINT, n_sessions INT, n_events BIGINT, "
+        "session_start_epoch BIGINT, last_epoch BIGINT"
+    )
+    state_schema = "start_e BIGINT, last_e BIGINT, n_ev BIGINT, n_sess INT"
+
+    def update(k, pdfs, state: GroupState):
+        start_e, last_e, n_ev, n_sess = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        ts = pd.concat([p[ts_col] for p in pdfs]).sort_values()
+        es = ts.to_numpy().astype("datetime64[s]").astype("int64")
+        for e in es:
+            if last_e is None or e - last_e > gap_sec:
+                n_sess += 1
+                start_e = int(e)
+            last_e = int(e)
+            n_ev += 1
+        state.update((start_e, last_e, n_ev, n_sess))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                key: [k[0]],
+                "n_sessions": [n_sess],
+                "n_events": [n_ev],
+                "session_start_epoch": [start_e],
+                "last_epoch": [last_e],
+            }
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_dedup(
     points: DataFrame,
     keys: list[str] | None = None,
