@@ -1001,8 +1001,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["doc_stats"] = """
         SELECT lang, source, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens,
-               SUM(length(text)) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                round(AVG(length(text)), 4) AS avg_chars
         FROM documents GROUP BY lang, source ORDER BY lang, source
     """
@@ -1073,7 +1073,8 @@ def oracle_sql() -> dict[str, str]:
                   / GREATEST(length(text), 1)::DOUBLE, 6) AS punct_ratio
           FROM sc
         )
-        SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        SELECT lang_pred, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                round(AVG(punct_ratio), 6) AS avg_punct_ratio
         FROM pred GROUP BY lang_pred ORDER BY lang_pred
     """
@@ -1125,7 +1126,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT tile_x, tile_y, ix, iy, COUNT(*) AS c
           FROM px GROUP BY 1, 2, 3, 4
         )
-        SELECT tile_x, tile_y, SUM(c) AS n_points, MAX(c) AS max_count
+        SELECT tile_x, tile_y, CAST(SUM(c) AS BIGINT) AS n_points, MAX(c) AS max_count
         FROM per_pixel GROUP BY 1, 2 ORDER BY tile_x, tile_y
     """
 
@@ -1276,7 +1277,8 @@ def oracle_sql() -> dict[str, str]:
                  MAX(es) - MIN(es) AS dur_sec
           FROM s GROUP BY user_id, session_id
         )
-        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
                MAX(dur_sec) AS max_dur_sec
         FROM per GROUP BY user_id ORDER BY user_id
     """
@@ -1389,10 +1391,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT 10 AS zoom, tile_x, tile_y, n FROM base
         UNION ALL
-        SELECT 8, tile_x >> 2, tile_y >> 2, SUM(n)
+        SELECT 8, tile_x >> 2, tile_y >> 2, CAST(SUM(n) AS BIGINT)
         FROM base GROUP BY 2, 3
         UNION ALL
-        SELECT 6, tile_x >> 4, tile_y >> 4, SUM(n)
+        SELECT 6, tile_x >> 4, tile_y >> 4, CAST(SUM(n) AS BIGINT)
         FROM base GROUP BY 2, 3
         ORDER BY zoom, tile_x, tile_y
     """
