@@ -798,9 +798,9 @@ def q_salted_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_tile_agg(
         t,
         {
-            "n": F.count("*"),
-            "min_pid": F.min("pid"),
-            "max_pid": F.max("pid"),
+            "n": (F.count("*"), F.sum("n")),
+            "min_pid": (F.min("pid"), F.min("min_pid")),
+            "max_pid": (F.max("pid"), F.max("max_pid")),
         },
         id_col="pid",
     )

@@ -94,7 +94,7 @@ def main() -> None:
         print("[stats] skew profile:", skew_stats(counts))
         return salted_tile_agg(
             assigned.withColumn("zoom", F.lit(deep)),
-            {"n_images": F.count("*")},
+            {"n_images": (F.count("*"), F.sum("n_images"))},
             counts=counts,
             target_rows_per_task=1_000_000,
             id_col="image_id",

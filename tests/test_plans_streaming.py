@@ -57,10 +57,35 @@ class TestSkew:
 
     def test_salted_agg_equals_plain(self, skewed):
         got = salted_tile_agg(
-            skewed, {"n": F.count("*")}, target_rows_per_task=1000, id_col="row_id"
+            skewed,
+            {"n": (F.count("*"), F.sum("n"))},
+            target_rows_per_task=1000,
+            id_col="row_id",
         )
         plain = skewed.groupBy("zoom", "tile_x", "tile_y").agg(F.count("*").alias("n"))
         assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+
+    def test_salted_agg_adversarial_names(self, skewed):
+        # Output columns literally named n_count / min_price under MAX:
+        # the old repr-sniffed combiner would recombine these with SUM /
+        # MIN and silently corrupt the result. Explicit pairs must not.
+        got = salted_tile_agg(
+            skewed,
+            {
+                "n_count": (F.max("row_id"), F.max("n_count")),
+                "min_price": (F.max("row_id"), F.max("min_price")),
+            },
+            target_rows_per_task=1000,
+            id_col="row_id",
+        )
+        plain = skewed.groupBy("zoom", "tile_x", "tile_y").agg(
+            F.max("row_id").alias("n_count"), F.max("row_id").alias("min_price")
+        )
+        assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+
+    def test_salted_agg_rejects_bare_column(self, skewed):
+        with pytest.raises(TypeError, match="partial_expr, final_expr"):
+            salted_tile_agg(skewed, {"n": F.count("*")}, id_col="row_id")
 
     def test_salt_deterministic(self, skewed):
         counts = measure_tile_skew(skewed)

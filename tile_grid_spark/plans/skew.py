@@ -67,7 +67,7 @@ def with_salt(
 
 def salted_tile_agg(
     df: DataFrame,
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, Column]],
     counts: DataFrame | None = None,
     target_rows_per_task: int = 1_000_000,
     keys: tuple[str, ...] = TILE_KEY,
@@ -75,26 +75,32 @@ def salted_tile_agg(
 ) -> DataFrame:
     """Two-stage aggregate: partial on (keys..., salt), final on keys.
 
-    `aggs` maps output name -> DECOMPOSABLE aggregate expression built on
-    the input columns (count/sum/min/max). The partial stage computes each
-    agg per salt bucket; the final stage re-aggregates with the matching
-    combiner (count->sum, sum->sum, min->min, max->max) inferred from the
-    expression name.
+    `aggs` maps output name -> (partial_expr, final_expr). The partial
+    expression is computed per salt bucket over the input columns and
+    aliased to the output name; the final expression re-aggregates those
+    partials over the output name, e.g.::
+
+        {"n":       (F.count("*"),   F.sum("n")),
+         "min_pid": (F.min("pid"),   F.min("min_pid")),
+         "max_pid": (F.max("pid"),   F.max("max_pid"))}
+
+    Both halves are explicit because the combiner cannot be inferred from
+    the partial: a non-decomposable aggregate (avg, stddev, ...) must be
+    expressed as decomposable parts (sum + count) and finished by the
+    caller. A bare Column raises rather than guessing a combiner.
     """
+    for k, v in aggs.items():
+        if not (isinstance(v, tuple) and len(v) == 2):
+            raise TypeError(
+                f"aggs[{k!r}] must be a (partial_expr, final_expr) pair; "
+                "the final combiner is never inferred (count->sum vs "
+                "max->max is not derivable from the partial expression)"
+            )
     counts = counts if counts is not None else measure_tile_skew(df, keys)
     salted = with_salt(df, counts, target_rows_per_task, keys, id_col)
     partial = salted.groupBy(*keys, "salt").agg(
-        *[v.alias(k) for k, v in aggs.items()]
+        *[p.alias(k) for k, (p, _) in aggs.items()]
     )
-    finals = []
-    for k, v in aggs.items():
-        expr_s = v.__repr__().lower()
-        if "count" in expr_s:
-            finals.append(F.sum(k).alias(k))
-        elif "min" in expr_s:
-            finals.append(F.min(k).alias(k))
-        elif "max" in expr_s:
-            finals.append(F.max(k).alias(k))
-        else:
-            finals.append(F.sum(k).alias(k))
-    return partial.groupBy(*keys).agg(*finals)
+    return partial.groupBy(*keys).agg(
+        *[f.alias(k) for k, (_, f) in aggs.items()]
+    )
