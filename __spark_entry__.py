@@ -239,6 +239,34 @@ def q_pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey", "n_nationkey")
 
 
+def q_pip_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle join where ~1/4 of the rectangles CROSS THE
+    ANTIMERIDIAN (west > east): cover prefilter splits wrap boxes into two
+    x-ranges (tms.rs:717-724 semantics, operators/cover.py), exact test is
+    the wrap-aware longitude predicate. Oracle is the two-branch BETWEEN."""
+    from tile_grid_spark.operators.pip_join import rect_contains_join
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    r0 = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.expr("150e0 + n_nationkey * 3e0 + 1e0/7e0").alias("wr"),
+        F.expr("-60e0 + n_nationkey * 44e-1 + 1e0/7e0").alias("miny"),
+    )
+    rects = r0.select(
+        "n_nationkey",
+        F.expr("CASE WHEN wr >= 180e0 THEN wr - 360e0 ELSE wr END").alias("minx"),
+        F.expr(
+            "CASE WHEN wr + 20e0 >= 180e0 THEN wr - 340e0 ELSE wr + 20e0 END"
+        ).alias("maxx"),
+        "miny",
+        F.expr("miny + 30e0").alias("maxy"),
+    )
+    out = rect_contains_join(pts, rects, WM, 5, rect_id="n_nationkey")
+    return out.select(F.col("pid").alias("c_custkey"), "n_nationkey").orderBy(
+        "c_custkey", "n_nationkey"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + prefix-fingerprint dedup over documents: md5 of the full
     text catches exact dupes; md5 of the first 100 chars catches
@@ -854,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_roundtrip": q_quadkey,
         "events_tile_hourly": q_events_tile_hourly,
         "pip_rect_join": q_pip_rect_join,
+        "pip_antimeridian": q_pip_antimeridian,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_bruteforce": q_knn_bruteforce,
@@ -988,6 +1017,31 @@ def oracle_sql() -> dict[str, str]:
         FROM pts JOIN rects
           ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 21.0
          AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 17.0
+        ORDER BY c_custkey, n_nationkey
+    """
+
+    sql["pip_antimeridian"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        r0 AS (
+          SELECT n_nationkey,
+                 150e0 + n_nationkey * 3e0 + 1e0/7e0 AS wr,
+                 -60e0 + n_nationkey * 44e-1 + 1e0/7e0 AS miny
+          FROM nation
+        ),
+        r AS (
+          SELECT n_nationkey,
+                 CASE WHEN wr >= 180e0 THEN wr - 360e0 ELSE wr END AS minx,
+                 CASE WHEN wr + 20e0 >= 180e0 THEN wr - 340e0 ELSE wr + 20e0 END
+                   AS maxx,
+                 miny, miny + 30e0 AS maxy
+          FROM r0
+        )
+        SELECT pts.pid AS c_custkey, r.n_nationkey
+        FROM pts JOIN r
+          ON pts.lat >= r.miny AND pts.lat <= r.maxy
+         AND CASE WHEN r.minx <= r.maxx
+                  THEN pts.lon >= r.minx AND pts.lon <= r.maxx
+                  ELSE pts.lon >= r.minx OR pts.lon <= r.maxx END
         ORDER BY c_custkey, n_nationkey
     """
 

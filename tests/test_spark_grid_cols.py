@@ -219,6 +219,64 @@ class TestCover:
         assert got == expected
         assert len(list(C.enumerate_tms(spark, wm, 2, 3).collect())) == 80
 
+    def test_cover_antimeridian_split(self, spark, wm):
+        # tests/tiles.rs:344-351: (175, 5, -175, 10) z2 -> 2 tiles; the
+        # distributed cover must split west>east into two x-ranges like
+        # the scalar core (tms.rs:717-724)
+        df = spark.createDataFrame(
+            [(175.0, 5.0, -175.0, 10.0)],
+            "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        got = sorted(
+            (r.tile_x, r.tile_y)
+            for r in C.cover_bbox_geographic(df, wm, 2).select("tile_x", "tile_y").collect()
+        )
+        expected = sorted((t.x, t.y) for t in wm.tiles(175.0, 5.0, -175.0, 10.0, [2], False))
+        assert got == expected == [(0, 1), (3, 1)]
+
+    def test_cover_antimeridian_vs_core_multi(self, spark, wm):
+        boxes = [(170.0, -20.0, -170.0, -10.0), (179.5, 40.0, -179.5, 41.0),
+                 (90.0, 0.0, -90.0, 5.0)]
+        df = spark.createDataFrame(
+            [(i, *b) for i, b in enumerate(boxes)],
+            "bid INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        for z in (3, 7):
+            got = {
+                r.bid: sorted((t.tile_x, t.tile_y) for t in r.ts)
+                for r in C.cover_bbox_geographic(df, wm, z)
+                .groupBy("bid")
+                .agg(F.collect_list(F.struct("tile_x", "tile_y")).alias("ts"))
+                .collect()
+            }
+            for i, (w, s, e, n) in enumerate(boxes):
+                expected = sorted((t.x, t.y) for t in wm.tiles(w, s, e, n, [z], False))
+                assert got[i] == expected, (i, z)
+
+    def test_cover_degenerate_boxes(self, spark, wm):
+        # Sub-epsilon box straddling a tile boundary: after the +/- eps
+        # inset ul_x > lr_x, so the reference's ul..=lr range is EMPTY;
+        # unguarded sequence() would emit a reversed phantom range.
+        # Box fully west of the bbox: x clamps to 0 on both corners, so
+        # the scalar core yields one clamped tile — parity, not empty.
+        df = spark.createDataFrame(
+            [
+                (0, -1e-13, 10.0, 1e-13, 10.0 + 1e-13),  # straddles x=128 @ z8
+                (1, -200.0, 10.0, -190.0, 11.0),         # fully west of bbox
+            ],
+            "bid INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        rows = (
+            C.cover_bbox_geographic(df, wm, 8)
+            .select("bid", "tile_x", "tile_y")
+            .collect()
+        )
+        by_bid = {}
+        for r in rows:
+            by_bid.setdefault(r.bid, []).append((r.tile_x, r.tile_y))
+        assert 0 not in by_bid  # scalar: t.tiles(-1e-13,10,1e-13,10+1e-13,[8]) == []
+        assert by_bid[1] == [(0, 120)]  # scalar parity (x clamped)
+
     def test_cover_vs_core_random(self, spark, wm):
         rng = np.random.default_rng(11)
         boxes = []

@@ -94,6 +94,42 @@ class TestPipJoin:
         assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
 
 
+class TestRectContainsAntimeridian:
+    def test_wrap_rects_vs_bruteforce(self, spark, wm):
+        from tile_grid_spark.operators.pip_join import rect_contains_join
+
+        # points clustered around the seam on both sides
+        pts, lon, lat = make_points(
+            spark, n=2000, seed=17, lon_range=(-180, 180), lat_range=(-60, 60)
+        )
+        rects = [
+            # (id, minx, miny, maxx, maxy); first three cross lon=+/-180
+            (0, 170.0, -10.0, -170.0, 10.0),
+            (1, 179.5, 20.0, -179.5, 40.0),
+            (2, 150.0, -50.0, -150.0, -30.0),
+            (3, -10.0, -10.0, 10.0, 10.0),   # plain rect as control
+        ]
+        rdf = spark.createDataFrame(
+            rects, "rect_id INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        got = sorted(
+            (r.pid, r.rect_id)
+            for r in rect_contains_join(pts, rdf, wm, zoom=4).collect()
+        )
+        expected = []
+        for pid, (x, y) in enumerate(zip(lon, lat)):
+            for rid, w, s, e, n in rects:
+                lon_ok = (w <= x <= e) if w <= e else (x >= w or x <= e)
+                if lon_ok and s <= y <= n:
+                    expected.append((pid, rid))
+        assert got == sorted(expected)
+        # the wide wrap rects must match points on BOTH sides of the seam
+        # (rect 1's 0.5-degree windows may be empty at n=2000 by chance)
+        for rid in (0, 2):
+            matched_lons = [lon[p] for p, r in expected if r == rid]
+            assert any(v > 0 for v in matched_lons) and any(v < 0 for v in matched_lons)
+
+
 class TestKnn:
     def test_vs_bruteforce(self, spark, wm):
         q, qlon, qlat = make_points(spark, n=60, seed=21)

@@ -43,41 +43,63 @@ def cover_bbox_geographic(
     Columns west..north are geographic degrees. Reproduces the reference
     corner-tile + epsilon-inset algorithm (tms.rs:706-746): UL tile of
     (w+eps, n-eps), LR tile of (e-eps, s+eps), inclusive ranges.
-    Antimeridian-crossing boxes (west > east) are NOT split here — split
-    upstream if needed (engine keeps cover rows per input row).
+
+    Antimeridian-crossing boxes (west > east) split into two x-ranges —
+    (bbox.left -> east) and (west -> bbox.right) — exactly as the
+    reference does (tms.rs:717-724, tested tests/tiles.rs:344-351); the
+    two ranges explode from one array column, so the split stays row-local
+    (no union of two plans, no second scan).
+
+    Inverted ranges (bbox fully outside the TMS, sub-epsilon-thin box)
+    produce ZERO tiles, matching the reference's `ul..=lr` empty range —
+    without the guard, Spark's sequence() would generate a DESCENDING
+    range of phantom tiles.
     """
     p = tms.zoom_params(zoom)
     bbox = tms.bbox()
     eps = F.lit(LL_EPSILON)
 
-    w = F.greatest(F.col(west), F.lit(bbox.left)) + eps
-    s = F.greatest(F.col(south), F.lit(bbox.bottom)) + eps
-    e = F.least(F.col(east), F.lit(bbox.right)) - eps
-    n = F.least(F.col(north), F.lit(bbox.top)) - eps
-
     srid = tms.crs().as_srid()
     if srid == 3857:
-        ul_x = xy_tile_x(mercator_x(w), p)
-        ul_y = xy_tile_y(mercator_y(n), p)
-        lr_x = xy_tile_x(mercator_x(e), p)
-        lr_y = xy_tile_y(mercator_y(s), p)
+        to_x = lambda c: mercator_x(c)  # noqa: E731
+        to_y = lambda c: mercator_y(c)  # noqa: E731
     elif srid == 4326:
-        ul_x = xy_tile_x(w, p)
-        ul_y = xy_tile_y(n, p)
-        lr_x = xy_tile_x(e, p)
-        lr_y = xy_tile_y(s, p)
+        to_x = to_y = lambda c: c  # noqa: E731
     else:
         raise ValueError(f"cover supports EPSG:3857/4326 TMS, got {tms.crs()}")
 
+    def x_range(wcol, ecol):
+        w_ = F.greatest(wcol, F.lit(bbox.left)) + eps
+        e_ = F.least(ecol, F.lit(bbox.right)) - eps
+        return F.struct(
+            xy_tile_x(to_x(w_), p).alias("lo"), xy_tile_x(to_x(e_), p).alias("hi")
+        )
+
+    s = F.greatest(F.col(south), F.lit(bbox.bottom)) + eps
+    n = F.least(F.col(north), F.lit(bbox.top)) - eps
+    ul_y = xy_tile_y(to_y(n), p)
+    lr_y = xy_tile_y(to_y(s), p)
+
+    wrap = F.col(west) > F.col(east)
+    x_ranges = F.when(
+        wrap,
+        # reference order: left part (bbox.left -> east) first, then
+        # (west -> bbox.right); duplicates at coarse zooms are faithful
+        F.array(
+            x_range(F.lit(bbox.left), F.col(east)),
+            x_range(F.col(west), F.lit(bbox.right)),
+        ),
+    ).otherwise(F.array(x_range(F.col(west), F.col(east))))
+
     out = (
-        df.withColumn("_ulx", ul_x)
+        df.withColumn("_xr", F.explode(x_ranges))
         .withColumn("_uly", ul_y)
-        .withColumn("_lrx", lr_x)
         .withColumn("_lry", lr_y)
-        .withColumn(out_x, F.explode(F.sequence(F.col("_ulx"), F.col("_lrx"))))
+        .filter((F.col("_xr.lo") <= F.col("_xr.hi")) & (F.col("_uly") <= F.col("_lry")))
+        .withColumn(out_x, F.explode(F.sequence(F.col("_xr.lo"), F.col("_xr.hi"))))
         .withColumn(out_y, F.explode(F.sequence(F.col("_uly"), F.col("_lry"))))
         .withColumn("zoom", F.lit(zoom))
-        .drop("_ulx", "_uly", "_lrx", "_lry")
+        .drop("_xr", "_uly", "_lry")
     )
     return out
 
@@ -104,6 +126,9 @@ def cover_bbox_xy(
         .withColumn("_uly", xy_tile_y(n, p))
         .withColumn("_lrx", xy_tile_x(e, p))
         .withColumn("_lry", xy_tile_y(s, p))
+        # inverted range (bbox outside TMS / thinner than the inset) ->
+        # zero tiles, not sequence()'s descending phantom range
+        .filter((F.col("_ulx") <= F.col("_lrx")) & (F.col("_uly") <= F.col("_lry")))
         .withColumn("tile_x", F.explode(F.sequence(F.col("_ulx"), F.col("_lrx"))))
         .withColumn("tile_y", F.explode(F.sequence(F.col("_uly"), F.col("_lry"))))
         .withColumn("zoom", F.lit(zoom))
