@@ -1198,10 +1198,15 @@ def oracle_sql() -> dict[str, str]:
           FROM customer
         ),
         p AS (
+          -- antimeridian-wrapped metric: x distance takes the short way
+          -- around the globe (matches operators/knn.py on global grids)
           SELECT query_id, cand_id,
                  row_number() OVER (
                    PARTITION BY query_id
-                   ORDER BY sqrt((qx - cx) * (qx - cx) + (qy - cy) * (qy - cy)), cand_id
+                   ORDER BY sqrt(
+                     LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                       * LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                     + (qy - cy) * (qy - cy)), cand_id
                  ) AS rnk
           FROM q CROSS JOIN c
         )

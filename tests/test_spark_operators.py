@@ -154,6 +154,63 @@ class TestKnn:
             mine = got[got.query_id == qid].sort_values("rank")
             assert mine.cand_id.tolist() == [int(i) for i in order], f"query {qid}"
 
+    def test_antimeridian_wrap(self, spark, wm):
+        # queries hug lon=+180, nearest candidates sit across the seam:
+        # ring tiles must wrap modulo matrix_width and the metric must
+        # take the short way around
+        rng = np.random.default_rng(41)
+        qlon = np.concatenate([rng.uniform(178.0, 180.0, 15), rng.uniform(-180.0, -178.0, 15)])
+        qlat = rng.uniform(-40.0, 40.0, 30)
+        clon = np.concatenate([rng.uniform(176.0, 180.0, 200), rng.uniform(-180.0, -176.0, 200)])
+        clat = rng.uniform(-45.0, 45.0, 400)
+        q = spark.createDataFrame(
+            list(zip(range(30), qlon.tolist(), qlat.tolist())),
+            "query_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        c = spark.createDataFrame(
+            list(zip(range(400), clon.tolist(), clat.tolist())),
+            "cand_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        k = 4
+        got = knn_join(q, c, wm, zoom=7, k=k).toPandas()
+        R = 6378137.0
+        world = 2 * np.pi * R
+
+        def merc(lon_, lat_):
+            return R * np.radians(lon_), R * np.log(
+                np.tan(np.pi * 0.25 + 0.5 * np.radians(lat_))
+            )
+
+        qx, qy = merc(qlon, qlat)
+        cx, cy = merc(clon, clat)
+        n_cross = 0
+        for qid in range(30):
+            adx = np.abs(qx[qid] - cx)
+            d = np.hypot(np.minimum(adx, world - adx), qy[qid] - cy)
+            order = np.lexsort((np.arange(len(d)), d))[:k]
+            mine = got[got.query_id == qid].sort_values("rank")
+            assert mine.cand_id.tolist() == [int(i) for i in order], f"query {qid}"
+            n_cross += sum(
+                1 for i in order if (qlon[qid] > 0) != (clon[int(i)] > 0)
+            )
+        assert n_cross > 0  # the fixture genuinely exercises the seam
+
+    def test_tail_broadcasts_and_caps(self, spark, wm):
+        # far-apart queries/candidates with max_ring=1 -> brute-force tail;
+        # the small candidate side must be broadcast (BNLJ), and the pair
+        # cap must refuse oversized cartesians instead of running them
+        q, *_ = make_points(spark, n=10, seed=51, lon_range=(100, 110), lat_range=(0, 10))
+        c, *_ = make_points(spark, n=50, seed=52, lon_range=(-110, -100), lat_range=(0, 10))
+        q = q.withColumnRenamed("pid", "query_id")
+        c = c.withColumnRenamed("pid", "cand_id")
+        got = knn_join(q, c, wm, zoom=10, k=2, max_ring=1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert got.groupBy("query_id").count().filter("count != 2").isEmpty()
+        with pytest.raises(ValueError, match="max_tail_pairs"):
+            knn_join(q, c, wm, zoom=10, k=2, max_ring=1, max_tail_pairs=10)
+
     def test_all_queries_get_k(self, spark, wm):
         q, *_ = make_points(spark, n=40, seed=31, lon_range=(100, 170), lat_range=(-80, 80))
         c, *_ = make_points(spark, n=500, seed=32, lon_range=(-170, -100), lat_range=(-80, 80))

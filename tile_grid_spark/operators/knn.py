@@ -15,8 +15,11 @@ North-rule operator. Generalizes the reference's neighbors() 1-ring
 
 Distance metric: Euclidean in the Mercator plane (meters at the equator,
 scaled by cos(lat) elsewhere) — monotone with tile geometry so the ring
-stopping rule is exact for this metric. Antimeridian wrap is not searched
-across (points within r tiles of lon=+-180 may miss wrapped neighbors).
+stopping rule is exact for this metric. On globally-spanning grids the
+x axis WRAPS at lon=+-180: ring tiles wrap modulo matrix_width and the
+distance uses the shorter way around (min(|dx|, world - |dx|)), so
+queries near the seam find their true wrapped neighbors. Non-global
+grids filter out-of-matrix ring tiles instead.
 
 Each escalation round is one Spark job over only the still-pending
 queries (anti-join), so dense areas finish at r=1 and the long tail pays
@@ -29,13 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..core.tms import Tms
+from ..core.tms import Tms, ZoomParams
 from ..functions.grid_cols import mercator_x, mercator_y, with_tile
 
 
-def _ring_explode(df: DataFrame, r: int, r_exclude: int | None = None) -> DataFrame:
-    """Explode each row to tiles at Chebyshev distance <= r of its tile
-    (optionally excluding the inner <= r_exclude box already searched)."""
+def _ring_explode(
+    df: DataFrame, r: int, p: ZoomParams, wrap_x: bool, r_exclude: int | None = None
+) -> DataFrame:
+    """Explode each row to VALID tiles at Chebyshev distance <= r of its
+    tile (optionally excluding the inner <= r_exclude box already
+    searched). y never wraps (rows outside the matrix are filtered, so a
+    negative index can never alias into the previous x-slot of the packed
+    key); x wraps modulo matrix_width when wrap_x, else filters. Caller
+    guarantees 2r+1 <= matrix_width when wrap_x so wrapped tiles stay
+    distinct per row."""
+    from ..functions.grid_cols import tile_key
+
     e = (
         df.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
         .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
@@ -44,12 +56,14 @@ def _ring_explode(df: DataFrame, r: int, r_exclude: int | None = None) -> DataFr
         e = e.filter(
             (F.abs(F.col("_dx")) > r_exclude) | (F.abs(F.col("_dy")) > r_exclude)
         )
-    from ..functions.grid_cols import tile_key
-
-    return e.withColumn(
-        "_jk",
-        tile_key(F.col("tile_x") + F.col("_dx"), F.col("tile_y") + F.col("_dy")),
-    ).drop("_dx", "_dy")
+    ny = F.col("tile_y") + F.col("_dy")
+    e = e.filter((ny >= 0) & (ny <= F.lit(p.matrix_height - 1)))
+    nx = F.col("tile_x") + F.col("_dx")
+    if wrap_x:
+        nx = F.pmod(nx, F.lit(p.matrix_width))
+    else:
+        e = e.filter((nx >= 0) & (nx <= F.lit(p.matrix_width - 1)))
+    return e.withColumn("_jk", tile_key(nx, ny)).drop("_dx", "_dy")
 
 
 def knn_join(
@@ -64,15 +78,26 @@ def knn_join(
     lat: str = "lat",
     max_ring: int = 16,
     broadcast_threshold_rows: int = 2_000_000,
+    max_tail_pairs: int | None = 10_000_000_000,
 ) -> DataFrame:
-    """Exact k nearest candidates per query (Mercator-plane metric).
+    """Exact k nearest candidates per query (Mercator-plane metric,
+    antimeridian-wrapped on global grids).
 
     Returns (query_id, cand_id, dist, rank). Driver-side escalation loop;
     each round is localCheckpoint()ed so both the data AND the logical
-    plan of prior rounds are never re-derived (plan-blowup guard).
+    plan of prior rounds are never re-derived (plan-blowup guard). The
+    brute-force tail broadcasts whichever side fits under
+    `broadcast_threshold_rows` and refuses (raises) beyond
+    `max_tail_pairs` pending x candidate pairs — the one place a
+    cartesian could survive at scale is bounded, not silent.
     """
     p = tms.zoom_params(zoom)
     unit = p.resolution * float(p.tile_width)  # tile edge in CRS meters
+    bbox = tms.bbox()
+    # x wraps only when the grid spans the full longitude range
+    wrap_x = abs(bbox.left + 180.0) < 1e-9 and abs(bbox.right - 180.0) < 1e-9
+    xyb = tms.xy_bbox()
+    world_w = float(xyb.right - xyb.left)
 
     q = with_tile(
         queries.select(query_id, lon, lat), tms, zoom, lon=lon, lat=lat
@@ -88,16 +113,18 @@ def knn_join(
     )
     c = c.cache()
 
-    dist = F.sqrt(
-        (F.col("qx") - F.col("cx")) ** 2 + (F.col("qy") - F.col("cy")) ** 2
-    )
+    adx = F.abs(F.col("qx") - F.col("cx"))
+    dx_eff = F.least(adx, F.lit(world_w) - adx) if wrap_x else adx
+    dist = F.sqrt(dx_eff ** 2 + (F.col("qy") - F.col("cy")) ** 2)
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(cand_id).asc())
 
     pending = q.cache()
     results: list[DataFrame] = []
     r = 1
-    while r <= max_ring:
-        ringed = _ring_explode(pending, r)
+    # with wrap, rings wider than the matrix would duplicate wrapped
+    # tiles; such zooms go straight to the (tiny-matrix) brute force
+    while r <= max_ring and (not wrap_x or 2 * r + 1 <= p.matrix_width):
+        ringed = _ring_explode(pending, r, p, wrap_x)
         joined = ringed.join(c, on="_jk", how="inner").withColumn("dist", dist)
         topk = (
             joined.withColumn("rank", F.row_number().over(w))
@@ -132,11 +159,29 @@ def knn_join(
         r *= 4
 
     if pending is not None and not pending.isEmpty():
-        # brute-force tail: remaining queries x all candidates
+        # brute-force tail: remaining queries x all candidates. Broadcast
+        # the side that fits (BroadcastNestedLoopJoin) and bound the pair
+        # count — an unbounded cartesian is the one plan that cannot
+        # survive a 100x scale-up.
         n_c = c.count()
-        cj = pending.crossJoin(c) if n_c <= broadcast_threshold_rows else pending.join(
-            c, F.lit(True)
-        )
+        n_p = pending.count()
+        if max_tail_pairs is not None and n_p * n_c > max_tail_pairs:
+            raise ValueError(
+                f"kNN brute-force tail is {n_p} pending x {n_c} candidates "
+                f"= {n_p * n_c} pairs > max_tail_pairs={max_tail_pairs}; "
+                "raise max_ring (more escalation rounds) or max_tail_pairs"
+            )
+        if n_c <= broadcast_threshold_rows:
+            cj = pending.crossJoin(F.broadcast(c))
+        elif n_p <= broadcast_threshold_rows:
+            cj = c.crossJoin(F.broadcast(pending))
+        else:
+            raise ValueError(
+                f"kNN brute-force tail: neither side fits the broadcast "
+                f"threshold ({n_p} pending, {n_c} candidates, threshold "
+                f"{broadcast_threshold_rows}); raise max_ring so the ring "
+                "join handles these queries"
+            )
         tail = (
             cj.withColumn("dist", dist)
             .withColumn("rank", F.row_number().over(w))
