@@ -177,6 +177,52 @@ class TestDedup:
         assert all(r.cosine >= 0.98 for r in pairs)
 
 
+    def test_embedding_near_pairs_recall_vs_exact(self, spark):
+        # multiprobe recall gate: >= 0.9 of the EXACT all-pairs near-dups
+        # must survive the bucketed path (false positives are impossible
+        # by construction — pairs are verified with exact cosine)
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal((60, 16)).astype(np.float64)
+        vecs = {i: base[i] for i in range(60)}
+        for i in range(60):  # one near-twin per base vector
+            vecs[1000 + i] = base[i] + rng.standard_normal(16) * 0.02
+        ids = sorted(vecs)
+        X = np.array([vecs[i] for i in ids])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn.T
+        thr = 0.95
+        exact = {
+            (ids[a], ids[b])
+            for a in range(len(ids))
+            for b in range(a + 1, len(ids))
+            if sims[a, b] >= thr
+        }
+        assert len(exact) >= 50  # fixture sanity: plenty of true pairs
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in ids], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_pairs(
+                df, threshold=thr, bucket_bits=8, n_probe_flips=4
+            ).collect()
+        }
+        # float32 storage shifts borderline cosines; compare on the clear
+        # interior (exact pairs with margin) for the recall gate
+        interior = {
+            (ids[a], ids[b])
+            for a in range(len(ids))
+            for b in range(a + 1, len(ids))
+            if sims[a, b] >= thr + 0.01
+        }
+        recall = len(got & interior) / max(len(interior), 1)
+        assert recall >= 0.9, (recall, len(interior))
+        # no false positives beyond float32 rounding at the threshold edge
+        for a, b in got:
+            ia, ib = ids.index(a), ids.index(b)
+            assert sims[ia, ib] >= thr - 0.005, (a, b, sims[ia, ib])
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
