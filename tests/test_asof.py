@@ -88,6 +88,39 @@ def test_asof_tolerance(spark):
     assert g.tolist() == w.tolist()
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    # the MATCHED right row has val=NULL; an older right row has val=7.
+    # merge_asof carries the matched row's NULL — per-column
+    # last(ignorenulls) would tear the output (rid from the newer row,
+    # val back-filled from the older one)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "lts": [pd.Timestamp("2024-01-03").to_pydatetime()],
+                "lid": [0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "rts": [
+                    pd.Timestamp("2024-01-01").to_pydatetime(),
+                    pd.Timestamp("2024-01-02").to_pydatetime(),
+                ],
+                "rid": [10, 20],
+                "val": [7.0, None],
+            }
+        )
+    )
+    out = asof_join(left, right, ["k"], "lts", "rts", ["rid", "val"], tiebreak="rid").collect()
+    assert len(out) == 1
+    assert out[0]["asof_rid"] == 20
+    assert out[0]["asof_val"] is None  # NOT back-filled to 7.0
+
+
 def test_asof_no_match_is_null(spark):
     left = spark.createDataFrame(
         pd.DataFrame({"k": [1], "lts": [pd.Timestamp("2024-01-01").to_pydatetime()], "lid": [0]})

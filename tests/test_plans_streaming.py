@@ -240,6 +240,107 @@ class TestStreamingDedup:
             q.stop()
 
 
+class TestMemorySinkHelper:
+    def test_helper_drives_query(self, spark, wm):
+        from tile_grid_spark.streaming.stream import (
+            run_to_memory_sink,
+            stream_tile_counts,
+            synthetic_point_stream,
+        )
+
+        pts = synthetic_point_stream(spark, rows_per_second=400)
+        counts = stream_tile_counts(pts, wm, zoom=3, window="5 seconds", watermark="5 seconds")
+        q = run_to_memory_sink(counts, query_name="helper_sink_test")
+        try:
+            deadline = time.time() + 30
+            rows = []
+            while time.time() < deadline:
+                time.sleep(2)
+                rows = spark.sql("SELECT * FROM helper_sink_test").collect()
+                if rows:
+                    break
+            assert rows, "run_to_memory_sink produced no rows"
+        finally:
+            q.stop()
+
+
+class TestStreamingSessionizeReplay:
+    def test_replay_matches_batch_oracle(self, spark, tmp_path):
+        """Replay a deterministic event fixture through the stream in 3
+        event-time-ordered micro-batches; with EventTimeTimeout the final
+        per-key stats must equal the batch gap-sessionization fold."""
+        import numpy as np
+        import pandas as pd
+
+        from tile_grid_spark.streaming.stream import stream_sessionize
+
+        rng = np.random.default_rng(23)
+        n = 600
+        base = pd.Timestamp("2024-05-01")
+        df = pd.DataFrame(
+            {
+                "point_id": rng.integers(0, 8, n).astype("int64"),
+                "ts": base
+                + pd.to_timedelta(np.sort(rng.integers(0, 6 * 86400, n)), unit="s"),
+            }
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+
+        # independent batch oracle (python fold, gap=1800)
+        exp = {}
+        for k, g in df.sort_values("ts").groupby("point_id"):
+            es = (g["ts"].astype("int64") // 10**6).to_numpy()
+            n_sess = n_ev = max_dur = 0
+            last = start = None
+            for e in es:
+                if last is None or e - last > 1800:
+                    if last is not None:
+                        max_dur = max(max_dur, last - start)
+                    n_sess += 1
+                    start = int(e)
+                last = int(e)
+                n_ev += 1
+            max_dur = max(max_dur, last - start)
+            exp[int(k)] = (n_sess, n_ev, max_dur)
+
+        src = tmp_path / "events_src"
+        src.mkdir()
+        d = df.sort_values("ts").reset_index(drop=True)
+        for i, chunk in enumerate(np.array_split(d, 3)):
+            path = src / f"part-{i}.parquet"
+            chunk.to_parquet(path)
+            os.utime(path, (1700000000 + i, 1700000000 + i))  # ordered mtimes
+
+        stream = (
+            spark.readStream.schema("point_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sess = stream_sessionize(stream, key="point_id", gap_sec=1800, watermark="1 second")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessionize_replay_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT point_id, n_sessions, n_events, max_dur_sec FROM sessionize_replay_test"
+        ).collect()
+        got = {}
+        for r in rows:  # last update per key = the one with max n_events
+            cur = got.get(r.point_id)
+            if cur is None or r.n_events >= cur[1]:
+                got[r.point_id] = (r.n_sessions, r.n_events, r.max_dur_sec)
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == exp[k], (k, got[k], exp[k])
+
+
 class TestStreamingSessionize:
     def test_running_session_stats(self, spark):
         from pyspark.sql import functions as F

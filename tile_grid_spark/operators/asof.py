@@ -72,15 +72,11 @@ def asof_join(
         # equal-ts matches nondeterministic across runs/partitionings
         raise TypeError(f"tiebreak column {tiebreak!r} must be numeric/temporal, got {tb_type}")
 
-    l_tagged = left.select(
-        *on,
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_tag"),
-        F.lit(None).cast("long").alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-    )
+    # all right payload rides in ONE struct so the window's last() picks
+    # the matched row ATOMICALLY — per-column last(ignorenulls) would
+    # back-fill a NULL payload column from an OLDER right row, tearing
+    # the output across two right rows (merge_asof/DuckDB carry the
+    # matched row's NULL)
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
@@ -90,11 +86,21 @@ def asof_join(
             if isinstance(tb_type, (TimestampType, TimestampNTZType, DateType))
             else F.col(tiebreak).cast("long")
         ).alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
-        F.lit(None)
-        .cast(l_tagged.schema["_left"].dataType)
-        .alias("_left"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("_rts"),
+        ).alias("_r"),
+    )
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_left", F.lit(None).cast(l_tagged.schema["_left"].dataType)
     )
 
     w = (
@@ -103,29 +109,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
 
     out = carried.filter(F.col("_tag") == 1)
+    matched = F.col("_m")
     if tolerance_sec is not None:
         # double cast: TIMESTAMP_NTZ has no direct long cast
         stale = (
             F.col("_ts").cast("timestamp").cast("long")
-            - F.col("asof_ts").cast("timestamp").cast("long")
+            - F.col("_m._rts").cast("timestamp").cast("long")
         ) > F.lit(int(tolerance_sec))
-        for c in right_cols:
-            out = out.withColumn(
-                f"asof_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{c}"))
-            )
-        out = out.withColumn("asof_ts", F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")))
+        matched = F.when(stale, F.lit(None)).otherwise(F.col("_m"))
+        out = out.withColumn("_m", matched)
 
     return out.select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"asof_{c}") for c in right_cols],
-        "asof_ts",
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_cols],
+        F.col("_m._rts").alias("asof_ts"),
     )

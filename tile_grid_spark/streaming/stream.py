@@ -109,55 +109,78 @@ def stream_sessionize(
     key: str = "point_id",
     ts_col: str = "ts",
     gap_sec: int = 1800,
-    timeout_minutes: int = 60,
+    watermark: str = "10 seconds",
 ) -> DataFrame:
     """Custom stateful streaming sessionization (applyInPandasWithState):
     the streaming counterpart of the batch user_sessions window plan.
     Per key, GroupState carries (session_start, last_ts, n_events,
-    n_sessions); a batch whose earliest event is > gap_sec after last_ts
-    closes the session and starts a new one. Emits the current running
-    session stats per key each micro-batch (update mode). State idles
-    out after `timeout_minutes` without traffic.
+    n_sessions, max_dur); a batch whose earliest event is > gap_sec
+    after last_ts closes the session and starts a new one. Emits the
+    running session stats per key each micro-batch (update mode).
+
+    Timeouts are EVENT-TIME: a key whose last event is > gap_sec behind
+    the watermark has its open session closed (closed=true row, state
+    removed) when the WATERMARK passes, not when wall-clock does — so
+    replaying the same input produces the same sessions as the batch
+    plan, which a ProcessingTimeTimeout cannot guarantee.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
         f"{key} BIGINT, n_sessions INT, n_events BIGINT, "
-        "session_start_epoch BIGINT, last_epoch BIGINT"
+        "session_start_epoch BIGINT, last_epoch BIGINT, "
+        "max_dur_sec BIGINT, closed BOOLEAN"
     )
-    state_schema = "start_e BIGINT, last_e BIGINT, n_ev BIGINT, n_sess INT"
+    state_schema = "start_e BIGINT, last_e BIGINT, n_ev BIGINT, n_sess INT, max_dur BIGINT"
 
-    def update(k, pdfs, state: GroupState):
-        start_e, last_e, n_ev, n_sess = (
-            state.get if state.exists else (None, None, 0, 0)
-        )
-        ts = pd.concat([p[ts_col] for p in pdfs]).sort_values()
-        es = ts.to_numpy().astype("datetime64[s]").astype("int64")
-        for e in es:
-            if last_e is None or e - last_e > gap_sec:
-                n_sess += 1
-                start_e = int(e)
-            last_e = int(e)
-            n_ev += 1
-        state.update((start_e, last_e, n_ev, n_sess))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        yield pd.DataFrame(
+    def _row(k, n_sess, n_ev, start_e, last_e, max_dur, closed):
+        cur = max_dur if start_e is None else max(max_dur, last_e - start_e)
+        return pd.DataFrame(
             {
                 key: [k[0]],
                 "n_sessions": [n_sess],
                 "n_events": [n_ev],
                 "session_start_epoch": [start_e],
                 "last_epoch": [last_e],
+                "max_dur_sec": [cur],
+                "closed": [closed],
             }
         )
 
-    return events.groupBy(key).applyInPandasWithState(
+    def update(k, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_e, last_e, n_ev, n_sess, max_dur = state.get
+            state.remove()
+            yield _row(k, n_sess, n_ev, start_e, last_e, max_dur, True)
+            return
+        start_e, last_e, n_ev, n_sess, max_dur = (
+            state.get if state.exists else (None, None, 0, 0, 0)
+        )
+        ts = pd.concat([p[ts_col] for p in pdfs]).sort_values()
+        es = ts.to_numpy().astype("datetime64[s]").astype("int64")
+        for e in es:
+            if last_e is None or e - last_e > gap_sec:
+                if last_e is not None:
+                    max_dur = max(max_dur, last_e - start_e)
+                n_sess += 1
+                start_e = int(e)
+            last_e = int(e)
+            n_ev += 1
+        state.update((start_e, last_e, n_ev, n_sess, max_dur))
+        # event-time timeout: fire when the watermark passes the session
+        # gap (must stay strictly above the current watermark)
+        state.setTimeoutTimestamp(
+            max((last_e + gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        yield _row(k, n_sess, n_ev, start_e, last_e, max_dur, False)
+
+    return events.withWatermark(ts_col, watermark).groupBy(key).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -180,13 +203,15 @@ def stream_dedup(
 def run_to_memory_sink(
     counts: DataFrame, query_name: str = "tile_counts", timeout_sec: float = 20.0
 ):
-    """Test helper: run the streaming aggregate into an in-memory sink,
-    process available data, stop. Returns the bounded query handle."""
+    """Test helper: run the streaming aggregate into an in-memory sink
+    on a 1-second trigger. Returns the query handle (caller stops it).
+    Exactly ONE trigger kind may be set — passing availableNow=False
+    alongside processingTime counts as two and raises in pyspark 4."""
     q = (
         counts.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
-        .trigger(availableNow=False, processingTime="1 second")
+        .trigger(processingTime="1 second")
         .start()
     )
     return q
