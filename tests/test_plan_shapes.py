@@ -68,6 +68,41 @@ class TestPlanShapes:
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan
 
+    def test_pip_shuffle_path_keeps_rings_out_of_tile_shuffle(self, spark, wm):
+        """broadcast_polys=False: the tile-key join must move only
+        (tile_key, poly_id) — ring arrays re-attach by poly_id AFTER the
+        prefilter, never duplicated per cover tile through the shuffle."""
+        pts = spark.range(2000).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        polys = generate_polygons(spark, 12, seed=3)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = pip_join(pts, polys, wm, zoom=6, broadcast_polys=False)
+            plan = plan_of(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # with broadcast disabled the tile-key join is a real shuffle
+        assert "hashpartitioning(_tk" in plan, plan
+        # no projection that creates/carries the tile key may include rings
+        for line in plan.splitlines():
+            if "AS _tk" in line or "hashpartitioning(_tk" in line:
+                assert "ring_lon" not in line and "ring_lat" not in line, line
+
+    def test_pip_shuffle_path_matches_broadcast_path(self, spark, wm):
+        pts = spark.range(800).select(
+            F.col("id").alias("pid"),
+            (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
+            (F.col("id") % 160 - 80.0).cast("double").alias("lat"),
+        )
+        polys = generate_polygons(spark, 15, seed=4)
+        a = pip_join(pts, polys, wm, zoom=6, broadcast_polys=True)
+        b = pip_join(pts, polys, wm, zoom=6, broadcast_polys=False)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
     def test_assignment_wholestage_codegen(self, spark, wm):
         pts = spark.range(1000).select(
             (F.col("id") % 360 - 180.0).cast("double").alias("lon"),

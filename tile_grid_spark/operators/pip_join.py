@@ -97,22 +97,39 @@ def pip_join(
     `with_ring_bbox` if absent). For small layers keep broadcast_polys=True
     (broadcast hash join); for large layers set False to get a shuffle join
     on the tile key — both sides already share the (tile_x, tile_y)
-    partitioning domain, and AQE handles skewed tiles.
+    partitioning domain, and AQE handles skewed tiles. In that shuffle
+    path the ring arrays DO NOT ride the tile-key shuffle (they would be
+    duplicated once per cover tile): the prefilter joins on
+    (tile_key, poly_id) only, and ring geometry re-attaches by poly_id
+    afterwards — one narrow shuffle of candidates plus one |polygons|-
+    sized shuffle (or AQE broadcast) of the rings. Bytes stay out of
+    wide shuffles, same rule the engine applies to image payloads.
     """
     from ..functions.grid_cols import tile_key
 
     pts = with_tile(points, tms, zoom, lon=lon, lat=lat).withColumn(
         "_tk", tile_key("tile_x", "tile_y")
     )
-    cover = cover_bbox_geographic(polygons, tms, zoom)
     # single packed bigint key -> LongHashedRelation fast path (3-10x
     # faster probes than the two-column key; see grid_cols.tile_key)
-    poly_side = cover.select(
-        tile_key("tile_x", "tile_y").alias("_tk"), poly_id, ring_lon, ring_lat
-    )
     if broadcast_polys:
-        poly_side = F.broadcast(poly_side)
-    joined = pts.join(poly_side, on="_tk", how="inner")
+        cover = cover_bbox_geographic(polygons, tms, zoom)
+        poly_side = F.broadcast(
+            cover.select(
+                tile_key("tile_x", "tile_y").alias("_tk"), poly_id, ring_lon, ring_lat
+            )
+        )
+        joined = pts.join(poly_side, on="_tk", how="inner")
+    else:
+        slim = polygons.select(poly_id, "minx", "miny", "maxx", "maxy")
+        cover = cover_bbox_geographic(slim, tms, zoom)
+        pre = pts.join(
+            cover.select(tile_key("tile_x", "tile_y").alias("_tk"), poly_id),
+            on="_tk",
+            how="inner",
+        )
+        rings = polygons.select(poly_id, ring_lon, ring_lat)
+        joined = pre.join(rings, on=poly_id, how="inner")
 
     inside = _ray_cast_udf()
     exact = joined.filter(
