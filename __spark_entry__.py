@@ -476,6 +476,23 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_face_ij(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 projection companion to s2_cells: the SQL-expressible half of
+    the cell-id pipeline (sphere -> cube face -> quadratic st -> level-10
+    ij) emitted per point and hash-checked against a DuckDB oracle doing
+    the same trig/CASE/floor. Only the Hilbert encode stays rows-only."""
+    from tile_grid_spark.functions.cells import s2_face_ij_udf
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    fij = pts.withColumn("_s", s2_face_ij_udf(10)("lon", "lat"))
+    return fij.select(
+        F.col("pid").alias("c_custkey"),
+        F.col("_s.face").alias("face"),
+        F.col("_s.i").alias("i10"),
+        F.col("_s.j").alias("j10"),
+    ).orderBy("c_custkey")
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
     counterpart; banding/pigeonhole logic is pytest-verified)."""
@@ -893,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ring": q_knn_ring,
         "cover_counts": q_cover_counts,
         "s2_cells": q_s2_cells,
+        "s2_face_ij": q_s2_face_ij,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "neighbors": q_neighbors,
@@ -1018,6 +1036,51 @@ def oracle_sql() -> dict[str, str]:
           ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 21.0
          AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 17.0
         ORDER BY c_custkey, n_nationkey
+    """
+
+    sql["s2_face_ij"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        xyz AS (
+          SELECT pid,
+                 cos(radians(lat)) * cos(radians(lon)) AS x,
+                 cos(radians(lat)) * sin(radians(lon)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        fc AS (
+          SELECT pid, x, y, z,
+                 CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                      THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+                      WHEN abs(y) >= abs(z)
+                      THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+                      ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END
+                 END AS face
+          FROM xyz
+        ),
+        uv AS (
+          SELECT pid, face,
+                 CASE face WHEN 0 THEN y / x WHEN 1 THEN -(x / y)
+                           WHEN 2 THEN -(x / z) WHEN 3 THEN z / x
+                           WHEN 4 THEN z / y ELSE -(y / z) END AS u,
+                 CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                           WHEN 2 THEN -(y / z) WHEN 3 THEN y / x
+                           WHEN 4 THEN -(x / y) ELSE -(x / z) END AS v
+          FROM fc
+        ),
+        st AS (
+          SELECT pid, face,
+                 CASE WHEN u >= 0e0 THEN 5e-1 * sqrt(1e0 + 3e0 * u)
+                      ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * u) END AS s,
+                 CASE WHEN v >= 0e0 THEN 5e-1 * sqrt(1e0 + 3e0 * v)
+                      ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * v) END AS t
+          FROM uv
+        )
+        SELECT pid AS c_custkey, face,
+               LEAST(GREATEST(CAST(floor(1073741824e0 * s) AS BIGINT), 0),
+                     1073741823) >> 20 AS i10,
+               LEAST(GREATEST(CAST(floor(1073741824e0 * t) AS BIGINT), 0),
+                     1073741823) >> 20 AS j10
+        FROM st ORDER BY c_custkey
     """
 
     sql["pip_antimeridian"] = f"""

@@ -99,6 +99,43 @@ class TestS2:
         # all at level 12
         assert (S.s2_level(ring) == 12).all()
 
+    def test_ring_cross_face_edge(self):
+        # lon=45 is the face0|face1 cube edge: a cell hugging it must get
+        # a FULL 8-ring with wrap (some cells live on face 1), while the
+        # clamped variant loses the across-edge column
+        lon = np.array([44.99999])
+        lat = np.array([0.0])
+        L = 12
+        cid = np.asarray(S.s2_cell_id(lon, lat, L))
+        wrapped = S.s2_ring(cid, L, 1, wrap=True)[0]
+        clamped = S.s2_ring_same_face(cid, L, 1)[0]
+        assert len(wrapped) == 8
+        assert len(clamped) < 8
+        assert (S.s2_level(wrapped) == L).all()
+        faces = {int(c) >> 61 for c in wrapped.view(np.uint64)}
+        assert faces == {0, 1}  # ring genuinely spans both faces
+
+    def test_ring_cross_face_geometric_adjacency(self):
+        # a point nudged ACROSS the edge by less than a cell width must
+        # land in the wrap ring of the original cell
+        L = 12
+        p_lon, p_lat = 44.99999, 10.0
+        cid = np.asarray(S.s2_cell_id(np.array([p_lon]), np.array([p_lat]), L))
+        ring = set(S.s2_ring(cid, L, 1, wrap=True)[0].tolist())
+        q = np.asarray(S.s2_cell_id(np.array([45.00001]), np.array([p_lat]), L))
+        assert int(q[0]) in ring or int(q[0]) == int(cid[0])
+
+    def test_ring_cross_face_corner(self):
+        # cube corner (lon=45, lat=atan(1/sqrt(2))): the diagonal neighbor
+        # doesn't exist, so the wrap ring dedupes to 7 cells
+        corner_lat = np.degrees(np.arctan(1 / np.sqrt(2)))
+        cid = np.asarray(
+            S.s2_cell_id(np.array([44.999995]), np.array([corner_lat - 1e-5]), 12)
+        )
+        ring = S.s2_ring(cid, 12, 1, wrap=True)[0]
+        assert len(ring) in (7, 8)
+        assert len(set(ring.tolist())) == len(ring)
+
 
 class TestHex:
     def test_roundtrip_pack(self):
@@ -168,6 +205,22 @@ class TestSparkUdfs:
         out = df.withColumn("cell", S.s2_cell_udf(12)("lon", "lat")).toPandas()
         exp = np.asarray(S.s2_cell_id(lon, lat, 12))
         assert (out["cell"].to_numpy() == exp).all()
+
+    def test_s2_face_ij_udf_consistent_with_cell_id(self, spark):
+        # the projection companion must agree with the ij that the cell-id
+        # path encodes: decode the LEAF id back to (face, i, j) and shift
+        import pandas as pd
+
+        lon, lat = rand_lonlat(300, seed=31)
+        df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+        out = df.withColumn("s", S.s2_face_ij_udf(10)("lon", "lat")).select(
+            "s.face", "s.i", "s.j"
+        ).toPandas()
+        leaf = np.asarray(S.s2_cell_id(lon, lat, 30))
+        face, i, j = S.cell_id_to_face_ij(leaf)
+        assert (out["face"].to_numpy() == face).all()
+        assert (out["i"].to_numpy() == (i >> 20)).all()
+        assert (out["j"].to_numpy() == (j >> 20)).all()
 
     def test_hex_udf(self, spark):
         import pandas as pd

@@ -171,17 +171,65 @@ def s2_level(cell: np.ndarray) -> np.ndarray:
     return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)).astype(np.int64)
 
 
-def s2_ring_same_face(cell: np.ndarray, level: int, r: int) -> list[np.ndarray]:
-    """k-ring via (face, i, j) arithmetic, clamped at face boundaries.
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Inverse of xyz_to_face_uv (un-normalized point on the cube face).
+    Valid for |u|,|v| slightly beyond 1 — that's how cross-face wrap
+    projects an out-of-range cell onto its true neighbor face."""
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f in range(6):
+        m = face == f
+        if not m.any():
+            continue
+        if f == 0:
+            x[m], y[m], z[m] = 1.0, u[m], v[m]
+        elif f == 1:
+            x[m], y[m], z[m] = -u[m], 1.0, v[m]
+        elif f == 2:
+            x[m], y[m], z[m] = -u[m], -v[m], 1.0
+        elif f == 3:
+            x[m], y[m], z[m] = -1.0, -v[m], -u[m]
+        elif f == 4:
+            x[m], y[m], z[m] = v[m], -1.0, -u[m]
+        else:
+            x[m], y[m], z[m] = v[m], u[m], -1.0
+    return x, y, z
 
-    Returns the list of ring cells per input cell (same-face only — rings
-    spilling over a cube edge are clamped; cross-face wrap is future work).
-    """
+
+def _wrap_face_ij(face: int, ii: float, jj: float, level: int):
+    """Map a (possibly out-of-range) level-`level` (i, j) on `face` to the
+    true (face', i', j') by projecting the cell CENTER through the cube
+    (the FromFaceIJWrap approach: st -> uv extends smoothly past the face
+    edge, re-derive the face from the 3D point). Cells adjacent across an
+    S2 edge share the same st grid, so the re-floored index is exact."""
+    step = 1 << (MAX_LEVEL - level)
+    sc = np.array([(ii + step * 0.5) / _MAX_SIZE])
+    tc = np.array([(jj + step * 0.5) / _MAX_SIZE])
+    u = _st_to_uv(sc)
+    v = _st_to_uv(tc)
+    x, y, z = face_uv_to_xyz(np.array([face], dtype=np.int64), u, v)
+    f2, u2, v2 = xyz_to_face_uv(x, y, z)
+    i2 = _st_to_ij(_uv_to_st(u2))
+    j2 = _st_to_ij(_uv_to_st(v2))
+    return int(f2[0]), int(i2[0]), int(j2[0])
+
+
+def s2_ring(cell: np.ndarray, level: int, r: int, wrap: bool = True) -> list[np.ndarray]:
+    """k-ring via (face, i, j) arithmetic. With wrap=True (default), ring
+    cells spilling over a cube edge project onto the ADJACENT FACE
+    (published FromFaceIJWrap scheme) instead of being dropped, so an
+    S2-bucketed join no longer loses neighbors at face boundaries; cube
+    corners naturally dedupe (a corner has 3 diagonal neighbors, not 4).
+    wrap=False preserves the old clamp behavior.
+
+    Returns the list of unique ring cells per input cell (center
+    excluded)."""
     face, i, j = cell_id_to_face_ij(np.asarray(cell))
     step = 1 << (MAX_LEVEL - level)
     out = []
     for n in range(face.shape[0]):
-        ring = []
+        ring = []  # (face, i, j) triples, truncated to the level grid
         for dx in range(-r, r + 1):
             for dy in range(-r, r + 1):
                 if max(abs(dx), abs(dy)) != r:
@@ -189,15 +237,26 @@ def s2_ring_same_face(cell: np.ndarray, level: int, r: int) -> list[np.ndarray]:
                 ii = i[n] + dx * step
                 jj = j[n] + dy * step
                 if 0 <= ii < _MAX_SIZE and 0 <= jj < _MAX_SIZE:
-                    ring.append((ii, jj))
-        if ring:
-            ri = np.array([a for a, _ in ring], dtype=np.int64)
-            rj = np.array([b for _, b in ring], dtype=np.int64)
-            rf = np.full(len(ring), face[n], dtype=np.int64)
-            out.append(s2_parent(face_ij_to_cell_id(rf, ri, rj), level))
-        else:
+                    ring.append((int(face[n]), int(ii), int(jj)))
+                elif wrap:
+                    ring.append(_wrap_face_ij(int(face[n]), ii, jj, level))
+        if not ring:
             out.append(np.empty(0, dtype=np.int64))
+            continue
+        rf = np.array([a for a, _, _ in ring], dtype=np.int64)
+        ri = np.array([b for _, b, _ in ring], dtype=np.int64)
+        rj = np.array([c for _, _, c in ring], dtype=np.int64)
+        cells = s2_parent(face_ij_to_cell_id(rf, ri, rj), level)
+        center = s2_parent(np.asarray(cell)[n : n + 1], level)[0]
+        cells = np.unique(cells[cells != center])
+        out.append(cells)
     return out
+
+
+def s2_ring_same_face(cell: np.ndarray, level: int, r: int) -> list[np.ndarray]:
+    """k-ring clamped at cube edges (legacy behavior); see s2_ring for the
+    cross-face wrap variant."""
+    return s2_ring(cell, level, r, wrap=False)
 
 
 def s2_cell_udf(level: int):
@@ -206,6 +265,27 @@ def s2_cell_udf(level: int):
     @F.pandas_udf(LongType())
     def f(lon: pd.Series, lat: pd.Series) -> pd.Series:
         return pd.Series(s2_cell_id(lon.to_numpy(), lat.to_numpy(), level))
+
+    return f
+
+
+def s2_face_ij_udf(level: int = MAX_LEVEL):
+    """pandas UDF: (lon, lat) -> struct(face, i, j) at `level`.
+
+    The SQL-EXPRESSIBLE half of the S2 pipeline (sphere -> cube face ->
+    quadratic st -> ij is trig + CASE + floor); only the Hilbert encode
+    is not. Emitting these alongside the cell id lets a DuckDB oracle
+    hash-check the projection math that feeds every S2 id."""
+
+    shift = MAX_LEVEL - level  # leaf ij >> shift == floor(2^level * st)
+
+    @F.pandas_udf("face INT, i BIGINT, j BIGINT")
+    def f(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y, z = lonlat_to_xyz(lon.to_numpy(), lat.to_numpy())
+        face, u, v = xyz_to_face_uv(x, y, z)
+        i = _st_to_ij(_uv_to_st(u)) >> shift
+        j = _st_to_ij(_uv_to_st(v)) >> shift
+        return pd.DataFrame({"face": face.astype("int32"), "i": i, "j": j})
 
     return f
 
