@@ -303,23 +303,23 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: query vectors (vec_id<10) against the rest.
-    Baseline for the ANN operator; JVM-side aggregate over zipped arrays."""
+    Baseline for the ANN operator; JVM HOF dot product with norms
+    computed once per row per side (never per pair)."""
     from pyspark.sql.window import Window
+
+    from tile_grid_spark.operators.similarity import dot_expr, norm_expr
 
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
-    e = e.withColumn("norm", norm)
+    e = e.withColumn("norm", norm_expr("emb", 64))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), F.col("norm").alias("q_norm")
     )
     c = e.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("c_emb"), F.col("norm").alias("c_norm")
     )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "c_emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
+    dot = dot_expr("q_emb", "c_emb", 64)
     pairs = c.crossJoin(F.broadcast(q)).withColumn(
         "sim", dot / (F.col("q_norm") * F.col("c_norm"))
     )
@@ -513,7 +513,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
     c = e.filter(F.col("vec_id") >= 10).withColumnRenamed("vec_id", "cand_id")
-    return lsh_topk(q, c, k=5, bucket_bits=4, n_probe_flips=4).orderBy("query_id", "rank")
+    return lsh_topk(q, c, k=5, bucket_bits=4, n_probe_flips=4, dim=64).orderBy(
+        "query_id", "rank"
+    )
 
 
 
@@ -691,16 +693,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     range). Output is id-only so the oracle hash is float-free; the
     LSH-bucketed scale path is operators/dedup.embedding_near_pairs
     (tested in tests/test_text_dedup_similarity.py)."""
-    from tile_grid_spark.operators.similarity import cosine_expr
+    from tile_grid_spark.operators.similarity import dot_expr, norm_expr
 
     e = read_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("_emb"),
-    )
+    ).withColumn("_n", norm_expr("_emb", 64))  # norm once per ROW, not per pair
     return (
         e.alias("l")
         .join(e.alias("r"), F.col("l._id") < F.col("r._id"))
-        .filter(cosine_expr("l._emb", "r._emb") >= 0.4)
+        .filter(dot_expr("l._emb", "r._emb", 64) / (F.col("l._n") * F.col("r._n")) >= 0.4)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .orderBy("id_a", "id_b")
     )
@@ -721,7 +723,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cand_id"), "embedding"
     )
-    return ivf_topk(q, c, k=5, n_centroids=16, nprobe=3).orderBy("query_id", "rank")
+    return ivf_topk(q, c, k=5, n_centroids=16, nprobe=3, dim=64).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

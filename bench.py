@@ -46,6 +46,12 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
 PIP_SCALE_ROWS = int(
     os.environ.get("SPARK_GRAFT_PIP_ROWS", str(SCALE_ROWS * 8))
 )
+# The shuffle-bearing aggregate, kNN and doc benches were parquet-sized
+# (1-3s jobs) and anti-scaled 8->32 purely on fixed overhead; they now
+# run on generated/amplified inputs sized so parallel compute dominates.
+AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", str(SCALE_ROWS)))
+KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "120000"))
+DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
 
 
 def synth_points(spark: SparkSession, n: int) -> DataFrame:
@@ -193,32 +199,86 @@ def bench_quadkey(spark: SparkSession) -> dict:
 
 
 def bench_per_tile_agg(spark: SparkSession) -> dict:
-    """Shuffle-bearing per-tile density at z10 (hash agg, AQE coalesce)."""
-    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
-    pts = li.select(
-        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
-        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
-        F.col("l_extendedprice").alias("v"),
+    """Shuffle-bearing per-tile density at z10 (hash agg with map-side
+    partials, AQE coalesce) over AGG_ROWS generated points — ~1M groups,
+    a real multi-GB shuffle instead of a 1-3s parquet job whose fixed
+    overhead anti-scaled 8->32."""
+    from tile_grid_spark.plans.skew import pre_partitioned_agg
+
+    pts = synth_points(spark, AGG_ROWS).select(
+        "lon", "lat", (F.col("pid") % 1000 / F.lit(10.0)).alias("v")
     )
     t = G.with_tile(pts, E.WM, 10)
-    agg = t.groupBy("tile_x", "tile_y").agg(
-        F.count("*").alias("n"), F.sum("v").alias("sv")
+    # ~1M groups over AGG_ROWS rows: high-cardinality shape, so shuffle
+    # by key first and aggregate owned partitions (see plans/skew.py —
+    # the default partial-agg plan builds 600k-entry maps per map task
+    # and anti-scales with concurrent tasks)
+    agg = pre_partitioned_agg(
+        t,
+        {"n": F.count("*"), "sv": F.sum("v")},
+        keys=("tile_x", "tile_y"),
+        num_partitions=CPUS * 2,
     )
     t0 = time.time()
     force_noop(agg)
     return {"sec": time.time() - t0}
 
 
+def synth_embeddings(spark: SparkSession, n: int, dim: int = 32) -> DataFrame:
+    """Deterministic generated embeddings (JVM transform over a sequence,
+    no Python)."""
+    return spark.range(0, n, numPartitions=CPUS * 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)) / 500.0 - 1.0,
+        ).alias("embedding"),
+    )
+
+
 def bench_knn(spark: SparkSession) -> dict:
+    """Exact-cosine brute-force top-k baseline at generated scale:
+    64 broadcast queries x KNN_ROWS candidates (dim 32). Rank filter
+    compiles to WindowGroupLimit (per-partition top-k before the
+    shuffle), so the job is compute-bound, not a 2s overhead measure."""
+    from tile_grid_spark.operators.similarity import brute_force_topk
+
+    q = synth_embeddings(spark, 64).withColumnRenamed("vec_id", "query_id")
+    c = synth_embeddings(spark, KNN_ROWS).withColumnRenamed("vec_id", "cand_id")
     t0 = time.time()
-    force(E.q_knn_bruteforce(spark, SF_DIR))
-    return {"sec": time.time() - t0}
+    n = force(brute_force_topk(q, c, k=10, dim=32))
+    dt = time.time() - t0
+    assert n == 64 * 10
+    return {"sec": dt}
 
 
 def bench_docs(spark: SparkSession) -> dict:
+    """Document ops at amplified scale: the sf corpus replicated DOC_REP
+    times (distinct doc ids), then token/char stats and exact dedup —
+    string work dominates instead of job submission."""
+    d = read_table(spark, SF_DIR, "documents").repartition(CPUS * 2)
+    amp = d.withColumn("_rep", F.explode(F.sequence(F.lit(1), F.lit(DOC_REP)))).select(
+        (F.col("doc_id") * DOC_REP + F.col("_rep")).alias("doc_id"),
+        "lang", "source", "text",
+    )
+    stats = amp.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+    dedup = (
+        amp.groupBy(F.md5(F.substring("text", 1, 100)).alias("fp"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.countDistinct(F.md5("text")).alias("n_exact_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
     t0 = time.time()
-    force(E.q_doc_stats(spark, SF_DIR))
-    force(E.q_dedup_exact(spark, SF_DIR))
+    force_noop(stats)
+    force_noop(dedup)
     return {"sec": time.time() - t0}
 
 

@@ -87,6 +87,19 @@ class TestSkew:
         with pytest.raises(TypeError, match="partial_expr, final_expr"):
             salted_tile_agg(skewed, {"n": F.count("*")}, id_col="row_id")
 
+    def test_pre_partitioned_agg_equals_plain(self, skewed):
+        from tile_grid_spark.plans.skew import pre_partitioned_agg
+
+        got = pre_partitioned_agg(
+            skewed, {"n": F.count("*")}, num_partitions=8
+        )
+        plain = skewed.groupBy("zoom", "tile_x", "tile_y").agg(F.count("*").alias("n"))
+        assert got.exceptAll(plain).isEmpty() and plain.exceptAll(got).isEmpty()
+        # exactly ONE exchange: the repartition satisfies the aggregate's
+        # distribution requirement, no second shuffle
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
     def test_salt_deterministic(self, skewed):
         counts = measure_tile_skew(skewed)
         a = with_salt(skewed, counts, 1000, id_col="row_id").select("row_id", "salt")

@@ -258,6 +258,7 @@ def embedding_near_pairs(
     bucket_bits: int = 8,
     n_probe_flips: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
 
@@ -270,13 +271,17 @@ def embedding_near_pairs(
     all-pairs baseline is pytest-gated (>= 0.9 on the synthetic
     near-dup fixture).
     """
-    from .similarity import hyperplane_bucket_udf, cosine_expr
+    from .similarity import dot_expr, hyperplane_bucket_udf, norm_expr
 
     bucket = hyperplane_bucket_udf(n_planes, bucket_bits, seed)
-    e = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(emb_col, lambda x: x.cast("double")).alias("_emb"),
-    ).withColumn("_bkt0", bucket("_emb"))
+    e = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(emb_col, lambda x: x.cast("double")).alias("_emb"),
+        )
+        .withColumn("_bkt0", bucket("_emb"))
+        .withColumn("_n", norm_expr("_emb", dim))
+    )
     probes = F.array(
         F.col("_bkt0"),
         *[
@@ -294,7 +299,10 @@ def embedding_near_pairs(
         left.alias("l")
         .join(right.alias("r"), "_bkt")
         .filter(F.col("l._id") < F.col("r._id"))
-        .withColumn("cosine", cosine_expr("l._emb", "r._emb"))
+        .withColumn(
+            "cosine",
+            dot_expr("l._emb", "r._emb", dim) / (F.col("l._n") * F.col("r._n")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("l._id").alias("id_a"),
