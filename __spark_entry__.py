@@ -805,32 +805,61 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate by quadtree bit-shift (parent x = x >> dz, tms.rs:982-1015
     power-of-2 case). At 100 TB this re-aggregates |tiles| rows per
     level instead of rescanning |points| — the continuous-aggregate
-    pattern."""
+    pattern (operators/rollup.tile_pyramid, cascading: z6 rolls up
+    from the 16x-smaller z8 level, not from z10)."""
+    from tile_grid_spark.operators.rollup import tile_pyramid
+
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
     base = (
         G.with_tile(pts, WM, 10)
         .groupBy("tile_x", "tile_y")
         .agg(F.count("*").alias("n"))
-        .withColumn("zoom", F.lit(10))
     )
-    levels = [base]
-    for z in (8, 6):
-        dz = 10 - z
-        levels.append(
-            base.select(
-                F.expr(f"shiftright(tile_x, {dz})").alias("tile_x"),
-                F.expr(f"shiftright(tile_y, {dz})").alias("tile_y"),
-                "n",
-            )
-            .groupBy("tile_x", "tile_y")
-            .agg(F.sum("n").alias("n"))
-            .withColumn("zoom", F.lit(z))
+    out = tile_pyramid(base, 10, [8, 6], {"n": F.sum("n")})
+    return out.orderBy("zoom", "tile_x", "tile_y")
+
+
+def q_tile_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-tile distinct-user counts over events at z6
+    (operators/sketches.tile_distinct_exact). This is the oracle-checked
+    EXACT baseline; the 100 TB path is the mergeable HLL pyramid
+    (sketches.hll_pyramid — union-rolled across zoom levels,
+    estimate-vs-exact gated in tests/test_sketches.py; sketch bytes are
+    engine-specific so the sketch path itself is pytest-gated, not
+    DuckDB-gated)."""
+    from tile_grid_spark.operators.sketches import tile_distinct_exact
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_lon_sql("event_id")).alias("lon"),
+        F.expr(_lat_sql("event_id")).alias("lat"),
+    )
+    t = G.with_tile(ev, WM, 6)
+    return (
+        tile_distinct_exact(t, "user_id", out="n_users")
+        .select("tile_x", "tile_y", "n_users")
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (SURVEY §2.B.8): extract a typed field from
+    the events.props JSON string (JVM get_json_object path expression —
+    no UDF) and aggregate per event_type. Oracle: DuckDB
+    json_extract_string."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
         )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.select("zoom", "tile_x", "tile_y", "n").orderBy(
-        "zoom", "tile_x", "tile_y"
+        .orderBy("event_type")
     )
 
 
@@ -932,6 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_overlap": q_bbox_overlap,
         "tile_pyramid": q_tile_pyramid,
         "salted_tile_agg": q_salted_tile_agg,
+        "tile_distinct_users": q_tile_distinct_users,
+        "event_props_json": q_event_props_json,
         "geohash_density": q_geohash,
     }
 
@@ -1531,6 +1562,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT 4 AS zoom, {tx4} AS tile_x, {ty4} AS tile_y,
                COUNT(*) AS n, MIN(pid) AS min_pid, MAX(pid) AS max_pid
         FROM pts GROUP BY 2, 3 ORDER BY tile_x, tile_y
+    """
+
+    tx6d, ty6d = _tile_xy_sql(6)
+    sql["tile_distinct_users"] = f"""
+        WITH pts AS (
+          SELECT user_id,
+                 {_lon_sql('event_id')} AS lon,
+                 {_lat_sql('event_id')} AS lat
+          FROM events
+        )
+        SELECT {tx6d} AS tile_x, {ty6d} AS tile_y,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+    sql["event_props_json"] = """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM e GROUP BY event_type ORDER BY event_type
     """
 
     _P = 5

@@ -49,9 +49,13 @@ PIP_SCALE_ROWS = int(
 # The shuffle-bearing aggregate, kNN and doc benches were parquet-sized
 # (1-3s jobs) and anti-scaled 8->32 purely on fixed overhead; they now
 # run on generated/amplified inputs sized so parallel compute dominates.
-AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", str(SCALE_ROWS)))
+AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", "40000000"))
 KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "120000"))
 DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
+# The sf-parquet suite rows are replicated so the jobs measure engine
+# work, not fixed job-submission overhead (sub-3s jobs read as
+# anti-scaling at 32 threads purely from constant costs).
+SF_REP = int(os.environ.get("SPARK_GRAFT_SF_REP", "8"))
 
 
 def synth_points(spark: SparkSession, n: int) -> DataFrame:
@@ -131,15 +135,24 @@ def bench_pip_scale(spark: SparkSession) -> dict:
     return {"sec": dt, "pip_rows": rows}
 
 
-def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
-    """Headline: every lineitem point -> tile at zooms 0..24 (narrow plan,
-    broadcast params, zero shuffle before the noop sink)."""
+def _sf_points(spark: SparkSession) -> DataFrame:
+    """lineitem-derived points, replicated SF_REP times with decorrelated
+    coordinates per replica (key folds in the replica index)."""
     li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
-    pts = li.select(
+    key = f"(l_orderkey * 4 + l_linenumber) * {SF_REP} + _rep"
+    return li.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(SF_REP - 1)))
+    ).select(
         F.col("l_orderkey").alias("pid"),
-        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
-        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
+        F.expr(E._lon_sql(key)).alias("lon"),
+        F.expr(E._lat_sql(key)).alias("lat"),
     )
+
+
+def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
+    """Headline: every (replicated) lineitem point -> tile at zooms 0..24
+    (narrow plan, broadcast params, zero shuffle before the noop sink)."""
+    pts = _sf_points(spark)
     n_points = pts.count()
     assigned = G.with_tiles_multizoom(pts, E.WM, ALL_ZOOMS).select(
         "pid", "zoom", "tile_x", "tile_y"
@@ -153,13 +166,7 @@ def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
 def bench_pip_join(spark: SparkSession) -> dict:
     """PIP join rows/sec: points x rectangle layer via tile prefilter."""
     ZOOM = 7
-    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
-    pts = li.select(
-        F.col("l_orderkey").alias("pid"),
-        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
-        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
-    )
-    pts = G.with_tile(pts, E.WM, ZOOM)
+    pts = G.with_tile(_sf_points(spark), E.WM, ZOOM)
     n = 200  # polygon layer size
     rects = spark.range(n).select(
         F.col("id").alias("poly_id"),
@@ -186,12 +193,7 @@ def bench_pip_join(spark: SparkSession) -> dict:
 
 
 def bench_quadkey(spark: SparkSession) -> dict:
-    li = read_table(spark, SF_DIR, "lineitem").repartition(CPUS * 2)
-    pts = li.select(
-        F.expr(E._lon_sql("l_orderkey * 4 + l_linenumber")).alias("lon"),
-        F.expr(E._lat_sql("l_orderkey * 4 + l_linenumber")).alias("lat"),
-    )
-    t = G.with_tile(pts, E.WM, 12).withColumn("zoom", F.lit(12))
+    t = G.with_tile(_sf_points(spark), E.WM, 12).withColumn("zoom", F.lit(12))
     qk = t.withColumn("qk", G.quadkey_col("tile_x", "tile_y", "zoom"))
     t0 = time.time()
     force_noop(qk.select("qk"))

@@ -139,6 +139,22 @@ class TestPlanShapes:
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "Window" in plan and "Union" in plan
 
+    def test_brute_force_topk_uses_window_group_limit(self, spark):
+        """The rank<=k filter must push a per-partition top-k below the
+        window exchange (WindowGroupLimit) — without it every (query,
+        cand) pair rides the shuffle."""
+        from tile_grid_spark.operators.similarity import brute_force_topk
+
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)) / 50.0 - 1.0,
+        )
+        q = spark.range(4).select(F.col("id").alias("query_id"), emb.alias("embedding"))
+        c = spark.range(1000).select(F.col("id").alias("cand_id"), emb.alias("embedding"))
+        out = brute_force_topk(q, c, k=3)
+        plan = plan_of(out)
+        assert "WindowGroupLimit" in plan, plan
+
     def test_per_tile_agg_partial_aggregation(self, spark, wm):
         pts = spark.range(10000).select(
             (F.col("id") % 360 - 180.0).cast("double").alias("lon"),
