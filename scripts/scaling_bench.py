@@ -130,12 +130,22 @@ def main() -> None:
     window_cals: list[float] = []
     for rep in range(REPEATS):
         t0 = time.time()
-        wc = _calibrate(_CAL_CODE, 1)[LEVELS[1]]
-        pair = tuple(run_once(cpus) for cpus in LEVELS)
+        # quietness probes BRACKET the pair (before the 8-run, between
+        # the runs, after the 32-run): contention arriving mid-pair was
+        # observed to invert results while a single leading probe read
+        # quiet. A window is only as quiet as its noisiest probe (min).
+        wc_a = _calibrate(_CAL_CODE, 1)[LEVELS[1]]
+        r8 = run_once(LEVELS[0])
+        wc_b = _calibrate(_CAL_CODE, 1)[LEVELS[1]]
+        r32 = run_once(LEVELS[1])
+        wc_c = _calibrate(_CAL_CODE, 1)[LEVELS[1]]
+        pair = (r8, r32)
+        wc = min(wc_a, wc_b, wc_c)
         pairs.append(pair)
         window_cals.append(wc)
         print(
-            f"pair {rep + 1}/{REPEATS}: window-rate {wc:.2f} u/s, "
+            f"pair {rep + 1}/{REPEATS}: window-rates "
+            f"({wc_a:.2f},{wc_b:.2f},{wc_c:.2f}) min {wc:.2f} u/s, "
             f"local[8] {pair[0]['value']}s, local[32] {pair[1]['value']}s "
             f"({time.time()-t0:.0f}s incl. startup)",
             file=sys.stderr,
@@ -191,11 +201,27 @@ def main() -> None:
         f"| PIP-join rows/sec (hash probe + materialize) | {pip8:,} | {pip32:,} | "
         f"{eff_pip:.2f} | mem BW ({mem_ceil:.2f}) | **{norm_pip:.2f}** |"
     )
-    lines.append("\nPer-query seconds (sf0.1 suite + scale benches):\n")
-    lines.append("| query | local[8] | local[32] |")
-    lines.append("|---|---|---|")
+    cpu_speedup = 4 * cpu_ceil  # best possible t8/t32 for an ALU-bound job
+    mem_speedup = 4 * mem_ceil  # ... for an allocation/bandwidth-bound job
+    lines.append("\nPer-query seconds (sf0.1 suite + scale benches; speedup = t8/t32).")
+    lines.append(f"Ideal is 4.0x, but THIS box caps an ALU-bound job at ~{cpu_speedup:.1f}x")
+    lines.append(f"and an allocation/bandwidth-bound one at ~{mem_speedup:.1f}x (i.e. such")
+    lines.append("jobs may legitimately run NO FASTER at 32 — a real 4N cluster brings 4N")
+    lines.append("memory channels; see calibration). Classification: >=80% of the CPU cap")
+    lines.append("-> scales; >=80% of the mem cap -> at the box's bandwidth ceiling;")
+    lines.append("below both -> flagged.\n")
+    lines.append("| query | local[8] | local[32] | speedup | class |")
+    lines.append("|---|---|---|---|---|")
     for k in r8["queries"]:
-        lines.append(f"| {k} | {r8['queries'][k]} | {r32['queries'][k]} |")
+        t8, t32 = r8["queries"][k], r32["queries"][k]
+        sp = t8 / t32 if t32 else float("nan")
+        if sp >= 0.8 * cpu_speedup:
+            cls = "scales (CPU-bound)"
+        elif sp >= 0.8 * mem_speedup:
+            cls = "at mem-BW ceiling"
+        else:
+            cls = "⚠ below both ceilings (overhead/noise in this window)"
+        lines.append(f"| {k} | {t8} | {t32} | {sp:.2f}x | {cls} |")
     lines.append("")
     lines.append("Gate (BASELINE.md): throughput scaling efficiency >= 0.8 from N to 4N.")
     lines.append(

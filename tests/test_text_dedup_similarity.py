@@ -252,6 +252,29 @@ class TestSimilarity:
             mine = got[got.query_id == qid].sort_values("rank").cand_id.tolist()
             assert mine == exp[qid], qid
 
+    def test_arrow_topk_matches_jvm(self, spark, emb):
+        # the Arrow matmul bulk path must produce the same ranking as
+        # the JVM HOF baseline (same tie-break: cosine desc, cand_id)
+        from tile_grid_spark.operators.similarity import brute_force_topk_arrow
+
+        df, X = emb
+        q = df.filter("vec_id < 8").withColumnRenamed("vec_id", "query_id")
+        c = df.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        a = brute_force_topk_arrow(q, c, k=5).toPandas()
+        exp = self._numpy_topk(X, range(8), 5)
+        for qid in range(8):
+            mine = a[a.query_id == qid].sort_values("rank").cand_id.tolist()
+            assert mine == exp[qid], qid
+
+    def test_arrow_topk_caps_query_side(self, spark, emb):
+        from tile_grid_spark.operators.similarity import brute_force_topk_arrow
+
+        df, _ = emb
+        q = df.withColumnRenamed("vec_id", "query_id")
+        c = df.withColumnRenamed("vec_id", "cand_id")
+        with pytest.raises(ValueError, match="max_queries"):
+            brute_force_topk_arrow(q, c, k=2, max_queries=10)
+
     def test_lsh_recall(self, spark, emb):
         df, X = emb
         q = df.filter("vec_id < 20").withColumnRenamed("vec_id", "query_id")
