@@ -103,6 +103,45 @@ class TestPlanShapes:
         b = pip_join(pts, polys, wm, zoom=6, broadcast_polys=False)
         assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
+    def test_bucketed_tables_join_without_exchange(self, spark, wm):
+        """Co-bucketed tables pre-pay the shuffle at write time: a join
+        on the bucket key between them must plan ZERO exchanges."""
+        from tile_grid_spark.sources.io import write_bucketed
+
+        def mk(seed, n):
+            pts = spark.range(n).select(
+                (F.col("id") + seed).alias("pid"),
+                ((F.col("id") * 7 + seed) % 360 - 180.0).cast("double").alias("lon"),
+                ((F.col("id") * 13 + seed) % 160 - 80.0).cast("double").alias("lat"),
+            )
+            t = G.with_tile(pts, wm, 8)
+            return t.withColumn("tile_key", G.tile_key("tile_x", "tile_y")).select(
+                "pid", "tile_key"
+            )
+
+        a, b = mk(0, 5000), mk(17, 4000)
+        write_bucketed(a, "tgs_bucket_a", 8, ("tile_key",), ("tile_key",))
+        write_bucketed(b, "tgs_bucket_b", 8, ("tile_key",), ("tile_key",))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ta, tb = spark.table("tgs_bucket_a"), spark.table("tgs_bucket_b")
+            joined = ta.join(tb, "tile_key").select(
+                "tile_key", ta.pid.alias("pid_a"), tb.pid.alias("pid_b")
+            )
+            plan = plan_of(joined)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            # parity with the plain (shuffling) join
+            want = a.join(b, "tile_key").select(
+                "tile_key", a.pid.alias("pid_a"), b.pid.alias("pid_b")
+            )
+            assert joined.exceptAll(want).isEmpty() and want.exceptAll(joined).isEmpty()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS tgs_bucket_a")
+            spark.sql("DROP TABLE IF EXISTS tgs_bucket_b")
+
     def test_assignment_wholestage_codegen(self, spark, wm):
         pts = spark.range(1000).select(
             (F.col("id") % 360 - 180.0).cast("double").alias("lon"),

@@ -277,6 +277,51 @@ class TestMemorySinkHelper:
             q.stop()
 
 
+class TestStreamingRectContains:
+    def test_stream_static_join_matches_predicate(self, spark, wm):
+        from tile_grid_spark.streaming.stream import (
+            stream_rect_contains,
+            synthetic_point_stream,
+        )
+
+        rects = [
+            (0, -60.0, -40.0, 60.0, 40.0),     # wide equatorial box
+            (1, 170.0, -30.0, -170.0, 30.0),   # antimeridian-crossing
+        ]
+        rdf = spark.createDataFrame(
+            rects, "rect_id INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        pts = synthetic_point_stream(spark, rows_per_second=500)
+        out = stream_rect_contains(
+            pts.select("point_id", "lon", "lat"), rdf, wm, zoom=3, rect_id="rect_id"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_rect_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 40
+            rows = []
+            while time.time() < deadline:
+                time.sleep(3)
+                rows = spark.sql(
+                    "SELECT point_id, lon, lat, rect_id FROM stream_rect_test"
+                ).collect()
+                if len(rows) >= 50:
+                    break
+            assert len(rows) >= 50, "stream produced too few containment rows"
+            for r in rows:  # every emitted match satisfies the exact predicate
+                _, w, s, e, n = rects[r.rect_id]
+                lon_ok = (w <= r.lon <= e) if w <= e else (r.lon >= w or r.lon <= e)
+                assert lon_ok and s <= r.lat <= n, r
+            # the deterministic rate stream covers the seam: rect 1 must match
+            assert any(r.rect_id == 1 for r in rows)
+        finally:
+            q.stop()
+
+
 class TestStreamingSessionizeReplay:
     def test_replay_matches_batch_oracle(self, spark, tmp_path):
         """Replay a deterministic event fixture through the stream in 3

@@ -41,6 +41,12 @@ def build_session(
         # ANSI throw-on-overflow would break reference-faithful casts.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # bucketed tables (sources/io.write_bucketed) need a catalog
+        # warehouse; keep it out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/tgs-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -52,3 +52,25 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    bucket_cols: tuple[str, ...] = ("tile_key",),
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) table write: pre-pays the shuffle
+    ONCE at write time so every later join/aggregate on the bucket key
+    between co-bucketed tables runs with ZERO exchanges (asserted in
+    tests/test_plan_shapes.py). At 100 TB this turns per-query fact x
+    fact shuffles into local merge joins. Iceberg equivalent: a
+    ``bucket(N, tile_key)`` partition transform + sort order; parquet +
+    session catalog here (bucket metadata needs saveAsTable).
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -184,6 +184,24 @@ def stream_sessionize(
     )
 
 
+def stream_rect_contains(
+    points: DataFrame,
+    rects: DataFrame,
+    tms: Tms,
+    zoom: int,
+    **kwargs,
+) -> DataFrame:
+    """Stream-STATIC spatial join: streaming points x static rectangle
+    layer through the same cover-prefilter + wrap-aware exact test as
+    the batch operator (operators/pip_join.rect_contains_join — the
+    cover explode and dedup run on the STATIC side only, so the
+    streaming side stays stateless and append mode needs no watermark).
+    Antimeridian-crossing rectangles work exactly as in batch."""
+    from ..operators.pip_join import rect_contains_join
+
+    return rect_contains_join(points, rects, tms, zoom, **kwargs)
+
+
 def stream_dedup(
     points: DataFrame,
     keys: list[str] | None = None,
