@@ -863,6 +863,31 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash DECODE parity: encode each point to its precision-5 code
+    (native interleave), then decode the code back to integer cell
+    indices with the native DE-interleave (functions/cells
+    geohash_cell_cols). The oracle quantizes lon/lat directly, so
+    equality proves decode inverts encode bit-for-bit; the bbox is an
+    exact affine map of (qlon, qlat), pytest-pinned."""
+    from tile_grid_spark.functions.cells import (
+        geohash_cell_cols,
+        geohash_code_col,
+        geohash_str_from_code,
+    )
+
+    P = 5
+    pts = _points_df(spark, sf_dir, "supplier", "s_suppkey")
+    coded = pts.withColumn("gh_code", geohash_code_col("lon", "lat", P))
+    qlon, qlat = geohash_cell_cols("gh_code", P)
+    return coded.select(
+        F.col("pid").alias("s_suppkey"),
+        geohash_str_from_code(F.col("gh_code"), P).alias("geohash"),
+        qlon.alias("qlon"),
+        qlat.alias("qlat"),
+    ).orderBy("s_suppkey")
+
+
 def q_salted_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile aggregate through the SKEW-SALTED two-stage path
     (plans/skew.py: measured per-tile counts -> salt buckets -> partial
@@ -963,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_tile_agg": q_salted_tile_agg,
         "tile_distinct_users": q_tile_distinct_users,
         "event_props_json": q_event_props_json,
+        "geohash_decode": q_geohash_decode,
         "geohash_density": q_geohash,
     }
 
@@ -1596,6 +1622,14 @@ def oracle_sql() -> dict[str, str]:
         f"substr('{_b32}', CAST(((code >> {5 * (_P - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
         for j in range(_P)
     )
+    sql["geohash_decode"] = f"""
+        WITH pts AS ({_points_sql('supplier', 's_suppkey')}),
+        q AS (SELECT pid, {_ql} AS ql, {_qa} AS qa FROM pts),
+        coded AS (SELECT pid, ql AS qlon, qa AS qlat, {_code_terms} AS code FROM q)
+        SELECT pid AS s_suppkey, {_chars} AS geohash, qlon, qlat
+        FROM coded ORDER BY s_suppkey
+    """
+
     sql["geohash_density"] = f"""
         WITH pts AS ({_points_sql('customer', 'c_custkey')}),
         q AS (SELECT pid, {_ql} AS ql, {_qa} AS qa FROM pts),

@@ -299,6 +299,84 @@ class TestGeohash:
             minx, miny, maxx, maxy = geohash_decode_bbox(g)
             assert minx <= lo < maxx and miny <= la < maxy
 
+    def test_decode_cols_match_scalar_bbox(self, spark):
+        import numpy as np
+
+        from tile_grid_spark.functions.cells import (
+            geohash_bounds_cols,
+            geohash_code_col,
+            geohash_decode_bbox,
+            geohash_encode,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(33)
+        lon = rng.uniform(-180, 180, 120)
+        lat = rng.uniform(-90, 90, 120)
+        df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+            "id INT, lon DOUBLE, lat DOUBLE",
+        )
+        p = 6
+        coded = df.withColumn("gh_code", geohash_code_col("lon", "lat", p))
+        out = coded.withColumns(geohash_bounds_cols("gh_code", p)).collect()
+        strs = geohash_encode(lon, lat, p)
+        for r in out:
+            minx, miny, maxx, maxy = geohash_decode_bbox(strs[r.id])
+            assert abs(r.gh_minlon - minx) < 1e-9 and abs(r.gh_maxlon - maxx) < 1e-9
+            assert abs(r.gh_minlat - miny) < 1e-9 and abs(r.gh_maxlat - maxy) < 1e-9
+            assert r.gh_minlon <= lon[r.id] < r.gh_maxlon
+            assert r.gh_minlat <= lat[r.id] < r.gh_maxlat
+
+    def test_neighbors_cols_vs_python_oracle(self, spark):
+        import numpy as np
+
+        from tile_grid_spark.functions.cells import (
+            geohash_code_col,
+            geohash_encode,
+            geohash_neighbors_exploded,
+            geohash_str_from_code,
+        )
+        from pyspark.sql import functions as F
+
+        p = 4
+        nbits = 5 * p
+        nb_lon, nb_lat = (nbits + 1) // 2, nbits // 2
+        w, h = 360.0 / (1 << nb_lon), 180.0 / (1 << nb_lat)
+        # seam + pole + interior cases
+        pts = [(179.99, 10.0), (-179.99, -10.0), (0.5, 89.99), (0.5, -89.99), (12.3, 45.6)]
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pts)], "id INT, lon DOUBLE, lat DOUBLE"
+        )
+        coded = df.withColumn("gh_code", geohash_code_col("lon", "lat", p))
+        got = (
+            geohash_neighbors_exploded(coded, "gh_code", p)
+            .withColumn("ngh", geohash_str_from_code(F.col("neighbor_code"), p))
+            .select("id", "ngh")
+            .collect()
+        )
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.id, set()).add(r.ngh)
+        for i, (lo, la) in enumerate(pts):
+            qlon = min(max(int((lo + 180.0) / 360.0 * (1 << nb_lon)), 0), (1 << nb_lon) - 1)
+            qlat = min(max(int((la + 90.0) / 180.0 * (1 << nb_lat)), 0), (1 << nb_lat) - 1)
+            exp = set()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nx = (qlon + dx) % (1 << nb_lon)  # lon wraps
+                    ny = qlat + dy
+                    if not 0 <= ny < (1 << nb_lat):
+                        continue  # lat clamps
+                    cx = (nx + 0.5) * w - 180.0
+                    cy = (ny + 0.5) * h - 90.0
+                    exp.add(geohash_encode([cx], [cy], p)[0])
+            assert by_id[i] == exp, (i, pts[i])
+            # pole rows lose a rank (5 neighbors), interior rows have 8
+            assert len(by_id[i]) == (5 if abs(la) > 89.9 else 8)
+
     def test_spark_udf(self, spark):
         from tile_grid_spark.functions.cells import geohash_udf
 

@@ -558,3 +558,79 @@ def geohash_str_col(lon, lat, precision: int = 9):
     """Native-Column base32 geohash string (no UDF); for hot paths
     materialize geohash_code_col first and use geohash_str_from_code."""
     return geohash_str_from_code(geohash_code_col(lon, lat, precision), precision)
+
+
+def _geohash_dims(precision: int) -> tuple[int, int, int]:
+    nbits = 5 * precision
+    return nbits, (nbits + 1) // 2, nbits // 2
+
+
+def geohash_cell_cols(code, precision: int = 9) -> tuple[F.Column, F.Column]:
+    """De-interleave a geohash code column into integer cell indices
+    (qlon, qlat) — the inverse of geohash_code_col's interleave, still
+    pure shifts/adds in codegen. Pass a MATERIALIZED code column (same
+    Catalyst re-evaluation rule as geohash_str_from_code)."""
+    nbits, nb_lon, nb_lat = _geohash_dims(precision)
+    code = F.col(code) if isinstance(code, str) else code
+    qlon = F.lit(0).cast("long")
+    qlat = F.lit(0).cast("long")
+    for i in range(nbits):
+        bit = F.shiftright(code, nbits - 1 - i).bitwiseAND(F.lit(1))
+        if i % 2 == 0:
+            qlon = qlon + bit * F.lit(1 << (nb_lon - 1 - i // 2))
+        else:
+            qlat = qlat + bit * F.lit(1 << (nb_lat - 1 - i // 2))
+    return qlon, qlat
+
+
+def geohash_interleave_cols(qlon, qlat, precision: int = 9) -> F.Column:
+    """Interleave integer cell indices back into a geohash code column
+    (encode counterpart of geohash_cell_cols, used by neighbors)."""
+    nbits, nb_lon, nb_lat = _geohash_dims(precision)
+    code = F.lit(0).cast("long")
+    for i in range(nbits):
+        src, s = (qlon, nb_lon - 1 - i // 2) if i % 2 == 0 else (qlat, nb_lat - 1 - i // 2)
+        bit = F.shiftright(src, s).bitwiseAND(F.lit(1))
+        code = code + bit * F.lit(1 << (nbits - 1 - i))
+    return code
+
+
+def geohash_bounds_cols(code, precision: int = 9) -> dict[str, F.Column]:
+    """Decode a geohash code column to its cell bbox (native Columns):
+    {gh_minlon, gh_minlat, gh_maxlon, gh_maxlat}."""
+    nbits, nb_lon, nb_lat = _geohash_dims(precision)
+    qlon, qlat = geohash_cell_cols(code, precision)
+    w = 360.0 / float(1 << nb_lon)
+    h = 180.0 / float(1 << nb_lat)
+    minlon = qlon * F.lit(w) - F.lit(180.0)
+    minlat = qlat * F.lit(h) - F.lit(90.0)
+    return {
+        "gh_minlon": minlon,
+        "gh_minlat": minlat,
+        "gh_maxlon": minlon + F.lit(w),
+        "gh_maxlat": minlat + F.lit(h),
+    }
+
+
+def geohash_neighbors_exploded(
+    df, code: str = "gh_code", precision: int = 9, out: str = "neighbor_code"
+):
+    """Explode each row to its (up to 8) neighbor geohash codes.
+    Longitude WRAPS modulo the cell grid (geohash cells are cyclic in
+    lon, like the antimeridian-aware tile rings); latitude clamps at the
+    poles (rows outside the grid are dropped). All native Columns."""
+    nbits, nb_lon, nb_lat = _geohash_dims(precision)
+    qlon, qlat = geohash_cell_cols(F.col(code), precision)
+    e = (
+        df.withColumn("_qlon", qlon)
+        .withColumn("_qlat", qlat)
+        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .filter(~((F.col("_dx") == 0) & (F.col("_dy") == 0)))
+        .withColumn("_nlon", F.pmod(F.col("_qlon") + F.col("_dx"), F.lit(1 << nb_lon)))
+        .withColumn("_nlat", F.col("_qlat") + F.col("_dy"))
+        .filter((F.col("_nlat") >= 0) & (F.col("_nlat") <= F.lit((1 << nb_lat) - 1)))
+    )
+    return e.withColumn(
+        out, geohash_interleave_cols(F.col("_nlon"), F.col("_nlat"), precision)
+    ).drop("_qlon", "_qlat", "_dx", "_dy", "_nlon", "_nlat")
