@@ -863,6 +863,21 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate/stop-phrase detection (functions/text
+    source_boilerplate_ngrams): top unigrams by document frequency
+    within each source, df_frac >= 0.5 — the corpus-hygiene report a
+    training pipeline runs before dedup (the synthetic corpus has no
+    template trigrams, so the driver query uses n=1; the n-gram path is
+    pytest-gated on a constructed fixture)."""
+    from tile_grid_spark.functions.text import source_boilerplate_ngrams
+
+    d = read_table(spark, sf_dir, "documents")
+    return source_boilerplate_ngrams(d, n=1, min_df_frac=0.5, top_k=5).orderBy(
+        "source", "rank"
+    )
+
+
 def q_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash DECODE parity: encode each point to its precision-5 code
     (native interleave), then decode the code back to integer cell
@@ -989,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_distinct_users": q_tile_distinct_users,
         "event_props_json": q_event_props_json,
         "geohash_decode": q_geohash_decode,
+        "source_boilerplate": q_source_boilerplate,
         "geohash_density": q_geohash,
     }
 
@@ -1622,6 +1638,40 @@ def oracle_sql() -> dict[str, str]:
         f"substr('{_b32}', CAST(((code >> {5 * (_P - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
         for j in range(_P)
     )
+    sql["source_boilerplate"] = """
+        WITH toks AS (
+          SELECT source, doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT source, doc_id, unnest(list_distinct(t)) AS s
+          FROM toks
+        ),
+        nd AS (
+          SELECT source, COUNT(DISTINCT doc_id) AS ndocs
+          FROM documents GROUP BY source
+        ),
+        c AS (
+          SELECT source, s, COUNT(DISTINCT doc_id) AS n_docs
+          FROM sh GROUP BY 1, 2
+        ),
+        f AS (
+          SELECT c.source, s, n_docs,
+                 round(n_docs / CAST(ndocs AS DOUBLE), 6) AS df_frac
+          FROM c JOIN nd USING (source)
+          WHERE round(n_docs / CAST(ndocs AS DOUBLE), 6) >= 5e-1
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY n_docs DESC, s) AS rnk
+          FROM f
+        )
+        SELECT source, s AS phrase, n_docs, df_frac,
+               CAST(rnk AS INTEGER) AS "rank"
+        FROM r WHERE rnk <= 5 ORDER BY source, rnk
+    """
+
     sql["geohash_decode"] = f"""
         WITH pts AS ({_points_sql('supplier', 's_suppkey')}),
         q AS (SELECT pid, {_ql} AS ql, {_qa} AS qa FROM pts),

@@ -124,6 +124,30 @@ class TestText:
         assert sh == ["a b"]
 
 
+class TestBoilerplate:
+    def test_template_trigrams_detected(self, spark):
+        from tile_grid_spark.functions.text import source_boilerplate_ngrams
+
+        # source A: 8/10 docs share a footer phrase; source B: none
+        rows = []
+        for i in range(10):
+            body = f"unique body {i} words alpha{i} beta{i} gamma{i}"
+            footer = " subscribe to our newsletter today" if i < 8 else ""
+            rows.append((i, "A", body + footer))
+        for i in range(10, 20):
+            rows.append((i, "B", f"w{i}a w{i}b w{i}c w{i}d w{i}e"))  # fully distinct
+        df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")
+        got = source_boilerplate_ngrams(
+            df, n=3, min_df_frac=0.5, top_k=3
+        ).collect()
+        a_phrases = {r.phrase: r for r in got if r.source == "A"}
+        assert "subscribe to our" in a_phrases
+        assert "to our newsletter" in a_phrases
+        r = a_phrases["subscribe to our"]
+        assert r.n_docs == 8 and abs(r.df_frac - 0.8) < 1e-9
+        assert not [r for r in got if r.source == "B"]  # no template in B
+
+
 class TestDedup:
     def test_exact(self, docs):
         out = dedup_exact(docs).orderBy("doc_id").collect()

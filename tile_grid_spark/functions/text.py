@@ -173,6 +173,48 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(cnt < n, F.array(F.array_join(toks, " "))).otherwise(sh)
 
 
+def source_boilerplate_ngrams(
+    docs,
+    id_col: str = "doc_id",
+    text: str = "text",
+    source: str = "source",
+    n: int = 3,
+    min_df_frac: float = 0.3,
+    top_k: int = 5,
+):
+    """Boilerplate / stop-phrase detection per source: word n-grams
+    ranked by DOCUMENT frequency within each source; a phrase occurring
+    in >= min_df_frac of a source's documents is a template-boilerplate
+    candidate — the corpus-hygiene signal computed before dedup in a
+    training-data pipeline (boilerplate inflates near-dup similarity
+    and poisons quality scores).
+
+    Plan shape: per-doc distinct shingles (narrow), ONE shuffle on
+    (source, shingle) for the document-frequency count, per-source doc
+    totals broadcast back, window top-k. Returns (source, phrase,
+    n_docs, df_frac, rank)."""
+    from pyspark.sql.window import Window
+
+    sh = docs.select(
+        source,
+        id_col,
+        F.explode(F.array_distinct(word_shingles(F.col(text), n))).alias("_s"),
+    )
+    per_source = docs.groupBy(source).agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+    dfc = sh.groupBy(source, "_s").agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    j = (
+        dfc.join(F.broadcast(per_source), source)
+        .withColumn("df_frac", F.round(F.col("n_docs") / F.col("_nd"), 6))
+        .filter(F.col("df_frac") >= F.lit(min_df_frac))
+    )
+    w = Window.partitionBy(source).orderBy(F.col("n_docs").desc(), F.col("_s"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(source, F.col("_s").alias("phrase"), "n_docs", "df_frac", "rank")
+    )
+
+
 def shingle_hashes(text: Column | str, n: int = 3) -> Column:
     """64-bit rolling-shingle hashes (xxhash64 over word shingles)."""
     return F.transform(word_shingles(text, n), lambda s: F.xxhash64(s))
