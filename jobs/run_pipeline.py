@@ -103,6 +103,35 @@ def main() -> None:
     r = run_stage(spark, log, "stats", [f"z{deep}"], build_stats)
     print(f"[stats] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
 
+    # ---- pyramid (cascading rollup of the per-tile stats) ----
+    from tile_grid_spark.operators.rollup import tile_pyramid
+
+    coarser = sorted({z for z in zooms if z < deep}, reverse=True)[:3]
+
+    def build_pyramid(_unit: str):
+        base = spark.read.parquet(
+            os.path.join(args.out, "stats", f"unit=z{deep}")
+        ).select("tile_x", "tile_y", "n_images")
+        return tile_pyramid(base, deep, coarser, {"n_images": F.sum("n_images")})
+
+    if coarser:
+        r = run_stage(spark, log, "pyramid", [f"z{deep}->z{min(coarser)}"], build_pyramid)
+        print(f"[pyramid] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+
+    # ---- distinct-capture sketch (mergeable HLL per tile) ----
+    from tile_grid_spark.operators.sketches import tile_hll_sketches
+
+    def build_sketches(_unit: str):
+        t = assigned.withColumn("zoom", F.lit(deep))
+        sk = tile_hll_sketches(t, "image_id", keys=("zoom", "tile_x", "tile_y"))
+        return sk.select(
+            "zoom", "tile_x", "tile_y",
+            F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        )
+
+    r = run_stage(spark, log, "sketches", [f"z{deep}"], build_sketches)
+    print(f"[sketches] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+
     # ---- raster ----
     rz = args.raster_zoom if args.raster_zoom is not None else min(max(zooms), 6)
 

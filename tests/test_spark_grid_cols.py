@@ -284,6 +284,11 @@ class TestCover:
             w = rng.uniform(-170, 160)
             s = rng.uniform(-80, 70)
             boxes.append((w, s, w + rng.uniform(0.01, 10), s + rng.uniform(0.01, 10)))
+        for _ in range(20):  # random antimeridian-crossing boxes (w > e)
+            w = rng.uniform(150, 179.9)
+            e = rng.uniform(-179.9, -150)
+            s = rng.uniform(-80, 70)
+            boxes.append((w, s, e, s + rng.uniform(0.01, 10)))
         df = spark.createDataFrame(boxes, "minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE")
         z = 9
         got = (
