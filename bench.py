@@ -380,6 +380,8 @@ def main() -> None:
         if "pip_rows" in r:
             extras["pip_join_rows"] = r["pip_rows"]
             extras["pip_join_rows_per_sec"] = round(r["pip_rows"] / r["sec"])
+        if "knn_pairs" in r:
+            extras["knn_exact_pairs_per_sec"] = round(r["knn_pairs"] / r["sec"])
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
