@@ -51,6 +51,67 @@ def test_overlap_join_matches_bruteforce(spark):
     assert got_pairs == _brute(lpdf, rpdf)
 
 
+def test_overlap_join_antimeridian(spark):
+    """Wrap boxes (minx > maxx) join plain and wrap boxes correctly on
+    the circle (python oracle decomposes into arcs the same way)."""
+    wm = tms().lookup("WebMercatorQuad")
+    rng = np.random.default_rng(7)
+    rows_l, rows_r = [], []
+    for i in range(60):  # mixed layer: every 3rd box crosses the seam
+        miny = float(rng.uniform(-70, 50))
+        maxy = miny + float(rng.uniform(2, 15))
+        if i % 3 == 0:
+            minx = float(rng.uniform(150, 179))
+            maxx = float(rng.uniform(-179, -150))
+        else:
+            minx = float(rng.uniform(-179, 150))
+            maxx = minx + float(rng.uniform(2, 25))
+        rows_l.append((i, minx, miny, maxx, maxy))
+    for j in range(40):
+        miny = float(rng.uniform(-70, 50))
+        maxy = miny + float(rng.uniform(2, 15))
+        if j % 4 == 0:
+            minx = float(rng.uniform(150, 179))
+            maxx = float(rng.uniform(-179, -150))
+        else:
+            minx = float(rng.uniform(-179, 150))
+            maxx = minx + float(rng.uniform(2, 25))
+        rows_r.append((j, minx, miny, maxx, maxy))
+    # deterministic wrap x wrap and wrap x plain pairs
+    rows_l.append((1000, 170.0, 0.0, -170.0, 10.0))
+    rows_r.append((2000, 175.0, 5.0, -175.0, 15.0))   # wrap, overlaps 1000
+    rows_r.append((2001, -178.0, 2.0, -160.0, 8.0))   # plain, overlaps 1000
+    schema_l = "l_id BIGINT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+    schema_r = "r_id BIGINT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+    got = {
+        (r.l_id, r.r_id)
+        for r in bbox_overlap_join(
+            spark.createDataFrame(rows_l, schema_l),
+            spark.createDataFrame(rows_r, schema_r),
+            wm,
+            zoom=4,
+        ).collect()
+    }
+
+    def arcs(minx, maxx):
+        return [(minx, 180.0), (-180.0, maxx)] if minx > maxx else [(minx, maxx)]
+
+    exp = set()
+    for li, lminx, lminy, lmaxx, lmaxy in rows_l:
+        for rj, rminx, rminy, rmaxx, rmaxy in rows_r:
+            lat_ok = lminy < rmaxy and lmaxy > rminy
+            lon_ok = any(
+                a0 < b1 and a1 > b0
+                for a0, a1 in arcs(lminx, lmaxx)
+                for b0, b1 in arcs(rminx, rmaxx)
+            )
+            if lat_ok and lon_ok:
+                exp.add((li, rj))
+    assert got == exp
+    # wrap x wrap and wrap x plain pairs genuinely exercised
+    assert (1000, 2000) in got and (1000, 2001) in got
+
+
 def test_overlap_join_zoom_invariance(spark):
     """Recall is exact at ANY zoom (tiles partition the plane)."""
     wm = tms().lookup("WebMercatorQuad")

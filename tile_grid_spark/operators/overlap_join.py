@@ -35,6 +35,31 @@ from .cover import cover_bbox_geographic
 _BOX = ("minx", "miny", "maxx", "maxy")
 
 
+def _split_wrap_arcs(df: DataFrame) -> DataFrame:
+    """Decompose antimeridian-crossing boxes (minx > maxx) into two plain
+    longitude arcs ([minx, 180], [-180, maxx]) so the open-interval
+    overlap predicate stays linear. Pairs matched through both arcs
+    collapse in the downstream distinct(). Two wrap boxes always share
+    the seam neighborhood and correctly join through their [.., 180]
+    arcs; boxes touching exactly AT the seam stay disjoint (open
+    intervals), matching the reference's intersect_tms semantics."""
+    arcs = F.when(
+        F.col("minx") > F.col("maxx"),
+        F.array(
+            F.struct(F.col("minx").alias("lo"), F.lit(180.0).alias("hi")),
+            F.struct(F.lit(-180.0).alias("lo"), F.col("maxx").alias("hi")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("minx").alias("lo"), F.col("maxx").alias("hi")))
+    )
+    return (
+        df.withColumn("_arc", F.explode(arcs))
+        .withColumn("minx", F.col("_arc.lo"))
+        .withColumn("maxx", F.col("_arc.hi"))
+        .drop("_arc")
+    )
+
+
 def bbox_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,11 +73,13 @@ def bbox_overlap_join(
     matching the reference's intersect_tms: touching edges do NOT join).
 
     Both inputs need columns (id, minx, miny, maxx, maxy) in geographic
-    degrees. broadcast_right: force/forbid broadcasting the right cover
-    (None = let Catalyst/AQE decide).
+    degrees; antimeridian-crossing boxes (minx > maxx) are decomposed
+    into two arcs row-locally, so wrap x plain and wrap x wrap pairs
+    join correctly. broadcast_right: force/forbid broadcasting the right
+    cover (None = let Catalyst/AQE decide).
     """
     lc = cover_bbox_geographic(
-        left.select(F.col(left_id).alias("_lid"), *_BOX), tms, zoom
+        _split_wrap_arcs(left.select(F.col(left_id).alias("_lid"), *_BOX)), tms, zoom
     ).select(
         tile_key("tile_x", "tile_y").alias("_tk"),
         F.col("_lid"),
@@ -62,7 +89,7 @@ def bbox_overlap_join(
         F.col("maxy").alias("_lmaxy"),
     )
     rc = cover_bbox_geographic(
-        right.select(F.col(right_id).alias("_rid"), *_BOX), tms, zoom
+        _split_wrap_arcs(right.select(F.col(right_id).alias("_rid"), *_BOX)), tms, zoom
     ).select(
         tile_key("tile_x", "tile_y").alias("_tk"),
         F.col("_rid"),
