@@ -342,6 +342,26 @@ class TestStreamingSessionizeReplay:
                 + pd.to_timedelta(np.sort(rng.integers(0, 6 * 86400, n)), unit="s"),
             }
         )
+        # key 99 goes quiet long enough for its EVENT-TIME timeout to
+        # close the session mid-replay, then RETURNS: the running totals
+        # must keep accumulating batch-identically (2 sessions, 4 events)
+        df = pd.concat(
+            [
+                df,
+                pd.DataFrame(
+                    {
+                        "point_id": np.array([99, 99, 99, 99], dtype="int64"),
+                        "ts": [
+                            base,
+                            base + pd.Timedelta(seconds=60),
+                            base + pd.Timedelta(days=5),
+                            base + pd.Timedelta(days=5, seconds=30),
+                        ],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
         df["ts"] = df["ts"].astype("datetime64[us]")
 
         # independent batch oracle (python fold, gap=1800)
@@ -374,7 +394,13 @@ class TestStreamingSessionizeReplay:
             .option("maxFilesPerTrigger", 1)
             .parquet(str(src))
         )
-        sess = stream_sessionize(stream, key="point_id", gap_sec=1800, watermark="1 second")
+        # eviction horizon ABOVE key 99's 5-day quiet gap: the timeout
+        # CLOSES its session mid-replay but the counters survive, so the
+        # returning events keep accumulating batch-identically
+        sess = stream_sessionize(
+            stream, key="point_id", gap_sec=1800, watermark="1 second",
+            evict_sec=10 * 86400,
+        )
         q = (
             sess.writeStream.format("memory")
             .queryName("sessionize_replay_test")

@@ -290,6 +290,20 @@ class TestSimilarity:
             mine = a[a.query_id == qid].sort_values("rank").cand_id.tolist()
             assert mine == exp[qid], qid
 
+    def test_arrow_topk_tie_break_deterministic(self, spark, emb):
+        # equal-cosine candidates (identical embeddings) must resolve by
+        # cand_id ascending even within one batch's local top-k
+        from tile_grid_spark.operators.similarity import brute_force_topk_arrow
+
+        v = [1.0] + [0.0] * 23
+        q = spark.createDataFrame([(0, v)], "query_id BIGINT, embedding ARRAY<FLOAT>")
+        c = spark.createDataFrame(
+            [(9, v), (5, v), (7, v), (3, [0.0] * 23 + [1.0])],
+            "cand_id BIGINT, embedding ARRAY<FLOAT>",
+        )
+        got = brute_force_topk_arrow(q, c, k=2).orderBy("rank").collect()
+        assert [r.cand_id for r in got] == [5, 7]
+
     def test_arrow_topk_caps_query_side(self, spark, emb):
         from tile_grid_spark.operators.similarity import brute_force_topk_arrow
 

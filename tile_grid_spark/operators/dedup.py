@@ -193,7 +193,9 @@ def simhash_udf():
             word = ((2 * sums > n_tok).astype(np.uint64) << weights).sum(
                 dtype=np.uint64
             )
-            out[i] = np.int64(word)
+            # astype, not np.int64(): a set bit 63 makes word >= 2^63 and
+            # the scalar constructor raises OverflowError on numpy >= 2
+            out[i] = word.astype(np.int64)
         return pd.Series(out)
 
     return f

@@ -190,6 +190,15 @@ def knn_join(
         )
         results.append(tail)
 
+    if not results:
+        # empty queries (or a zero-round loop on a degenerate grid) with
+        # nothing pending: return an empty frame with the right schema
+        return (
+            q.join(c, F.lit(False))
+            .withColumn("dist", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+            .select(query_id, cand_id, "dist", "rank")
+        )
     out = results[0]
     for part in results[1:]:
         out = out.unionByName(part)

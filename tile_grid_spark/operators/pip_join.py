@@ -112,19 +112,25 @@ def pip_join(
     )
     # single packed bigint key -> LongHashedRelation fast path (3-10x
     # faster probes than the two-column key; see grid_cols.tile_key)
+    # dropDuplicates on (_tk, poly_id): an antimeridian-crossing bbox's
+    # two split x-ranges can land on the SAME tile at coarse zooms (the
+    # cover faithfully emits the duplicate, like the reference iterator);
+    # without the dedup every point in that tile would match twice
     if broadcast_polys:
         cover = cover_bbox_geographic(polygons, tms, zoom)
         poly_side = F.broadcast(
             cover.select(
                 tile_key("tile_x", "tile_y").alias("_tk"), poly_id, ring_lon, ring_lat
-            )
+            ).dropDuplicates(["_tk", poly_id])
         )
         joined = pts.join(poly_side, on="_tk", how="inner")
     else:
         slim = polygons.select(poly_id, "minx", "miny", "maxx", "maxy")
         cover = cover_bbox_geographic(slim, tms, zoom)
         pre = pts.join(
-            cover.select(tile_key("tile_x", "tile_y").alias("_tk"), poly_id),
+            cover.select(
+                tile_key("tile_x", "tile_y").alias("_tk"), poly_id
+            ).dropDuplicates(["_tk", poly_id]),
             on="_tk",
             how="inner",
         )

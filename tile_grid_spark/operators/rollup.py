@@ -8,9 +8,16 @@ the reference's power-of-2 parent arithmetic, tms.rs:982-1015). At
 (4x fewer rows per step), so the whole pyramid costs ~1.33x the finest
 level's aggregate.
 
-Only quadtree (power-of-2 scaling) TMS levels qualify — the same
-constraint the engine's multizoom shift fast path documents
-(functions/grid_cols._quadtree_shiftable).
+Semantics: parent x = x >> dz is EXACT in tile-INDEX space whenever the
+matrix width doubles per zoom (every registered quadtree TMS, including
+JSON-loaded WebMercatorQuad — widths are exact powers of two even where
+the decimal-rounded resolutions are 1 ulp off). The pyramid is therefore
+always an exact rollup OF THE BASE-ZOOM ASSIGNMENT. Whether it also
+equals re-ASSIGNING the raw points at the coarse zoom depends on the
+resolutions halving exactly in doubles — true for computed custom TMS,
+1-ulp-boundary-sensitive for JSON WMQ — the same caveat as
+grid_cols._multizoom_by_shift. Pass `tms` to validate the width
+doubling; rollup-of-assignment semantics need nothing more.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ def tile_pyramid(
     tile_y: str = "tile_y",
     zoom_col: str = "zoom",
     cascade: bool = True,
+    tms=None,
 ) -> DataFrame:
     """Roll a per-tile aggregate at `base_zoom` up to coarser `zooms`.
 
@@ -51,6 +59,16 @@ def tile_pyramid(
     zs = sorted(set(int(z) for z in zooms), reverse=True)
     if any(z >= base_zoom for z in zs):
         raise ValueError(f"zooms {zs} must all be coarser than base_zoom={base_zoom}")
+    if tms is not None:
+        # index-space shift requires the matrix width to double per zoom
+        for z in zs:
+            pw = tms.zoom_params(z).matrix_width
+            bw = tms.zoom_params(base_zoom).matrix_width
+            if pw << (base_zoom - z) != bw:
+                raise ValueError(
+                    f"tile_pyramid needs power-of-2 width scaling: width(z{z})="
+                    f"{pw} << {base_zoom - z} != width(z{base_zoom})={bw}"
+                )
 
     metrics = list(reaggs)
     cur = base.select(tile_x, tile_y, *metrics).withColumn(

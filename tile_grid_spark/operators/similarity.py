@@ -124,11 +124,13 @@ def brute_force_topk_arrow(
             sims = Cn @ Qn.T  # (batch, n_queries)
             ids = pdf[cand_id].to_numpy()
             kk = min(k, sims.shape[0])
-            # local top-k per query: argpartition then exact sort
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
             rows_q, rows_c, rows_s = [], [], []
             for j in range(sims.shape[1]):
-                idx = part[:, j]
+                # local top-k with the SAME deterministic tie order as
+                # the global window (cosine desc, cand_id asc) — a bare
+                # argpartition would drop equal-cosine candidates
+                # arbitrarily at the batch boundary
+                idx = np.lexsort((ids, -sims[:, j]))[:kk]
                 rows_q.append(np.full(kk, qids[j]))
                 rows_c.append(ids[idx])
                 rows_s.append(sims[idx, j])

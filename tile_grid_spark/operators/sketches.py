@@ -57,41 +57,23 @@ def hll_pyramid(
     sketch: str = "sketch",
     zoom_col: str = "zoom",
 ) -> DataFrame:
-    """Roll per-tile sketches up a quadtree pyramid by sketch union
-    (parent x = x >> dz, cascading level-to-level like
-    operators/rollup.tile_pyramid). Output: (zoom, tile_x, tile_y,
-    sketch, n_distinct_est) for the base and every requested level."""
-    zs = sorted(set(int(z) for z in zooms), reverse=True)
-    if any(z >= base_zoom for z in zs):
-        raise ValueError(f"zooms {zs} must all be coarser than base_zoom={base_zoom}")
+    """Roll per-tile sketches up a quadtree pyramid by sketch union —
+    the cascading pyramid is operators/rollup.tile_pyramid with
+    hll_union_agg as the re-aggregation (sketch union is the metric's
+    associative combine). Output: (zoom, tile_x, tile_y, sketch,
+    n_distinct_est) for the base and every requested level."""
+    from .rollup import tile_pyramid
 
-    cur = sketches.select(tile_x, tile_y, sketch).withColumn(
-        zoom_col, F.lit(base_zoom)
+    out = tile_pyramid(
+        sketches.select(tile_x, tile_y, F.col(sketch).alias(sketch)),
+        base_zoom,
+        zooms,
+        {sketch: F.hll_union_agg(F.col(sketch))},
+        tile_x=tile_x,
+        tile_y=tile_y,
+        zoom_col=zoom_col,
+        cascade=True,
     )
-    levels = [cur]
-    prev_zoom = base_zoom
-    for z in zs:
-        dz = prev_zoom - z
-        cur = (
-            cur.select(
-                F.shiftright(F.col(tile_x), dz).alias(tile_x),
-                F.shiftright(F.col(tile_y), dz).alias(tile_y),
-                sketch,
-            )
-            .groupBy(tile_x, tile_y)
-            .agg(F.hll_union_agg(F.col(sketch)).alias(sketch))
-            .withColumn(zoom_col, F.lit(z))
-        )
-        levels.append(cur)
-        prev_zoom = z
-
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.select(
-        zoom_col,
-        tile_x,
-        tile_y,
-        sketch,
-        F.hll_sketch_estimate(F.col(sketch)).alias("n_distinct_est"),
+    return out.withColumn(
+        "n_distinct_est", F.hll_sketch_estimate(F.col(sketch))
     )

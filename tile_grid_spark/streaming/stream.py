@@ -110,6 +110,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     gap_sec: int = 1800,
     watermark: str = "10 seconds",
+    evict_sec: int = 86400,
 ) -> DataFrame:
     """Custom stateful streaming sessionization (applyInPandasWithState):
     the streaming counterpart of the batch user_sessions window plan.
@@ -119,10 +120,15 @@ def stream_sessionize(
     running session stats per key each micro-batch (update mode).
 
     Timeouts are EVENT-TIME: a key whose last event is > gap_sec behind
-    the watermark has its open session closed (closed=true row, state
-    removed) when the WATERMARK passes, not when wall-clock does — so
-    replaying the same input produces the same sessions as the batch
-    plan, which a ProcessingTimeTimeout cannot guarantee.
+    the watermark gets its open session CLOSED (closed=true row) when
+    the WATERMARK passes, not when wall-clock does — so replaying the
+    same input produces the same sessions as the batch plan, which a
+    ProcessingTimeTimeout cannot guarantee. Closing does NOT drop the
+    counters: later events for the key keep accumulating
+    n_sessions/n_events exactly like the batch fold. State is only
+    EVICTED (forgotten) once the watermark passes last_ts + evict_sec —
+    the explicit, bounded trade-off between batch-identical running
+    totals and unbounded state on an infinite keyspace.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -151,7 +157,15 @@ def stream_sessionize(
     def update(k, pdfs, state: GroupState):
         if state.hasTimedOut:
             start_e, last_e, n_ev, n_sess, max_dur = state.get
-            state.remove()
+            wm_sec = state.getCurrentWatermarkMs() // 1000
+            if wm_sec >= last_e + evict_sec:
+                state.remove()  # beyond the eviction horizon: forget
+            else:
+                # session is closed but counters survive so a returning
+                # key continues batch-identically; re-arm for eviction
+                state.setTimeoutTimestamp(
+                    max((last_e + evict_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+                )
             yield _row(k, n_sess, n_ev, start_e, last_e, max_dur, True)
             return
         start_e, last_e, n_ev, n_sess, max_dur = (
