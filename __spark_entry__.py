@@ -462,9 +462,11 @@ def q_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 cell assignment at level 10 (rows-only check: the Hilbert bit
-    layout has no SQL oracle; property tests in tests/test_cells.py pin
-    round-trips and the prefix hierarchy)."""
+    """S2 cell assignment at level 10, oracle-checked end to end: the
+    DuckDB oracle recomputes the projection (same trig as the green
+    s2_face_ij) and then UNROLLS the 10-step Hilbert fold as CASE
+    chains over the (orientation, ij) lookup table — the level-10 id
+    depends only on the top 10 bits of i/j, so 10 steps suffice."""
     from tile_grid_spark.functions.cells import s2_cell_udf
 
     pts = _points_df(spark, sf_dir, "customer", "c_custkey")
@@ -494,20 +496,24 @@ def q_s2_face_ij(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB
-    counterpart; banding/pigeonhole logic is pytest-verified)."""
+    """SimHash near-dup pairs, md5-derived token hashes (hash_fn='md5')
+    so the full pipeline — per-bit majority vote, 16-bit banding,
+    bit_count verify — is recomputed verbatim by the DuckDB oracle.
+    The xxhash64 production family is pytest-pinned."""
     from tile_grid_spark.operators.dedup import simhash_near_pairs, with_simhash
 
     d = read_table(spark, sf_dir, "documents")
     return (
-        simhash_near_pairs(with_simhash(d), max_hamming=16)
+        simhash_near_pairs(with_simhash(d, hash_fn="md5"), max_hamming=16)
         .orderBy("id_a", "id_b")
     )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via hyperplane LSH (rows-only: approximate by
-    design; recall vs brute force is pytest-gated)."""
+    """Approximate NN via hyperplane LSH. Approximate vs brute force
+    (recall pytest-gated) but fully DETERMINISTIC given the seed, so the
+    oracle replays it exactly: the seeded hyperplanes are embedded as
+    SQL literals and DuckDB recomputes buckets, probes and cosines."""
     from tile_grid_spark.operators.similarity import lsh_topk
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -564,13 +570,17 @@ def q_tile_assign_wgs84(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification
-    (rows-only: signatures hinge on Spark xxhash64; the exact-Jaccard
-    verification step is oracle-checked via ngram_jaccard)."""
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    Runs the md5-derived 60-bit hash family (hash_fn='md5') so DuckDB
+    recomputes signatures, banding AND verification hash-for-hash; the
+    xxhash64 production family is pinned against the same recall/no-FP
+    gates in tests/test_dedup.py."""
     from tile_grid_spark.operators.dedup import minhash_lsh_pairs
 
     d = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, k=32, bands=8, jaccard_threshold=0.2).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(
+        d, k=32, bands=8, jaccard_threshold=0.2, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
 
 
 
@@ -705,6 +715,38 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dot_expr("l._emb", "r._emb", 64) / (F.col("l._n") * F.col("r._n")) >= 0.4)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE input_hint invariant over the synthetic image table
+    (raw / zlib / REAL PNG payloads, functions/png.py): recomputed phash
+    must equal the stored phash per row, the lossless decode->recode
+    PSNR is inf (reported 999.0), and the quantize->PNG lossy recode
+    must clear the 40 dB gate. NO oracle_sql: DuckDB has no image
+    codecs; the gate is the assertion columns themselves (n_rows ==
+    n_phash_match, min psnr >= thresholds), pinned in
+    tests/test_images_raster.py. sf_dir-independent by design — the
+    table is generated deterministically (seeded per row)."""
+    from tile_grid_spark.functions.image import (
+        psnr_vs_lossy_recode_udf,
+        with_payload_checks,
+    )
+    from tile_grid_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 240, seed=77)
+    checked = with_payload_checks(imgs).withColumn(
+        "psnr_lossy_db", psnr_vs_lossy_recode_udf(6)("bytes", "fmt", "w", "h")
+    )
+    return (
+        checked.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("phash_match").cast("int")).alias("n_phash_match"),
+            F.round(F.min("psnr_db"), 4).alias("min_psnr_lossless"),
+            F.round(F.min("psnr_lossy_db"), 4).alias("min_psnr_lossy"),
+        )
+        .orderBy("fmt")
     )
 
 
@@ -996,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
+        "decode_psnr": q_decode_psnr,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "bbox_overlap": q_bbox_overlap,
@@ -1019,6 +1062,254 @@ def _tile_xy_sql(zoom: int, lon: str = "lon", lat: str = "lat") -> tuple[str, st
     tx = _tile_sql(_merc_x_sql(lon), _d(p.origin_x), unit_x, flip=False, max_index=p.matrix_width)
     ty = _tile_sql(_merc_y_sql(lat), _d(p.origin_y), unit_x, flip=True, max_index=p.matrix_height)
     return tx, ty
+
+
+def _h60_sql(expr: str) -> str:
+    """DuckDB twin of operators.dedup.md5_hash60 (60-bit md5 hash)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _word_shingles_sql(n: int = 3) -> str:
+    """DuckDB twin of functions.text.word_shingles over token list `t`
+    (non-distinct, same order as the Spark transform)."""
+    return (
+        f"CASE WHEN len(t) < {n} THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(1, len(t) - {n - 2}), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """Replays minhash_lsh_pairs(hash_fn='md5') verbatim: per-seed
+    signature mins, band hashes over '|'-joined signature slices,
+    banded candidate self-join, exact shingle-set Jaccard verify."""
+    rows = k // bands
+    sig_items = ",\n             ".join(
+        f"list_min(list_transform(s_all, x -> {_h60_sql(repr(str(i) + ':') + ' || x')}))"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + _h60_sql(f"array_to_string(sig[{b * rows + 1}:{b * rows + rows}], '|')")
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, {_word_shingles_sql(3)} AS s_all FROM toks
+        ),
+        sig AS (
+          SELECT doc_id,
+             [{sig_items}] AS sig
+          FROM sh
+        ),
+        banded AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        shd AS (SELECT doc_id, list_distinct(s_all) AS s FROM sh),
+        scored AS (
+          SELECT p.id_a, p.id_b,
+                 len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(a.s || b.s)) AS j
+          FROM pairs p
+          JOIN shd a ON a.doc_id = p.id_a
+          JOIN shd b ON b.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard
+        FROM scored WHERE j >= {_d(threshold)} ORDER BY id_a, id_b
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 16, bands: int = 4) -> str:
+    """Replays with_simhash(hash_fn='md5') + simhash_near_pairs: md5
+    60-bit token hashes, per-bit majority vote (60 unrolled terms),
+    16-bit pigeonhole bands, bit_count verify."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    vote_terms = "\n             + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(h, v -> (v >> {b}) & 1)) > n "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)  # md5_hash60 is 60-bit: bits 60..63 are always 0
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * width}) & {mask} AS bh FROM sim"
+        for b in range(bands)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, list_transform(t, x -> {_h60_sql('x')}) AS h,
+                 len(t) AS n
+          FROM toks
+        ),
+        sim AS (
+          SELECT doc_id,
+             ({vote_terms}) AS sh
+          FROM th
+        ),
+        banded AS ({band_selects}),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                 CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming} ORDER BY id_a, id_b
+    """
+
+
+# _IJ_TO_POS flattened by state = orientation*4 + ij (functions/cells.py):
+# the inverse of kPosToIJ, with kPosToOrientation = [1, 0, 0, 3]
+_S2_STATE_TO_POS = [0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0]
+
+
+def _s2_cells_oracle_sql() -> str:
+    """Replays s2_cell_udf(10): the s2_face_ij projection (same trig as
+    the green s2_face_ij oracle) + the 10-step Hilbert fold unrolled as
+    CASE chains (level-10 pos depends only on bits 29..20 of i/j =
+    bits 9..0 of i10/j10), then the [face:3][pos:20][1][40x0] assembly
+    in HUGEINT with the signed-BIGINT reinterpretation numpy's
+    .view(int64) performs."""
+    pos_case = " ".join(
+        f"WHEN {s} THEN {p}" for s, p in enumerate(_S2_STATE_TO_POS[:-1])
+    )
+    steps = []
+    for kstep in range(10):
+        bit = 9 - kstep
+        steps.append(f"""
+        p{kstep} AS (
+          SELECT pid, i10, j10, face, pos, o,
+                 CASE o * 4 + ((i10 >> {bit}) & 1) * 2 + ((j10 >> {bit}) & 1)
+                   {pos_case} ELSE {_S2_STATE_TO_POS[-1]} END AS p
+          FROM h{kstep}
+        ),
+        h{kstep + 1} AS (
+          SELECT pid, i10, j10, face, pos * 4 + p AS pos,
+                 xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END) AS o
+          FROM p{kstep}
+        )""")
+    fold = ",".join(steps)
+    return f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        xyz AS (
+          SELECT pid,
+                 cos(radians(lat)) * cos(radians(lon)) AS x,
+                 cos(radians(lat)) * sin(radians(lon)) AS y,
+                 sin(radians(lat)) AS z
+          FROM pts
+        ),
+        fc AS (
+          SELECT pid, x, y, z,
+                 CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                      THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+                      WHEN abs(y) >= abs(z)
+                      THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+                      ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END
+                 END AS face
+          FROM xyz
+        ),
+        uv AS (
+          SELECT pid, face,
+                 CASE face WHEN 0 THEN y / x WHEN 1 THEN -(x / y)
+                           WHEN 2 THEN -(x / z) WHEN 3 THEN z / x
+                           WHEN 4 THEN z / y ELSE -(y / z) END AS u,
+                 CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y
+                           WHEN 2 THEN -(y / z) WHEN 3 THEN y / x
+                           WHEN 4 THEN -(x / y) ELSE -(x / z) END AS v
+          FROM fc
+        ),
+        st AS (
+          SELECT pid, face,
+                 CASE WHEN u >= 0e0 THEN 5e-1 * sqrt(1e0 + 3e0 * u)
+                      ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * u) END AS s,
+                 CASE WHEN v >= 0e0 THEN 5e-1 * sqrt(1e0 + 3e0 * v)
+                      ELSE 1e0 - 5e-1 * sqrt(1e0 - 3e0 * v) END AS t
+          FROM uv
+        ),
+        h0 AS (
+          SELECT pid, face,
+                 LEAST(GREATEST(CAST(floor(1073741824e0 * s) AS BIGINT), 0),
+                       1073741823) >> 20 AS i10,
+                 LEAST(GREATEST(CAST(floor(1073741824e0 * t) AS BIGINT), 0),
+                       1073741823) >> 20 AS j10,
+                 face & 1 AS o, CAST(0 AS BIGINT) AS pos
+          FROM st
+        ),{fold},
+        ids AS (
+          SELECT CAST(face AS HUGEINT) * 2305843009213693952
+                 + CAST(pos AS HUGEINT) * 2199023255552
+                 + 1099511627776 AS u_id
+          FROM h10
+        )
+        SELECT CAST(CASE WHEN u_id >= 9223372036854775808
+                         THEN u_id - 18446744073709551616
+                         ELSE u_id END AS BIGINT) AS s2_cell,
+               COUNT(*) AS n_points
+        FROM ids GROUP BY 1 ORDER BY s2_cell
+    """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Replays q_ann_lsh exactly: the seed-42 hyperplanes (first 4 of 16,
+    dim 64 — same construction as similarity._hyperplanes) are embedded
+    as double literals; buckets from projection signs, 1-bit probes on
+    bits 0..3, exact cosine, top-5 window."""
+    from tile_grid_spark.operators.similarity import _hyperplanes
+
+    H = _hyperplanes(16, 64, 42)[:4]
+    plane_lists = ", ".join(
+        "[" + ", ".join(_d(float(v)) for v in H[b]) + f"] AS h{b}" for b in range(4)
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, len(emb)), "
+        f"i -> emb[i] * h{b}[i])) > 0e0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    return f"""
+        WITH planes AS (SELECT {plane_lists}),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm,
+                 {bucket_terms} AS bkt
+          FROM e, planes
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, bkt
+              FROM n WHERE vec_id < 10),
+        qp AS (SELECT query_id, qe, qn, xor(bkt, f.f) AS bkt
+               FROM q, (VALUES (0), (1), (2), (4), (8)) f(f)),
+        c AS (SELECT vec_id AS cand_id, emb AS ce, nrm AS cn, bkt
+              FROM n WHERE vec_id >= 10),
+        pairs AS (
+          SELECT query_id, cand_id,
+                 list_sum(list_transform(generate_series(1, len(qe)),
+                     i -> qe[i] * ce[i])) / (qn * cn) AS cosine
+          FROM qp JOIN c USING (bkt)
+        ),
+        ranked AS (
+          SELECT query_id, cand_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM pairs
+        )
+        SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
+               round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1704,6 +1995,12 @@ def oracle_sql() -> dict[str, str]:
                round({_d(LEGACY.extent.miny)} + {_d(res10)} * tms_y * 256.0, 6) AS ext_miny
         FROM t2 ORDER BY s_suppkey
     """
+    # ---- md5-family dedup, S2 Hilbert, seeded-LSH oracles (round 3) ----
+    sql["minhash_pairs"] = _minhash_oracle_sql(k=32, bands=8, threshold=0.2)
+    sql["simhash_pairs"] = _simhash_oracle_sql(max_hamming=16, bands=4)
+    sql["s2_cells"] = _s2_cells_oracle_sql()
+    sql["ann_lsh"] = _ann_lsh_oracle_sql()
+
     return sql
 
 

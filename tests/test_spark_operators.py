@@ -129,6 +129,33 @@ class TestRectContainsAntimeridian:
             matched_lons = [lon[p] for p, r in expected if r == rid]
             assert any(v > 0 for v in matched_lons) and any(v < 0 for v in matched_lons)
 
+    def test_boundary_point_on_tile_edge_inclusive(self, spark, wm):
+        # regression (r2 ADVICE): a point exactly ON a rect max edge that
+        # coincides with a tile boundary fell outside the epsilon-inset
+        # cover and was silently dropped despite the closed-interval
+        # predicate. z3 tile edges: lon multiples of 45, merc-y=0 (equator).
+        from tile_grid_spark.operators.pip_join import rect_contains_join
+
+        pts = spark.createDataFrame(
+            [
+                (0, 45.0, 10.0),   # east edge == tile column boundary
+                (1, 20.0, 0.0),    # south edge == equator row boundary
+                (2, 45.0, 0.0),    # corner: both at once
+                (3, 20.0, 10.0),   # interior control
+                (4, 45.1, 10.0),   # just outside east -> excluded
+                (5, 20.0, -0.1),   # just below south -> excluded
+            ],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        rdf = spark.createDataFrame(
+            [(0, 0.0, 0.0, 45.0, 30.0)],
+            "rect_id INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        got = sorted(
+            r.pid for r in rect_contains_join(pts, rdf, wm, zoom=3).collect()
+        )
+        assert got == [0, 1, 2, 3]
+
 
 class TestKnn:
     def test_vs_bruteforce(self, spark, wm):
@@ -194,6 +221,47 @@ class TestKnn:
                 1 for i in order if (qlon[qid] > 0) != (clon[int(i)] > 0)
             )
         assert n_cross > 0  # the fixture genuinely exercises the seam
+
+    def test_antimeridian_wrap_wgs84_units(self, spark):
+        # regression (r2 ADVICE): on a global EPSG:4326 TMS the wrap width
+        # was taken in CRS units (360 degrees) while distances are Mercator
+        # meters, so least(adx_m, 360 - adx_m) corrupted ALL distances.
+        # Same oracle as the WebMercator wrap test, WGS84 grid.
+        wgs = tms().lookup("WorldCRS84Quad")
+        rng = np.random.default_rng(43)
+        qlon = np.concatenate([rng.uniform(178.0, 180.0, 10), rng.uniform(-180.0, -178.0, 10)])
+        qlat = rng.uniform(-40.0, 40.0, 20)
+        clon = np.concatenate([rng.uniform(176.0, 180.0, 150), rng.uniform(-180.0, -176.0, 150)])
+        clat = rng.uniform(-45.0, 45.0, 300)
+        q = spark.createDataFrame(
+            list(zip(range(20), qlon.tolist(), qlat.tolist())),
+            "query_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        c = spark.createDataFrame(
+            list(zip(range(300), clon.tolist(), clat.tolist())),
+            "cand_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        k = 4
+        got = knn_join(q, c, wgs, zoom=6, k=k).toPandas()
+        R = 6378137.0
+        world = 2 * np.pi * R
+
+        def merc(lon_, lat_):
+            return R * np.radians(lon_), R * np.log(
+                np.tan(np.pi * 0.25 + 0.5 * np.radians(lat_))
+            )
+
+        qx, qy = merc(qlon, qlat)
+        cx, cy = merc(clon, clat)
+        n_cross = 0
+        for qid in range(20):
+            adx = np.abs(qx[qid] - cx)
+            d = np.hypot(np.minimum(adx, world - adx), qy[qid] - cy)
+            order = np.lexsort((np.arange(len(d)), d))[:k]
+            mine = got[got.query_id == qid].sort_values("rank")
+            assert mine.cand_id.tolist() == [int(i) for i in order], f"query {qid}"
+            n_cross += sum(1 for i in order if (qlon[qid] > 0) != (clon[int(i)] > 0))
+        assert n_cross > 0
 
     def test_tail_broadcasts_and_caps(self, spark, wm):
         # far-apart queries/candidates with max_ring=1 -> brute-force tail;

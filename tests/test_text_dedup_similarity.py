@@ -184,6 +184,60 @@ class TestDedup:
         h = dict(((r.id_a, r.id_b), r.hamming) for r in pairs)
         assert h[(0, 1)] == 0
 
+    def test_minhash_md5_family_matches_gates(self, docs):
+        # the md5 60-bit family (the DuckDB-oracle variant) must pass the
+        # same detection gates as the xxhash64 production family
+        pairs = minhash_lsh_pairs(
+            docs, k=32, bands=8, jaccard_threshold=0.3, hash_fn="md5"
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got
+        assert (0, 2) in got or (1, 2) in got
+        strict = minhash_lsh_pairs(
+            docs, k=32, bands=8, jaccard_threshold=0.9, hash_fn="md5"
+        ).collect()
+        assert {(r.id_a, r.id_b) for r in strict} == {(0, 1)}
+        # exact-Jaccard verification is hash-family-independent: the pair
+        # sets agree wherever BOTH families band the pair together
+        xx = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(
+                docs, k=32, bands=8, jaccard_threshold=0.3
+            ).collect()
+        }
+        md = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        for key in xx.keys() & md.keys():
+            assert xx[key] == md[key]
+
+    def test_simhash_md5_family(self, docs):
+        sh = with_simhash(docs, hash_fn="md5")
+        vals = {r.doc_id: r.simhash for r in sh.collect()}
+        assert vals[0] == vals[1]
+        assert all(0 <= v < 2**60 for v in vals.values())  # 60-bit family
+        pairs = simhash_near_pairs(sh, max_hamming=8).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert (0, 1) in got
+        assert dict(((r.id_a, r.id_b), r.hamming) for r in pairs)[(0, 1)] == 0
+
+    def test_ngram_bucket_cap_raises(self, docs):
+        # every fixture doc shares a prefix bucket only with its dups;
+        # force a degenerate bucket by keying on a 1-char prefix and
+        # capping below the bucket size
+        with pytest.raises(ValueError, match="max_bucket"):
+            ngram_jaccard_pairs(
+                docs.withColumn("text", F.concat(F.lit("x"), "text")),
+                threshold=0.1,
+                prefilter_prefix=1,
+                max_bucket=3,
+            )
+
+    def test_minhash_shingles_stay_out_of_banding_shuffle(self, docs):
+        # scale shape: the shingle-array verify side is narrowed by a
+        # broadcast LEFT-SEMI on candidate ids before any join — full-
+        # table shingle arrays must never ride a shuffle
+        plan = minhash_lsh_pairs(docs, k=16, bands=4)._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan, plan[:2000]
+
     def test_embedding_near_pairs(self, spark):
         rng = np.random.default_rng(3)
         base = rng.standard_normal((20, 16)).astype(np.float32)
@@ -330,6 +384,26 @@ class TestSimilarity:
             total += 5
         recall = hits / total
         assert recall > 0.45, recall  # ~1.5x the 5/16 examination rate
+
+    def test_ivf_centroid_sample_is_unbiased(self, spark):
+        # regression (r2 VERDICT): a bare limit(n) collected the FIRST
+        # partitions only, so on a table clustered by region the k-means
+        # sample saw one cluster. Fixture: cluster A occupies all early
+        # rows, cluster B all late rows; the fitted centroids must still
+        # cover BOTH clusters.
+        from tile_grid_spark.operators.similarity import fit_ivf_centroids
+
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((400, 8)) * 0.1 + np.array([5.0] + [0.0] * 7)
+        b = rng.standard_normal((400, 8)) * 0.1 + np.array([-5.0] + [0.0] * 7)
+        rows = [(i, v.tolist()) for i, v in enumerate(a)] + [
+            (400 + i, v.tolist()) for i, v in enumerate(b)
+        ]
+        df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        C = fit_ivf_centroids(df, n_centroids=2, sample=100, seed=3)
+        has_a = (C @ np.array([1.0] + [0.0] * 7) > 0.9).any()
+        has_b = (C @ np.array([-1.0] + [0.0] * 7) > 0.9).any()
+        assert has_a and has_b, C
 
     def test_ivf_recall(self, spark, emb):
         df, X = emb

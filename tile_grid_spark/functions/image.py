@@ -31,6 +31,19 @@ def decode_image(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         raw = payload
     elif fmt == "zlib":
         raw = zlib.decompress(payload)
+    elif fmt == "png":
+        # real container decode (functions/png.py: stdlib zlib + numpy
+        # unfiltering incl. Paeth); metadata columns must agree with the
+        # container header — a mismatch is corrupt input, not a resize
+        from .png import decode_png
+
+        px = decode_png(payload)
+        if px.shape[:2] != (h, w):
+            raise ValueError(
+                f"PNG header says {px.shape[1]}x{px.shape[0]} but metadata "
+                f"says {w}x{h}"
+            )
+        return px
     else:
         raise NotImplementedError(
             f"codec {fmt!r} not available in-sandbox (no PIL/libjpeg); "
@@ -70,6 +83,30 @@ def psnr_vs_recode_udf():
         for i in range(len(payload)):
             px = decode_image(payload.iloc[i], fmt.iloc[i], int(w.iloc[i]), int(h.iloc[i]))
             rt = decode_image(zlib.compress(px.tobytes(), 1), "zlib", int(w.iloc[i]), int(h.iloc[i]))
+            v = psnr(px, rt)
+            out[i] = 999.0 if v == float("inf") else v
+        return pd.Series(out)
+
+    return f
+
+
+def psnr_vs_lossy_recode_udf(quant_bits: int = 6):
+    """PSNR of decode -> QUANTIZED png recode -> decode: the input_hint
+    lossy-path gate (PSNR >= 40 dB). Quantizing to `quant_bits` bits per
+    channel before the (lossless) PNG container makes the recode lossy
+    the way a real jpeg step is, with a bounded, codec-free error:
+    6 bits => uniform error in [-2, 2) => PSNR ~ 46-49 dB."""
+    from .png import decode_png, encode_png
+
+    shift = 8 - quant_bits
+
+    @F.pandas_udf(DoubleType())
+    def f(payload: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = np.empty(len(payload), dtype=np.float64)
+        for i, (pl, fm, wi, hi) in enumerate(zip(payload, fmt, w, h)):
+            px = decode_image(pl, fm, int(wi), int(hi))
+            q = ((px >> shift) << shift) | (1 << (shift - 1) if shift else 0)
+            rt = decode_png(encode_png(q.astype(np.uint8), level=1))
             v = psnr(px, rt)
             out[i] = 999.0 if v == float("inf") else v
         return pd.Series(out)

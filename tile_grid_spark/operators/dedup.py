@@ -48,16 +48,35 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(text_col, k: int = 32, shingle_n: int = 3) -> F.Column:
-    """k-element MinHash signature: min over shingles of xxhash64(seed_i, s).
-    Native (k array-transform+array_min expressions)."""
+def md5_hash60(col: F.Column, prefix: str | None = None) -> F.Column:
+    """60-bit positive hash from md5 — the DuckDB-expressible twin of
+    xxhash64 (oracle: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)).
+    15 hex chars < 2^60 so the conv() result always fits a signed BIGINT
+    on both engines. `prefix` seeds independent hash families."""
+    if prefix is not None:
+        col = F.concat_ws(":", F.lit(prefix), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(
+    text_col, k: int = 32, shingle_n: int = 3, hash_fn: str = "xxhash64"
+) -> F.Column:
+    """k-element MinHash signature: min over shingles of hash_i(s).
+    Native (k array-transform+array_min expressions). hash_fn:
+    'xxhash64' (production — fastest, JVM-side) or 'md5' (60-bit
+    md5-derived, bit-reproducible in DuckDB for the oracle gate)."""
     sh = word_shingles(text_col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(k)
+    if hash_fn == "xxhash64":
+        hashes = [
+            F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)) for i in range(k)
         ]
-    )
+    elif hash_fn == "md5":
+        hashes = [
+            F.transform(sh, lambda s, i=i: md5_hash60(s, str(i))) for i in range(k)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return F.array(*[F.array_min(h) for h in hashes])
 
 
 def minhash_lsh_pairs(
@@ -68,23 +87,34 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs via banded MinHash, verified with exact shingle-set
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold."""
+    jaccard >= threshold.
+
+    Scale shape: full shingle ARRAYS never enter a full-table shuffle —
+    candidate ids (tiny by construction: near-dups are rare in a healthy
+    corpus) broadcast into a left-semi filter on the shingle side, so
+    only candidate docs' arrays are materialized for verification. The
+    candidate subtree is persisted because it feeds both the semi filter
+    and the final pair join (one banding pass, not two).
+    """
     rows = k // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text), k, shingle_n).alias("_sig"),
+        minhash_signature(F.col(text), k, shingle_n, hash_fn).alias("_sig"),
     )
+
+    def band_hash(b: int) -> F.Column:
+        els = [F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*els)
+        return md5_hash60(F.concat_ws("|", *[e.cast("string") for e in els]))
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]).alias(
-                    "bh"
-                ),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)
         ]
     )
@@ -97,9 +127,21 @@ def minhash_lsh_pairs(
         .filter(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .persist()
     )
-    shingles = df.select(
-        F.col(id_col).alias("_sid"), F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_sid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_sid")))
+        .distinct()
+    )
+    shingles = (
+        df.select(
+            F.col(id_col).alias("_sid"),
+            F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"),
+        )
+        # broadcast semi-join: the shingle scan streams past a hashed id
+        # set — zero exchange of the wide array column for non-candidates
+        .join(F.broadcast(cand_ids), "_sid", "left_semi")
     )
     verified = (
         pairs.join(shingles.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
@@ -126,16 +168,38 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     prefilter_prefix: int = 24,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Exact Jaccard over word n-grams with a cheap prefix-bucket prefilter
     (documents sharing no 24-char prefix bucket are never compared — for a
     corpus where near-dups share openings; use minhash_lsh_pairs for the
-    general case)."""
+    general case).
+
+    The comparison is QUADRATIC within a bucket, so a degenerate corpus
+    (everything opens with the same boilerplate) would silently go
+    O(N^2). `max_bucket` makes that footgun explicit: if any prefix
+    bucket exceeds it, raise with the offending size instead of running
+    a cartesian. Pass None to disable (e.g. on a pre-vetted corpus)."""
     s = df.select(
         F.col(id_col).alias("_id"),
         F.md5(F.substring(F.col(text), 1, prefilter_prefix)).alias("_bucket"),
         F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"),
     )
+    if max_bucket is not None:
+        big = (
+            s.groupBy("_bucket")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select(F.max("count").alias("mx"))
+            .first()
+        )
+        if big is not None and big.mx is not None:
+            raise ValueError(
+                f"ngram_jaccard_pairs: a prefix bucket holds {big.mx} docs "
+                f"(> max_bucket={max_bucket}); the within-bucket compare "
+                "would be quadratic — use minhash_lsh_pairs for this corpus "
+                "or raise max_bucket explicitly"
+            )
     pairs = (
         s.alias("l")
         .join(s.alias("r"), "_bucket")
@@ -201,10 +265,20 @@ def simhash_udf():
     return f
 
 
-def with_simhash(df: DataFrame, text: str = "text", out: str = "simhash") -> DataFrame:
-    tok_hashes = F.transform(
-        F.split(F.trim(F.lower(F.col(text))), r"\s+"), lambda t: F.xxhash64(t)
-    )
+def with_simhash(
+    df: DataFrame, text: str = "text", out: str = "simhash", hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """hash_fn 'xxhash64' = production (full 64-bit token hashes);
+    'md5' = 60-bit md5-derived token hashes whose per-bit majority vote
+    DuckDB can recompute verbatim (bits 60..63 are then always 0 — the
+    top band loses 4 bits of selectivity, pigeonhole still holds)."""
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    if hash_fn == "xxhash64":
+        tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    elif hash_fn == "md5":
+        tok_hashes = F.transform(toks, lambda t: md5_hash60(t))
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return df.withColumn(out, simhash_udf()(tok_hashes))
 
 

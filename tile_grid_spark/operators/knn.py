@@ -91,13 +91,26 @@ def knn_join(
     `max_tail_pairs` pending x candidate pairs — the one place a
     cartesian could survive at scale is bounded, not silent.
     """
+    from ..core.model import meters_per_unit
+
     p = tms.zoom_params(zoom)
-    unit = p.resolution * float(p.tile_width)  # tile edge in CRS meters
+    # The distance metric is ALWAYS Mercator-plane meters (qx/qy below),
+    # so the ring stopping bound and the wrap width must be in the SAME
+    # units. meters_per_unit converts the CRS tile edge: exact for
+    # projected-meter grids (mpu=1) and for the x axis of geographic
+    # grids (mercator_x(lon) = lon * pi*R/180 = lon * mpu); a LOWER
+    # bound in y (d|mercator_y|/dlat = mpu / cos(lat) >= mpu), so the
+    # "everything outside the searched rings is farther" rule stays
+    # exact — conservative at worst. Pre-fix, a 4326 TMS mixed degrees
+    # (unit, world_w=360) with meter distances and the wrap arm
+    # corrupted every distance via least(adx_m, 360 - adx_m).
+    mpu = meters_per_unit(tms.crs())
+    unit = p.resolution * float(p.tile_width) * mpu  # tile edge, Mercator m
     bbox = tms.bbox()
     # x wraps only when the grid spans the full longitude range
     wrap_x = abs(bbox.left + 180.0) < 1e-9 and abs(bbox.right - 180.0) < 1e-9
     xyb = tms.xy_bbox()
-    world_w = float(xyb.right - xyb.left)
+    world_w = float(xyb.right - xyb.left) * mpu  # Mercator world width
 
     q = with_tile(
         queries.select(query_id, lon, lat), tms, zoom, lon=lon, lat=lat

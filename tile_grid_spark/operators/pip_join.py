@@ -170,14 +170,34 @@ def rect_contains_join(
     split ranges can land on the same tile at coarse zooms (faithful
     duplicate in the reference iterator), so the prefilter dedupes
     (tile, rect) pairs to keep join output exact.
+
+    The exact predicate is CLOSED-interval but the reference cover is
+    epsilon-INSET (tms.rs:706-746): a point sitting exactly on a rect
+    boundary that coincides with a tile boundary floors into the tile
+    just OUTSIDE the inset cover and would be silently dropped. floor()
+    assigns a boundary point to the tile on its east/south side, so only
+    the EAST (tile_x grows east) and SOUTH (tile_y grows south) rect
+    edges can lose it — the prefilter covers a bbox PADDED by
+    2*LL_EPSILON on exactly those edges, keeping the cover a strict
+    superset of the inclusive predicate (west/north boundary points
+    floor INTO the covered tile already). The pad can add one candidate
+    tile column/row per rect; exactness is unaffected. Degenerate
+    caveat: a wrap rect whose west-east gap is thinner than the pad
+    flips to non-wrap — sub-1e-10-degree gaps are below the engine's
+    resolution everywhere else too.
     """
+    from ..core.model import LL_EPSILON
     from ..functions.grid_cols import tile_key
 
     pts = with_tile(points, tms, zoom, lon=lon, lat=lat).withColumn(
         "_tk", tile_key("tile_x", "tile_y")
     )
+    pad = F.lit(2.0 * LL_EPSILON)
+    rects_pad = rects.withColumns(
+        {"_e_pad": F.col(east) + pad, "_s_pad": F.col(south) - pad}
+    )
     cov = cover_bbox_geographic(
-        rects, tms, zoom, west=west, south=south, east=east, north=north
+        rects_pad, tms, zoom, west=west, south="_s_pad", east="_e_pad", north=north
     )
     rect_side = cov.select(
         tile_key("tile_x", "tile_y").alias("_tk"), rect_id, west, south, east, north

@@ -226,10 +226,21 @@ def fit_ivf_centroids(
 ) -> np.ndarray:
     """Driver-side mini k-means on a sample (numpy Lloyd iterations).
     At 100 TB the sample stays a sample; centroids are tiny and ride as
-    UDF-closure literals."""
+    UDF-closure literals.
+
+    Sampling is UNBIASED across partitions: a bare limit(n) takes the
+    first partitions that answer (for a table sorted/clustered by some
+    key, the k-means sample would see one region of the data only) — and
+    so does sample(f).limit(n) whenever f over-provisions, because the
+    limit again cuts from the head. So the FRACTION does the sizing
+    (targeting ~1.2x `sample`; count() on parquet is metadata-cheap) and
+    the limit is only a 4x never-binding driver-OOM guard."""
+    n_total = df.count()
+    frac = min(1.0, (1.2 * sample) / max(n_total, 1))
     rows = (
         df.select(F.transform(emb, lambda x: x.cast("double")).alias("e"))
-        .limit(sample)
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(4 * sample)
         .collect()
     )
     X = np.array([r.e for r in rows], dtype=np.float64)

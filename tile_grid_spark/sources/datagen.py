@@ -11,8 +11,9 @@ size scaling evidence (same input at local[8] and local[32]).
 Skew by construction: 80% of points cluster around 20 "city" centers so
 dense tiles exercise the salting/AQE paths; 20% are uniform.
 
-Images are raw RGB (fmt='raw') or zlib-compressed (fmt='zlib') — no PIL
-in the sandbox; decode is numpy/zlib only (see functions/image.py).
+Images are raw RGB (fmt='raw'), zlib-compressed (fmt='zlib') or real PNG
+(fmt='png', mixed scanline filters — functions/png.py, stdlib-only codec);
+decode is numpy/zlib only (see functions/image.py).
 """
 
 from __future__ import annotations
@@ -61,10 +62,15 @@ def _gen_rows(row_ids: np.ndarray, seed: int, min_px: int, max_px: int) -> pd.Da
         noise = rng.integers(0, 64, (h, w, 3)).astype(np.float32)
         px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
         raw = px.tobytes()
-        if rng.random() < 0.5:
+        fmt_draw = rng.random()  # one draw, same stream position as before
+        if fmt_draw < 1.0 / 3.0:
             fmt, payload = "raw", raw
-        else:
+        elif fmt_draw < 2.0 / 3.0:
             fmt, payload = "zlib", zlib.compress(raw, level=1)
+        else:
+            from ..functions.png import encode_png
+
+            fmt, payload = "png", encode_png(px, level=1, filter_strategy="mixed")
         # position: 80% clustered, 20% uniform
         if rng.random() < 0.8:
             cx, cy = CITY_CENTERS[int(rng.integers(0, len(CITY_CENTERS)))]

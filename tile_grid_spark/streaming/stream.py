@@ -232,11 +232,10 @@ def stream_dedup(
     return points.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_to_memory_sink(
-    counts: DataFrame, query_name: str = "tile_counts", timeout_sec: float = 20.0
-):
+def run_to_memory_sink(counts: DataFrame, query_name: str = "tile_counts"):
     """Test helper: run the streaming aggregate into an in-memory sink
-    on a 1-second trigger. Returns the query handle (caller stops it).
+    on a 1-second trigger. Returns the query handle (callers poll the
+    sink and stop the query themselves — no timeout knob here).
     Exactly ONE trigger kind may be set — passing availableNow=False
     alongside processingTime counts as two and raises in pyspark 4."""
     q = (
