@@ -56,6 +56,38 @@ DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
 # work, not fixed job-submission overhead (sub-3s jobs read as
 # anti-scaling at 32 threads purely from constant costs).
 SF_REP = int(os.environ.get("SPARK_GRAFT_SF_REP", "8"))
+# Host noise on this shared box is 10x at minutes scale (identical jobs
+# measured 2.6s and 26s in different windows; r2's pip_join_scale
+# snapshot read 2x slow purely from neighbor load). The suite therefore
+# runs BENCH_REPEATS times with CPU-calibration probes BRACKETING each
+# rep; per-query time is the MIN across reps (same work, so min = least
+# contaminated) and the probe rates ship in the JSON so a slow snapshot
+# is distinguishable from a slow engine. scripts/scaling_bench.py sets
+# repeats=1 — it brackets externally with its own interleave protocol.
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+_CAL_CODE = (
+    "import math\nx=0.0\n"
+    "for i in range(4_000_000): x += math.tan(0.5+i*1e-9)\n"
+    "print(x)"
+)
+
+
+def cal_probe(n_procs: int | None = None) -> float:
+    """Outcome-independent quietness signal: aggregate completions/sec of
+    n fixed-work pure-CPU subprocesses (no JVM/Spark) — the same probe
+    scripts/scaling_bench.py brackets its pairs with, sized ~1s."""
+    import subprocess
+
+    n = n_procs or min(CPUS, 32)
+    t0 = time.time()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", _CAL_CODE], stdout=subprocess.DEVNULL)
+        for _ in range(n)
+    ]
+    for p in ps:
+        p.wait()
+    return round(n / (time.time() - t0), 2)
 
 
 def synth_points(spark: SparkSession, n: int) -> DataFrame:
@@ -368,12 +400,24 @@ def main() -> None:
         "knn_bruteforce": bench_knn,
         "doc_ops": bench_docs,
     }
+    # quiet-window protocol: probe -> suite -> probe, repeated; keep the
+    # per-query MIN (identical work per rep, so min is the least-noisy
+    # sample) and ship every probe rate so a contaminated snapshot is
+    # self-documenting instead of silently 2x slow (r2 postmortem)
     queries: dict[str, float] = {}
+    counts: dict[str, dict] = {}
+    probes: list[float] = [cal_probe()]
+    for _ in range(max(BENCH_REPEATS, 1)):
+        for name, fn in benches.items():
+            r = fn(spark)
+            if name not in queries or r["sec"] < queries[name]:
+                queries[name] = r["sec"]
+                counts[name] = r
+        probes.append(cal_probe())
+
     extras: dict[str, float] = {}
     total = 0.0
-    for name, fn in benches.items():
-        r = fn(spark)
-        queries[name] = round(r["sec"], 3)
+    for name, r in counts.items():
         total += r["sec"]
         if "assignments" in r:
             extras["tile_assignments_per_sec"] = round(r["assignments"] / r["sec"])
@@ -382,6 +426,7 @@ def main() -> None:
             extras["pip_join_rows_per_sec"] = round(r["pip_rows"] / r["sec"])
         if "knn_pairs" in r:
             extras["knn_exact_pairs_per_sec"] = round(r["knn_pairs"] / r["sec"])
+    queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -391,6 +436,9 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "bench_repeats": max(BENCH_REPEATS, 1),
+        "cal_probes_units_per_sec": probes,
+        "cal_window_min": min(probes),
         **extras,
     }
     spark.stop()

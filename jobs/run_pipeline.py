@@ -12,10 +12,18 @@ Stages (each resumable via per-partition lineage, see plans/lineage.py):
   assign   - tile assignment per zoom, written partitioned by zoom,
              range-sorted by (tile_x, tile_y)
   stats    - per-tile density aggregate with measured salting
+  pyramid  - cascading rollup of the per-tile stats
+  sketches - mergeable HLL distinct sketches per tile
+  polys    - deterministic polygon layer (second input table)
+  pip      - point-in-polygon join images x polys on the SHUFFLE path
+             (multi-input, shuffle-bearing — the resume shapes that
+             matter at scale)
+  dedup    - MinHash+LSH caption near-dup pairs (banded shuffle)
   raster   - per-tile density masks at the deepest zoom
 
 Re-running the same command after an interruption skips completed units
-(check the `_lineage` parquet for the audit trail).
+(check the `_lineage` parquet for the audit trail). `stop_after=<stage>`
+simulates a crash right after a stage for the resume tests.
 """
 
 from __future__ import annotations
@@ -44,54 +52,67 @@ def parse_zooms(s: str) -> list[int]:
     return [int(x) for x in s.split(",")]
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True)
-    ap.add_argument("--rows", type=int, default=20000)
-    ap.add_argument("--images", default=None, help="parquet path of an existing images table")
-    ap.add_argument("--zooms", default="0-8")
-    ap.add_argument("--raster-zoom", type=int, default=None)
-    ap.add_argument("--seed", type=int, default=42)
-    args = ap.parse_args()
-
-    zooms = parse_zooms(args.zooms)
-    spark = build_session("tgs-pipeline")
-    spark.sparkContext.setLogLevel("WARN")
+def run_pipeline(
+    spark,
+    out: str,
+    rows: int = 20000,
+    images_in: str | None = None,
+    zooms: list[int] | None = None,
+    raster_zoom: int | None = None,
+    seed: int = 42,
+    n_polys: int = 200,
+    stop_after: str | None = None,
+    verbose: bool = True,
+):
+    """Run (or resume) every stage; returns {stage: StageResult}.
+    `stop_after` returns right after the named stage — the crash-resume
+    tests use it to prove later runs skip completed shuffle stages."""
+    zooms = zooms or list(range(0, 9))
     wm = tms().lookup("WebMercatorQuad")
-    log = LineageLog(spark, args.out)
+    log = LineageLog(spark, out)
+    results = {}
+
+    def report(name, r):
+        results[name] = r
+        if verbose:
+            print(f"[{name}] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+        return stop_after == name
 
     # ---- ingest ----
-    images_path = os.path.join(args.out, "ingest", "unit=images")
+    images_path = os.path.join(out, "ingest", "unit=images")
 
     def build_images(_unit: str):
-        if args.images:
-            return spark.read.parquet(args.images)
-        return generate_images(spark, args.rows, seed=args.seed)
+        if images_in:
+            return spark.read.parquet(images_in)
+        return generate_images(spark, rows, seed=seed)
 
     r = run_stage(spark, log, "ingest", ["images"], build_images)
-    print(f"[ingest] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+    if report("ingest", r):
+        return results
     images = spark.read.parquet(images_path)
 
     # ---- assign (unit per zoom) ----
     def build_assign(unit: str):
         z = int(unit)
-        out = G.with_tile(images.select("image_id", "lon", "lat"), wm, z)
+        out_df = G.with_tile(images.select("image_id", "lon", "lat"), wm, z)
         return (
-            out.withColumn("zoom", F.lit(z))
+            out_df.withColumn("zoom", F.lit(z))
             .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "tile_x", "tile_y")
             .sortWithinPartitions("tile_x", "tile_y")
         )
 
     r = run_stage(spark, log, "assign", [str(z) for z in zooms], build_assign)
-    print(f"[assign] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+    if report("assign", r):
+        return results
 
     # ---- stats (salted per-tile aggregate over the deepest zoom) ----
     deep = max(zooms)
-    assigned = spark.read.parquet(os.path.join(args.out, "assign", f"unit={deep}"))
+    assigned = spark.read.parquet(os.path.join(out, "assign", f"unit={deep}"))
 
     def build_stats(_unit: str):
         counts = measure_tile_skew(assigned.withColumn("zoom", F.lit(deep)))
-        print("[stats] skew profile:", skew_stats(counts))
+        if verbose:
+            print("[stats] skew profile:", skew_stats(counts))
         return salted_tile_agg(
             assigned.withColumn("zoom", F.lit(deep)),
             {"n_images": (F.count("*"), F.sum("n_images"))},
@@ -101,7 +122,8 @@ def main() -> None:
         )
 
     r = run_stage(spark, log, "stats", [f"z{deep}"], build_stats)
-    print(f"[stats] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+    if report("stats", r):
+        return results
 
     # ---- pyramid (cascading rollup of the per-tile stats) ----
     from tile_grid_spark.operators.rollup import tile_pyramid
@@ -110,13 +132,14 @@ def main() -> None:
 
     def build_pyramid(_unit: str):
         base = spark.read.parquet(
-            os.path.join(args.out, "stats", f"unit=z{deep}")
+            os.path.join(out, "stats", f"unit=z{deep}")
         ).select("tile_x", "tile_y", "n_images")
         return tile_pyramid(base, deep, coarser, {"n_images": F.sum("n_images")})
 
     if coarser:
         r = run_stage(spark, log, "pyramid", [f"z{deep}->z{min(coarser)}"], build_pyramid)
-        print(f"[pyramid] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+        if report("pyramid", r):
+            return results
 
     # ---- distinct-capture sketch (mergeable HLL per tile) ----
     from tile_grid_spark.operators.sketches import tile_hll_sketches
@@ -130,19 +153,83 @@ def main() -> None:
         )
 
     r = run_stage(spark, log, "sketches", [f"z{deep}"], build_sketches)
-    print(f"[sketches] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+    if report("sketches", r):
+        return results
+
+    # ---- polys (second input table for the multi-input join stage) ----
+    from tile_grid_spark.operators.pip_join import generate_polygons, pip_join
+
+    def build_polys(_unit: str):
+        return generate_polygons(spark, n_polys, seed=seed + 1)
+
+    r = run_stage(spark, log, "polys", ["layer"], build_polys)
+    if report("polys", r):
+        return results
+
+    # ---- pip (shuffle-bearing, multi-input: ingest output x polys output) ----
+    pip_zoom = min(deep, 8)
+
+    def build_pip(_unit: str):
+        polys = spark.read.parquet(os.path.join(out, "polys", "unit=layer"))
+        pts = images.select("image_id", "lon", "lat")
+        # broadcast_polys=False: the tile-key SHUFFLE join path (rings
+        # re-attached by poly_id after the narrow prefilter) — resume must
+        # be proven on the plan shape that runs at 100 TB, not only on
+        # narrow map-side stages
+        return pip_join(pts, polys, wm, pip_zoom, broadcast_polys=False)
+
+    r = run_stage(spark, log, "pip", [f"z{pip_zoom}"], build_pip)
+    if report("pip", r):
+        return results
+
+    # ---- dedup (banded-shuffle caption near-dups) ----
+    from tile_grid_spark.operators.dedup import minhash_lsh_pairs
+
+    def build_dedup(_unit: str):
+        docs = images.select(
+            F.col("image_id").alias("doc_id"), F.col("caption").alias("text")
+        )
+        return minhash_lsh_pairs(docs, k=16, bands=8, jaccard_threshold=0.4)
+
+    r = run_stage(spark, log, "dedup", ["captions"], build_dedup)
+    if report("dedup", r):
+        return results
 
     # ---- raster ----
-    rz = args.raster_zoom if args.raster_zoom is not None else min(max(zooms), 6)
+    rz = raster_zoom if raster_zoom is not None else min(deep, 6)
 
     def build_raster(_unit: str):
         return rasterize_points(images, wm, rz)
 
     r = run_stage(spark, log, "raster", [f"z{rz}"], build_raster)
-    print(f"[raster] ran={r.ran_units} skipped={r.skipped_units} rows={r.rows}")
+    report("raster", r)
+    results["_log"] = log
+    return results
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rows", type=int, default=20000)
+    ap.add_argument("--images", default=None, help="parquet path of an existing images table")
+    ap.add_argument("--zooms", default="0-8")
+    ap.add_argument("--raster-zoom", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    spark = build_session("tgs-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    results = run_pipeline(
+        spark,
+        args.out,
+        rows=args.rows,
+        images_in=args.images,
+        zooms=parse_zooms(args.zooms),
+        raster_zoom=args.raster_zoom,
+        seed=args.seed,
+    )
     print("[lineage]")
-    log.summary().orderBy("ts").show(50, truncate=False)
+    results["_log"].summary().orderBy("ts").show(50, truncate=False)
     spark.stop()
 
 

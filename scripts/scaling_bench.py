@@ -95,6 +95,9 @@ def run_once(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SCALE_ROWS=os.environ.get("SPARK_GRAFT_SCALE_ROWS", "160000000"),
         SPARK_GRAFT_PIP_ROWS=os.environ.get("SPARK_GRAFT_PIP_ROWS", "320000000"),
+        # this script brackets (8,32) PAIRS with its own interleaved
+        # probes; the in-bench repeat protocol would double every run
+        SPARK_GRAFT_BENCH_REPEATS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -14,9 +14,16 @@ hierarchy/prefix properties (no oracle library in-sandbox).
 HEX (H3-inspired hierarchical hex index): icosahedral-face gnomonic
 projection onto axial hex coordinates with aperture-7 resolution steps.
 Provides cell assignment res 0..15 and k-rings with exact hex-ring
-symmetry (6r cells per ring). NOT bit-compatible with the h3 library
-(explicitly out of scope in-sandbox); hierarchy and ring properties are
-property-tested instead.
+symmetry (6r cells per ring). NOT bit-compatible with the h3 library —
+PERMANENTLY out of scope in-sandbox: published-id parity needs the h3
+constant tables verbatim (122-entry baseCellData, 20x3x3x3
+faceIjkBaseCells + rotations, 17-digit Dymaxion face orientations,
+pentagon offsets), which no in-sandbox source provides; reconstructing
+~700 constants from memory would yield ids that LOOK like H3 but don't
+interoperate — worse than an honestly-labeled H3-inspired index (full
+adjudication: SURVEY.md §2.C). The Spark plumbing is id-scheme-agnostic:
+production swaps hex_cell_udf for h3-py's latlng_to_cell unchanged.
+Hierarchy and ring properties are property-tested.
 """
 
 from __future__ import annotations

@@ -12,6 +12,8 @@ behind the same transformations.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,6 +232,61 @@ def stream_dedup(
     """
     keys = keys or ["point_id"]
     return points.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def exactly_once_batch_committer(log, stage: str = "stream", out_root: str | None = None):
+    """foreachBatch function with IDEMPOTENT commits by micro-batch id.
+
+    Structured Streaming gives at-least-once foreachBatch delivery: a
+    batch in flight during a crash is REPLAYED after restart with the
+    SAME batch_id. Writing each batch through plans/lineage.run_stage
+    (write to _tmp -> fingerprint -> atomic rename -> lineage row) makes
+    the replay a no-op — the unit `batch-<id>` is already recorded
+    complete, so the second delivery skips. At-least-once delivery +
+    idempotent commit = exactly-once OUTPUT, with the same per-partition
+    lineage/metrics audit trail as the batch pipeline.
+    """
+    from ..plans.lineage import run_stage
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        run_stage(
+            bdf.sparkSession,
+            log,
+            stage,
+            [f"batch-{batch_id}"],
+            lambda _unit: bdf,
+            out_root=out_root,
+        )
+
+    return commit
+
+
+def write_stream_exactly_once(
+    df: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    stage: str = "stream",
+    query_name: str = "tgs_exactly_once",
+    available_now: bool = True,
+):
+    """Start a streaming query whose parquet output is exactly-once
+    (lineage-idempotent foreachBatch; see exactly_once_batch_committer).
+    Source progress checkpoints to `checkpoint_dir` (Spark's offset log);
+    output commits are audited in `<out_root>/_lineage`. Returns the
+    query handle (caller awaits/stops)."""
+    from ..plans.lineage import LineageLog
+
+    log = LineageLog(df.sparkSession, out_root)
+    w = (
+        df.writeStream.foreachBatch(
+            exactly_once_batch_committer(log, stage, os.path.join(out_root, stage))
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def run_to_memory_sink(counts: DataFrame, query_name: str = "tile_counts"):
