@@ -1080,12 +1080,14 @@ def _word_shingles_sql(n: int = 3) -> str:
 
 
 def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
-    """Replays minhash_lsh_pairs(hash_fn='md5') verbatim: per-seed
-    signature mins, band hashes over '|'-joined signature slices,
-    banded candidate self-join, exact shingle-set Jaccard verify."""
+    """Replays minhash_lsh_pairs(hash_fn='md5') verbatim: two 60-bit
+    signature hashes per md5 digest (chars 1-15 / 17-31 of
+    md5('{i//2}:' || shingle)), band hashes over '|'-joined signature
+    slices, banded candidate self-join, exact shingle-set Jaccard."""
     rows = k // bands
     sig_items = ",\n             ".join(
-        f"list_min(list_transform(s_all, x -> {_h60_sql(repr(str(i) + ':') + ' || x')}))"
+        "list_min(list_transform(s_all, x -> CAST('0x' || substr(md5("
+        + repr(str(i // 2) + ":") + f" || x), {1 + 16 * (i % 2)}, 15) AS BIGINT)))"
         for i in range(k)
     )
     band_selects = " UNION ALL ".join(

@@ -164,9 +164,21 @@ def fingerprint_md5(text: Column | str, prefix_chars: int | None = None) -> Colu
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Array of n-word shingles (native transform over a token slice)."""
+    """Array of n-word shingles (native transform over a token slice).
+
+    One-expression form — fine for a single consumer. Anything hashing
+    the shingles k times (MinHash) must STAGE the token and shingle
+    arrays as real columns first (word_shingles_from_tokens + a
+    withColumn), or Catalyst re-evaluates the split() per lambda element
+    (the measured-25x HOF trap, see with_rolling_fingerprints)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(F.lower(c)), r"\s+")
+    return word_shingles_from_tokens(toks, n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles from an (ideally staged-column) token array — identical
+    semantics to word_shingles."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))

@@ -58,25 +58,47 @@ def md5_hash60(col: F.Column, prefix: str | None = None) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _md5_half60(digest: F.Column, half: int) -> F.Column:
+    """60-bit bigint from one half of an md5 hex digest: chars 1-15 or
+    17-31 (two independent hashes per digest — halves the md5 work)."""
+    return F.conv(F.substring(digest, 1 + 16 * half, 15), 16, 10).cast("long")
+
+
+def _minhash_elems(sh, k: int, hash_fn: str) -> list[F.Column]:
+    """The k signature mins over a shingle-array column `sh`. md5 family:
+    hash_i(s) = 60-bit half (i%2) of md5(f'{i//2}:{s}') — two signature
+    rows per digest. `sh` SHOULD be a staged real column: each min is
+    its own transform, and Catalyst re-evaluates a composed shingle
+    expression per lambda element (the measured-25x HOF trap)."""
+    if hash_fn == "xxhash64":
+        return [
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(k)
+        ]
+    if hash_fn == "md5":
+        return [
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, i=i: _md5_half60(
+                        F.md5(F.concat_ws(":", F.lit(str(i // 2)), s)), i % 2
+                    ),
+                )
+            )
+            for i in range(k)
+        ]
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def minhash_signature(
     text_col, k: int = 32, shingle_n: int = 3, hash_fn: str = "xxhash64"
 ) -> F.Column:
-    """k-element MinHash signature: min over shingles of hash_i(s).
-    Native (k array-transform+array_min expressions). hash_fn:
-    'xxhash64' (production — fastest, JVM-side) or 'md5' (60-bit
-    md5-derived, bit-reproducible in DuckDB for the oracle gate)."""
+    """k-element MinHash signature as ONE Column expression — API
+    convenience for single-signature use. minhash_lsh_pairs does NOT use
+    this form: it stages tokens/shingles/digests as real columns first
+    (same hash family, ~5x less work at k=32)."""
     sh = word_shingles(text_col, shingle_n)
-    if hash_fn == "xxhash64":
-        hashes = [
-            F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)) for i in range(k)
-        ]
-    elif hash_fn == "md5":
-        hashes = [
-            F.transform(sh, lambda s, i=i: md5_hash60(s, str(i))) for i in range(k)
-        ]
-    else:
-        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    return F.array(*[F.array_min(h) for h in hashes])
+    return F.array(*_minhash_elems(sh, k, hash_fn))
 
 
 def minhash_lsh_pairs(
@@ -100,11 +122,38 @@ def minhash_lsh_pairs(
     candidate subtree is persisted because it feeds both the semi filter
     and the final pair join (one banding pass, not two).
     """
+    from ..functions.text import word_shingles_from_tokens
+
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text), k, shingle_n, hash_fn).alias("_sig"),
+    # STAGED projections (the measured-25x Catalyst HOF rule): tokens,
+    # then shingles, then (md5 family) the k/2 digest arrays — each as a
+    # real column, so every one is computed once per row instead of once
+    # per consuming lambda element. The digest staging is what makes the
+    # two-halves-per-md5 trick actually halve the md5 work.
+    staged = (
+        df.select(F.col(id_col).alias("_id"), F.col(text).alias("_txt"))
+        .withColumn("_toks", F.split(F.trim(F.lower(F.col("_txt"))), r"\s+"))
+        .withColumn("_shingles", word_shingles_from_tokens(F.col("_toks"), shingle_n))
     )
+    if hash_fn == "md5":
+        staged = staged.withColumns(
+            {
+                f"_dg{j}": F.transform(
+                    "_shingles",
+                    lambda s, j=j: F.md5(F.concat_ws(":", F.lit(str(j)), s)),
+                )
+                for j in range((k + 1) // 2)
+            }
+        )
+        sig_elems = [
+            F.array_min(
+                F.transform(f"_dg{i // 2}", lambda d, i=i: _md5_half60(d, i % 2))
+            )
+            for i in range(k)
+        ]
+    else:
+        sig_elems = _minhash_elems(F.col("_shingles"), k, hash_fn)
+    sig = staged.withColumn("_sig", F.array(*sig_elems)).select("_id", "_sig")
 
     def band_hash(b: int) -> F.Column:
         els = [F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
@@ -135,10 +184,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     shingles = (
-        df.select(
-            F.col(id_col).alias("_sid"),
-            F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"),
+        df.select(F.col(id_col).alias("_sid"), F.col(text).alias("_txt"))
+        .withColumn("_vtoks", F.split(F.trim(F.lower(F.col("_txt"))), r"\s+"))
+        .withColumn(
+            "_sh", F.array_distinct(word_shingles_from_tokens(F.col("_vtoks"), shingle_n))
         )
+        .select("_sid", "_sh")
         # broadcast semi-join: the shingle scan streams past a hashed id
         # set — zero exchange of the wide array column for non-candidates
         .join(F.broadcast(cand_ids), "_sid", "left_semi")
@@ -272,14 +323,18 @@ def with_simhash(
     'md5' = 60-bit md5-derived token hashes whose per-bit majority vote
     DuckDB can recompute verbatim (bits 60..63 are then always 0 — the
     top band loses 4 bits of selectivity, pigeonhole still holds)."""
-    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    # stage the token array: inside a transform, a composed split()
+    # argument is re-evaluated per lambda element (O(len^2) chars)
+    staged = df.withColumn(
+        "_sh_toks", F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    )
     if hash_fn == "xxhash64":
-        tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+        tok_hashes = F.transform(F.col("_sh_toks"), lambda t: F.xxhash64(t))
     elif hash_fn == "md5":
-        tok_hashes = F.transform(toks, lambda t: md5_hash60(t))
+        tok_hashes = F.transform(F.col("_sh_toks"), lambda t: md5_hash60(t))
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    return df.withColumn(out, simhash_udf()(tok_hashes))
+    return staged.withColumn(out, simhash_udf()(tok_hashes)).drop("_sh_toks")
 
 
 def simhash_near_pairs(
