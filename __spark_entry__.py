@@ -425,6 +425,30 @@ def q_raster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("tile_x", "tile_y", "n_points", "max_count").orderBy("tile_x", "tile_y")
 
 
+def q_raster_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint rasterization (north-star: raster<->vector of image
+    FOOTPRINTS): customer points get deterministic (w, h) pixel sizes,
+    each covers a ground rect of 100 m/px, exploded to touched z10 tiles
+    (inset-free exact cover) and painted as per-pixel coverage counts
+    via a 2D difference array. The oracle replays the cover and the
+    clipped pixel-rect arithmetic in SQL; covered_px_sum (sum of
+    unclipped per-pixel counts == sum of clipped rect areas) pins the
+    painted raster content, not just tile membership."""
+    from tile_grid_spark.operators.raster import rasterize_footprints
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    imgs = pts.withColumns(
+        {
+            "w": (F.lit(16) + F.pmod(F.col("pid"), F.lit(49))).cast("int"),
+            "h": (F.lit(16) + F.pmod(F.col("pid") * 7, F.lit(49))).cast("int"),
+        }
+    )
+    r = rasterize_footprints(imgs, WM, 10, ground_px_m=100.0)
+    return r.select(
+        "tile_x", "tile_y", "n_footprints", "covered_px_sum"
+    ).orderBy("tile_x", "tile_y")
+
+
 def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-ring kNN join (ring escalation, exact in the Mercator plane):
     3 nearest customers per supplier. Oracle = full cross-join window."""
@@ -735,14 +759,28 @@ def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tile_grid_spark.sources.datagen import generate_images
 
     imgs = generate_images(spark, 240, seed=77)
-    checked = with_payload_checks(imgs).withColumn(
-        "psnr_lossy_db", psnr_vs_lossy_recode_udf(6)("bytes", "fmt", "w", "h")
+    # caption equality (input_hint): an independent regeneration at a
+    # DIFFERENT partitioning must agree caption-for-caption — per-row
+    # seeding makes the table partition-invariant, and this proves it
+    # through a real join, not a same-plan tautology
+    regen = generate_images(spark, 240, seed=77, partitions=3).select(
+        "image_id", F.col("caption").alias("_cap2")
+    )
+    checked = (
+        with_payload_checks(imgs)
+        .withColumn(
+            "psnr_lossy_db", psnr_vs_lossy_recode_udf(6)("bytes", "fmt", "w", "h")
+        )
+        .join(regen, "image_id")
     )
     return (
         checked.groupBy("fmt")
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("phash_match").cast("int")).alias("n_phash_match"),
+            F.sum((F.col("caption") == F.col("_cap2")).cast("int")).alias(
+                "n_caption_match"
+            ),
             F.round(F.min("psnr_db"), 4).alias("min_psnr_lossless"),
             F.round(F.min("psnr_lossy_db"), 4).alias("min_psnr_lossy"),
         )
@@ -750,12 +788,24 @@ def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_fixed_codebook(n_centroids: int = 16, dim: int = 64, seed: int = 7):
+    """Deterministic unit-norm codebook (seeded, data-independent) shared
+    by q_ann_ivf and its oracle literals."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = rng.standard_normal((n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k cosine (operators/similarity.ivf_topk):
-    k-means-lite centroids, candidates hashed to nearest list, queries
-    probe 3 lists. NO oracle_sql: the result depends on learned centroid
-    placement (iterative, not SQL-expressible); correctness is gated by
-    the recall-vs-bruteforce pytest instead (rows-only driver check)."""
+    """IVF approximate top-k cosine (operators/similarity.ivf_topk) with
+    a FIXED deterministic codebook, so the DuckDB oracle replays the
+    whole pipeline (centroid argmax assignment, 3-probe lists, exact
+    in-list cosine) hash-for-hash with the codebook as SQL literals.
+    The PRODUCTION path — k-means-fit centroids — is recall-gated in
+    tests/test_text_dedup_similarity.py (learned placement is iterative,
+    not SQL-expressible)."""
     from tile_grid_spark.operators.similarity import ivf_topk
 
     e = read_table(spark, sf_dir, "embeddings")
@@ -765,9 +815,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cand_id"), "embedding"
     )
-    return ivf_topk(q, c, k=5, n_centroids=16, nprobe=3, dim=64).orderBy(
-        "query_id", "rank"
-    )
+    return ivf_topk(
+        q, c, k=5, nprobe=3, dim=64, centroids=_ivf_fixed_codebook()
+    ).orderBy("query_id", "rank")
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_decode": q_geohash_decode,
         "source_boilerplate": q_source_boilerplate,
         "geohash_density": q_geohash,
+        "raster_footprints": q_raster_footprints,
     }
 
 
@@ -1301,6 +1352,62 @@ def _ann_lsh_oracle_sql() -> str:
                  list_sum(list_transform(generate_series(1, len(qe)),
                      i -> qe[i] * ce[i])) / (qn * cn) AS cosine
           FROM qp JOIN c USING (bkt)
+        ),
+        ranked AS (
+          SELECT query_id, cand_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM pairs
+        )
+        SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
+               round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """Replays q_ann_ivf with the fixed codebook as SQL literals:
+    candidates join their argmax-dot list, queries probe the top-3
+    lists, exact cosine + top-5 window inside lists. Assignment ranks
+    by RAW-embedding dot — identical ordering to the UDF's
+    normalized-embedding dot (positive per-row scale)."""
+    C = _ivf_fixed_codebook()
+    cent_rows = ", ".join(
+        f"({j}, [" + ", ".join(_d(float(v)) for v in C[j]) + "])"
+        for j in range(C.shape[0])
+    )
+    return f"""
+        WITH cent(cid, cv) AS (VALUES {cent_rows}),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e
+        ),
+        d AS (
+          SELECT vec_id, emb, nrm, cid,
+                 list_sum(list_transform(generate_series(1, len(emb)),
+                     i -> emb[i] * cv[i])) AS cd
+          FROM n, cent
+        ),
+        r AS (
+          SELECT vec_id, emb, nrm, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cd DESC, cid) AS crank
+          FROM d
+        ),
+        c AS (SELECT vec_id AS cand_id, emb AS ce, nrm AS cn, cid AS lst
+              FROM r WHERE vec_id >= 10 AND crank = 1),
+        q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qn, cid AS lst
+              FROM r WHERE vec_id < 10 AND crank <= 3),
+        pairs AS (
+          SELECT query_id, cand_id,
+                 list_sum(list_transform(generate_series(1, len(qe)),
+                     i -> qe[i] * ce[i])) / (qn * cn) AS cosine
+          FROM q JOIN c USING (lst)
         ),
         ranked AS (
           SELECT query_id, cand_id, cosine,
@@ -1997,11 +2104,61 @@ def oracle_sql() -> dict[str, str]:
                round({_d(LEGACY.extent.miny)} + {_d(res10)} * tms_y * 256.0, 6) AS ext_miny
         FROM t2 ORDER BY s_suppkey
     """
+    # ---- footprint rasterization oracle (round 3) ----
+    p10 = _zp(10)
+    unit10 = p10.resolution * 256.0
+    pxr10 = unit10 / 256.0
+    xyb = WM.xy_bbox()
+
+    def _fp_tile(coord: str, flip: bool, max_i: int) -> str:
+        origin = _d(p10.origin_y) if flip else _d(p10.origin_x)
+        return (
+            f"LEAST({_tile_sql(coord, origin, _d(unit10), flip, max_i)}, {max_i - 1})"
+        )
+
+    sql["raster_footprints"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        fb AS (
+          SELECT pid,
+                 {_merc_x_sql('lon')} - (CAST(16 + pid % 49 AS DOUBLE) * 50e0) AS fminx,
+                 {_merc_x_sql('lon')} + (CAST(16 + pid % 49 AS DOUBLE) * 50e0) AS fmaxx,
+                 {_merc_y_sql('lat')} - (CAST(16 + (pid * 7) % 49 AS DOUBLE) * 50e0) AS fminy,
+                 {_merc_y_sql('lat')} + (CAST(16 + (pid * 7) % 49 AS DOUBLE) * 50e0) AS fmaxy
+          FROM pts
+        ),
+        rng AS (
+          SELECT pid, fminx, fmaxx, fminy, fmaxy,
+                 {_fp_tile(f'GREATEST(fminx, {_d(xyb.left)})', False, p10.matrix_width)} AS xlo,
+                 {_fp_tile(f'LEAST(fmaxx, {_d(xyb.right)})', False, p10.matrix_width)} AS xhi,
+                 {_fp_tile(f'LEAST(fmaxy, {_d(xyb.top)})', True, p10.matrix_height)} AS ylo,
+                 {_fp_tile(f'GREATEST(fminy, {_d(xyb.bottom)})', True, p10.matrix_height)} AS yhi
+          FROM fb
+        ),
+        cov AS (
+          SELECT pid, fminx, fmaxx, fminy, fmaxy, x.tile_x, y.tile_y
+          FROM rng,
+               LATERAL unnest(generate_series(xlo, xhi)) AS x(tile_x),
+               LATERAL unnest(generate_series(ylo, yhi)) AS y(tile_y)
+        ),
+        px AS (
+          SELECT tile_x, tile_y,
+            LEAST(GREATEST(CAST(floor((fminx - ({_d(p10.origin_x)} + tile_x * {_d(unit10)})) / {_d(pxr10)}) AS BIGINT), 0), 255) AS ix0,
+            LEAST(GREATEST(CAST(floor((fmaxx - ({_d(p10.origin_x)} + tile_x * {_d(unit10)})) / {_d(pxr10)}) AS BIGINT), 0), 255) AS ix1,
+            LEAST(GREATEST(CAST(floor((({_d(p10.origin_y)} - tile_y * {_d(unit10)}) - fmaxy) / {_d(pxr10)}) AS BIGINT), 0), 255) AS iy0,
+            LEAST(GREATEST(CAST(floor((({_d(p10.origin_y)} - tile_y * {_d(unit10)}) - fminy) / {_d(pxr10)}) AS BIGINT), 0), 255) AS iy1
+          FROM cov
+        )
+        SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_footprints,
+               CAST(SUM((ix1 - ix0 + 1) * (iy1 - iy0 + 1)) AS BIGINT) AS covered_px_sum
+        FROM px GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
     # ---- md5-family dedup, S2 Hilbert, seeded-LSH oracles (round 3) ----
     sql["minhash_pairs"] = _minhash_oracle_sql(k=32, bands=8, threshold=0.2)
     sql["simhash_pairs"] = _simhash_oracle_sql(max_hamming=16, bands=4)
     sql["s2_cells"] = _s2_cells_oracle_sql()
     sql["ann_lsh"] = _ann_lsh_oracle_sql()
+    sql["ann_ivf"] = _ann_ivf_oracle_sql()
 
     return sql
 

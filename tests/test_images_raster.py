@@ -73,6 +73,92 @@ class TestDatagen:
         assert 10 < psnr(a, b) < 40
 
 
+class TestFootprints:
+    """rasterize_footprints vs a pixel-loop numpy oracle."""
+
+    def _brute(self, wm, zoom, tile_px, fps):
+        """fps: list of (fminx, fminy, fmaxx, fmaxy) in Mercator meters.
+        Returns {(tx, ty): count_image} by per-pixel loop."""
+        p = wm.zoom_params(zoom)
+        unit = p.resolution * 256.0
+        px_res = unit / tile_px
+        out = {}
+        for fminx, fminy, fmaxx, fmaxy in fps:
+            cminx = max(fminx, -20037508.342789244)
+            cmaxx = min(fmaxx, 20037508.342789244)
+            cminy = max(fminy, -20037508.342789244)
+            cmaxy = min(fmaxy, 20037508.342789244)
+            xlo = min(max(int(np.floor((cminx - p.origin_x) / unit)), 0), p.matrix_width - 1)
+            xhi = min(max(int(np.floor((cmaxx - p.origin_x) / unit)), 0), p.matrix_width - 1)
+            ylo = min(max(int(np.floor((p.origin_y - cmaxy) / unit)), 0), p.matrix_height - 1)
+            yhi = min(max(int(np.floor((p.origin_y - cminy) / unit)), 0), p.matrix_height - 1)
+            for tx in range(xlo, xhi + 1):
+                for ty in range(ylo, yhi + 1):
+                    tminx = p.origin_x + tx * unit
+                    tmaxy = p.origin_y - ty * unit
+                    x0 = int(np.clip(np.floor((fminx - tminx) / px_res), 0, tile_px - 1))
+                    x1 = int(np.clip(np.floor((fmaxx - tminx) / px_res), 0, tile_px - 1))
+                    y0 = int(np.clip(np.floor((tmaxy - fmaxy) / px_res), 0, tile_px - 1))
+                    y1 = int(np.clip(np.floor((tmaxy - fminy) / px_res), 0, tile_px - 1))
+                    img = out.setdefault((tx, ty), np.zeros((tile_px, tile_px), dtype=np.int64))
+                    img[y0 : y1 + 1, x0 : x1 + 1] += 1
+        return out
+
+    def test_matches_pixel_loop_oracle(self, spark, wm):
+        from tile_grid_spark.operators.raster import decode_mask, rasterize_footprints
+
+        rng = np.random.default_rng(31)
+        n = 300
+        lon = rng.uniform(-160, 160, n)
+        lat = rng.uniform(-70, 70, n)
+        w = rng.integers(8, 64, n)
+        h = rng.integers(8, 64, n)
+        df = spark.createDataFrame(
+            list(zip(lon.tolist(), lat.tolist(), [int(x) for x in w], [int(x) for x in h])),
+            "lon DOUBLE, lat DOUBLE, w INT, h INT",
+        )
+        zoom, tile_px, g = 6, 32, 4000.0  # big footprints: many cross tiles
+        got = rasterize_footprints(df, wm, zoom, ground_px_m=g, tile_px=tile_px).collect()
+
+        R = 6378137.0
+        mx = R * np.radians(lon)
+        my = R * np.log(np.tan(np.pi / 4 + 0.5 * np.radians(lat)))
+        fps = [
+            (mx[i] - w[i] * g / 2, my[i] - h[i] * g / 2,
+             mx[i] + w[i] * g / 2, my[i] + h[i] * g / 2)
+            for i in range(n)
+        ]
+        exp = self._brute(wm, zoom, tile_px, fps)
+        assert {(r.tile_x, r.tile_y) for r in got} == set(exp)
+        n_multi = 0
+        for r in got:
+            img = exp[(r.tile_x, r.tile_y)]
+            assert np.array_equal(
+                decode_mask(bytes(r.mask), tile_px),
+                np.clip(img, 0, 255).astype(np.uint8),
+            ), (r.tile_x, r.tile_y)
+            assert r.max_cover == int(img.max())
+            assert r.covered_px_sum == int(img.sum())
+            if r.max_cover > 1:
+                n_multi += 1
+        assert n_multi > 0  # fixture genuinely overlaps footprints
+
+    def test_cross_tile_footprint_and_world_edge(self, spark, wm):
+        from tile_grid_spark.operators.raster import rasterize_footprints
+
+        # one footprint exactly straddling the lon=0 tile boundary at z2,
+        # one hugging the world's east edge (clamped, no phantom tile)
+        df = spark.createDataFrame(
+            [(0.0, 10.0, 64, 64), (179.9999, 0.0, 64, 64)],
+            "lon DOUBLE, lat DOUBLE, w INT, h INT",
+        )
+        got = rasterize_footprints(df, wm, 2, ground_px_m=2000.0, tile_px=16).collect()
+        tiles = {(r.tile_x, r.tile_y) for r in got}
+        assert (1, 1) in tiles and (2, 1) in tiles  # straddles x=1|2 at z2
+        assert all(r.tile_x <= 3 and r.tile_y <= 3 for r in got)  # no phantom
+        assert (3, 1) in tiles or (3, 2) in tiles  # east-edge footprint lands
+
+
 class TestPng:
     """functions/png.py: real stdlib PNG codec (round 3, VERDICT item 2)."""
 
@@ -216,6 +302,7 @@ class TestPng:
         assert fmts == {"raw", "zlib", "png"}
         for r in rows:
             assert r.n_phash_match == r.n_rows, r
+            assert r.n_caption_match == r.n_rows, r
             assert r.min_psnr_lossless == 999.0, r
             assert r.min_psnr_lossy >= 40.0, r
 

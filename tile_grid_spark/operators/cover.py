@@ -136,6 +136,46 @@ def cover_bbox_xy(
     )
 
 
+def cover_bbox_xy_exact(
+    df: DataFrame,
+    tms: Tms,
+    zoom: int,
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+) -> DataFrame:
+    """INSET-FREE CRS-space cover: every tile whose area the bbox touches,
+    by pure floor arithmetic (clamped to the matrix, inverted-range
+    guarded). This is the ENGINE'S exact variant, not reference
+    semantics: the reference's res/10 inset (cover_bbox_xy) exists for
+    enumerating large extents without edge-tile noise, but it drops any
+    bbox thinner than res/5 entirely — wrong for footprint rasterization,
+    where a footprint always covers at least one pixel of one tile."""
+    p = tms.zoom_params(zoom)
+    b = tms.xy_bbox()
+    w = F.greatest(F.col(minx), F.lit(b.left))
+    s = F.greatest(F.col(miny), F.lit(b.bottom))
+    e = F.least(F.col(maxx), F.lit(b.right))
+    n = F.least(F.col(maxy), F.lit(b.top))
+    # xy_tile_* keeps the reference's clamp-to-WIDTH quirk; a bbox edge
+    # exactly on xy_bbox.right/bottom would enumerate the phantom tile
+    # column/row `matrix_width` — cap at the last real tile instead
+    mx = F.lit(p.matrix_width - 1)
+    my = F.lit(p.matrix_height - 1)
+    return (
+        df.withColumn("_ulx", F.least(xy_tile_x(w, p), mx))
+        .withColumn("_uly", F.least(xy_tile_y(n, p), my))
+        .withColumn("_lrx", F.least(xy_tile_x(e, p), mx))
+        .withColumn("_lry", F.least(xy_tile_y(s, p), my))
+        .filter((F.col("_ulx") <= F.col("_lrx")) & (F.col("_uly") <= F.col("_lry")))
+        .withColumn("tile_x", F.explode(F.sequence(F.col("_ulx"), F.col("_lrx"))))
+        .withColumn("tile_y", F.explode(F.sequence(F.col("_uly"), F.col("_lry"))))
+        .withColumn("zoom", F.lit(zoom))
+        .drop("_ulx", "_uly", "_lrx", "_lry")
+    )
+
+
 def cover_multizoom(
     df: DataFrame, tms: Tms, zooms: Sequence[int], geographic: bool = True, **cols
 ) -> DataFrame:

@@ -285,10 +285,18 @@ def ivf_topk(
     nprobe: int = 3,
     seed: int = 42,
     dim: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates in their nearest centroid list,
-    queries probe the nprobe nearest lists; exact cosine inside lists."""
-    C = fit_ivf_centroids(candidates, emb, n_centroids, seed=seed)
+    queries probe the nprobe nearest lists; exact cosine inside lists.
+    `centroids` (unit-norm rows) skips the k-means fit — a FIXED
+    codebook, the deterministic variant the DuckDB oracle can replay
+    (production fits from data; recall is pytest-gated either way)."""
+    C = (
+        centroids
+        if centroids is not None
+        else fit_ivf_centroids(candidates, emb, n_centroids, seed=seed)
+    )
     assign1 = ivf_assign_udf(C, 1)
     assignP = ivf_assign_udf(C, nprobe)
     c = candidates.select(
