@@ -195,13 +195,17 @@ def run_pipeline(
     if report("dedup", r):
         return results
 
-    # ---- raster ----
+    # ---- raster (point density + image-footprint coverage units) ----
     rz = raster_zoom if raster_zoom is not None else min(deep, 6)
 
-    def build_raster(_unit: str):
+    def build_raster(unit: str):
+        if unit.startswith("fp-"):
+            from tile_grid_spark.operators.raster import rasterize_footprints
+
+            return rasterize_footprints(images, wm, rz, ground_px_m=100.0)
         return rasterize_points(images, wm, rz)
 
-    r = run_stage(spark, log, "raster", [f"z{rz}"], build_raster)
+    r = run_stage(spark, log, "raster", [f"z{rz}", f"fp-z{rz}"], build_raster)
     report("raster", r)
     results["_log"] = log
     return results

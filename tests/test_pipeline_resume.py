@@ -56,7 +56,7 @@ class TestPipelineResume:
         assert second["assign"].ran_units == []
         # the stages after the crash point actually run
         assert second["dedup"].ran_units == ["captions"]
-        assert second["raster"].ran_units
+        assert set(second["raster"].ran_units) == {"z4", "fp-z4"}
         assert second["dedup"].rows > 0  # caption near-dups exist by design
 
     def test_pip_output_not_recomputed(self, crash_then_resume):

@@ -361,6 +361,10 @@ def simhash_near_pairs(
     banded = df.select(
         F.col(id_col).alias("_id"), F.col(simhash_col).alias("_sh"), F.explode(band_structs).alias("_b")
     ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+    # persist: the self-join's two aliases would otherwise recompute the
+    # upstream simhash UDF over the corpus twice (4 Python nodes in the
+    # executed plan); banded rows are (id, hash, band, bh) — tiny
+    banded = banded.persist()
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
