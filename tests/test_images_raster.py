@@ -143,6 +143,46 @@ class TestFootprints:
                 n_multi += 1
         assert n_multi > 0  # fixture genuinely overlaps footprints
 
+    def test_batched_painter_survives_tiny_arrow_batches(self, spark, wm):
+        # the mapInPandas painter holds back the last tile of every Arrow
+        # batch; force 7-row batches so tiles split across boundaries and
+        # verify nothing is painted twice or dropped
+        from tile_grid_spark.operators.raster import rasterize_footprints
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            rng = np.random.default_rng(8)
+            n = 200
+            # few distinct tiles -> many rows per tile -> guaranteed splits
+            lon = rng.uniform(-20, 20, n)
+            lat = rng.uniform(-15, 15, n)
+            df = spark.createDataFrame(
+                list(zip(lon.tolist(), lat.tolist(), [32] * n, [32] * n)),
+                "lon DOUBLE, lat DOUBLE, w INT, h INT",
+            )
+            got = rasterize_footprints(df, wm, 4, ground_px_m=3000.0, tile_px=16).collect()
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        R = 6378137.0
+        mx = R * np.radians(lon)
+        my = R * np.log(np.tan(np.pi / 4 + 0.5 * np.radians(lat)))
+        fps = [
+            (mx[i] - 32 * 1500.0, my[i] - 32 * 1500.0,
+             mx[i] + 32 * 1500.0, my[i] + 32 * 1500.0)
+            for i in range(n)
+        ]
+        exp = TestFootprints()._brute(wm, 4, 16, fps)
+        assert {(r.tile_x, r.tile_y) for r in got} == set(exp)
+        assert len(got) == len({(r.tile_x, r.tile_y) for r in got})  # no dup tiles
+        for r in got:
+            img = exp[(r.tile_x, r.tile_y)]
+            assert r.covered_px_sum == int(img.sum()), (r.tile_x, r.tile_y)
+            assert r.max_cover == int(img.max())
+
     def test_cross_tile_footprint_and_world_edge(self, spark, wm):
         from tile_grid_spark.operators.raster import rasterize_footprints
 

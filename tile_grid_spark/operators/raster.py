@@ -30,6 +30,47 @@ RASTER_SCHEMA = (
     "mask BINARY, max_count INT"
 )
 
+_KEYS = ("zoom", "tile_x", "tile_y")
+
+
+def _grouped_map_batched(df: DataFrame, paint_many, schema: str,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Batched grouped painter: repartition+sort by tile key, then paint
+    MANY contiguous tile groups per Arrow batch in ONE python call.
+
+    applyInPandas pays tens of ms of dispatch/Arrow overhead per GROUP,
+    which dominates whenever tiles hold few rows (measured: 1500
+    single-row z10 tiles took ~8 s through applyInPandas; the painting
+    itself is microseconds). Rows of the LAST key in each batch are held
+    back and prepended to the next batch so a tile split across an Arrow
+    batch boundary is never painted twice — keys are contiguous within a
+    partition after the sort, and mapInPandas iterates one partition's
+    batches in order.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = df.repartition(n, *_KEYS).sortWithinPartitions(*_KEYS)
+
+    def run(batches):
+        pending = None
+        for b in batches:
+            if pending is not None and len(pending):
+                b = pd.concat([pending, b], ignore_index=True)
+                pending = None
+            if len(b) == 0:
+                continue
+            last = tuple(b.iloc[-1][k] for k in _KEYS)
+            is_last = np.ones(len(b), dtype=bool)
+            for c, v in zip(_KEYS, last):
+                is_last &= (b[c] == v).to_numpy()
+            pending = b[is_last]
+            body = b[~is_last]
+            if len(body):
+                yield paint_many(body)
+        if pending is not None and len(pending):
+            yield paint_many(pending)
+
+    return sorted_df.mapInPandas(run, schema)
+
 
 def rasterize_points(
     points: DataFrame,
@@ -50,31 +91,28 @@ def rasterize_points(
         {"_mx": mercator_x(lon), "_my": mercator_y(lat), "zoom": F.lit(zoom)}
     )
 
-    def paint(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, tx, ty = key
-        tile_minx = ox + tx * unit
-        tile_maxy = oy - ty * unit
-        ix = np.floor((pdf["_mx"].to_numpy() - tile_minx) / px_res).astype(np.int64)
-        iy = np.floor((tile_maxy - pdf["_my"].to_numpy()) / px_res).astype(np.int64)
-        ix = np.clip(ix, 0, tile_px - 1)
-        iy = np.clip(iy, 0, tile_px - 1)
-        img = np.zeros((tile_px, tile_px), dtype=np.int64)
-        np.add.at(img, (iy, ix), 1)
-        mask = np.clip(img, 0, 255).astype(np.uint8)
-        return pd.DataFrame(
-            {
-                "zoom": [int(z)],
-                "tile_x": [int(tx)],
-                "tile_y": [int(ty)],
-                "n_points": [len(pdf)],
-                "mask": [zlib.compress(mask.tobytes(), 1)],
-                "max_count": [int(img.max())],
-            }
-        )
+    def paint_many(body: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("zoom", "tile_x", "tile_y", "n_points", "mask", "max_count")}
+        for (z, tx, ty), pdf in body.groupby(list(_KEYS), sort=False):
+            tile_minx = ox + tx * unit
+            tile_maxy = oy - ty * unit
+            ix = np.floor((pdf["_mx"].to_numpy() - tile_minx) / px_res).astype(np.int64)
+            iy = np.floor((tile_maxy - pdf["_my"].to_numpy()) / px_res).astype(np.int64)
+            ix = np.clip(ix, 0, tile_px - 1)
+            iy = np.clip(iy, 0, tile_px - 1)
+            img = np.zeros((tile_px, tile_px), dtype=np.int64)
+            np.add.at(img, (iy, ix), 1)
+            mask = np.clip(img, 0, 255).astype(np.uint8)
+            out["zoom"].append(int(z))
+            out["tile_x"].append(int(tx))
+            out["tile_y"].append(int(ty))
+            out["n_points"].append(len(pdf))
+            out["mask"].append(zlib.compress(mask.tobytes(), 1))
+            out["max_count"].append(int(img.max()))
+        return pd.DataFrame(out)
 
-    return (
-        pts.groupBy("zoom", "tile_x", "tile_y")
-        .applyInPandas(paint, RASTER_SCHEMA)
+    return _grouped_map_batched(
+        pts.select(*_KEYS, "_mx", "_my"), paint_many, RASTER_SCHEMA
     )
 
 
@@ -134,37 +172,43 @@ def rasterize_footprints(
         fp, tms, zoom, minx="_fminx", miny="_fminy", maxx="_fmaxx", maxy="_fmaxy"
     ).select("zoom", "tile_x", "tile_y", "_fminx", "_fmaxx", "_fminy", "_fmaxy")
 
-    def paint(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        z, tx, ty = key
-        tminx = ox + tx * unit
-        tmaxy = oy - ty * unit
-        x0 = np.floor((pdf["_fminx"].to_numpy() - tminx) / px_res).astype(np.int64)
-        x1 = np.floor((pdf["_fmaxx"].to_numpy() - tminx) / px_res).astype(np.int64)
-        y0 = np.floor((tmaxy - pdf["_fmaxy"].to_numpy()) / px_res).astype(np.int64)
-        y1 = np.floor((tmaxy - pdf["_fminy"].to_numpy()) / px_res).astype(np.int64)
-        x0 = np.clip(x0, 0, tile_px - 1)
-        x1 = np.clip(x1, 0, tile_px - 1)
-        y0 = np.clip(y0, 0, tile_px - 1)
-        y1 = np.clip(y1, 0, tile_px - 1)
-        diff = np.zeros((tile_px + 1, tile_px + 1), dtype=np.int64)
-        np.add.at(diff, (y0, x0), 1)
-        np.add.at(diff, (y0, x1 + 1), -1)
-        np.add.at(diff, (y1 + 1, x0), -1)
-        np.add.at(diff, (y1 + 1, x1 + 1), 1)
-        img = diff.cumsum(axis=0).cumsum(axis=1)[:tile_px, :tile_px]
-        return pd.DataFrame(
-            {
-                "zoom": [int(z)],
-                "tile_x": [int(tx)],
-                "tile_y": [int(ty)],
-                "n_footprints": [len(pdf)],
-                "mask": [zlib.compress(np.clip(img, 0, 255).astype(np.uint8).tobytes(), 1)],
-                "max_cover": [int(img.max())],
-                "covered_px_sum": [int(img.sum())],
-            }
-        )
+    def paint_many(body: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            k: []
+            for k in (
+                "zoom", "tile_x", "tile_y", "n_footprints",
+                "mask", "max_cover", "covered_px_sum",
+            )
+        }
+        for (z, tx, ty), pdf in body.groupby(list(_KEYS), sort=False):
+            tminx = ox + tx * unit
+            tmaxy = oy - ty * unit
+            x0 = np.floor((pdf["_fminx"].to_numpy() - tminx) / px_res).astype(np.int64)
+            x1 = np.floor((pdf["_fmaxx"].to_numpy() - tminx) / px_res).astype(np.int64)
+            y0 = np.floor((tmaxy - pdf["_fmaxy"].to_numpy()) / px_res).astype(np.int64)
+            y1 = np.floor((tmaxy - pdf["_fminy"].to_numpy()) / px_res).astype(np.int64)
+            x0 = np.clip(x0, 0, tile_px - 1)
+            x1 = np.clip(x1, 0, tile_px - 1)
+            y0 = np.clip(y0, 0, tile_px - 1)
+            y1 = np.clip(y1, 0, tile_px - 1)
+            diff = np.zeros((tile_px + 1, tile_px + 1), dtype=np.int64)
+            np.add.at(diff, (y0, x0), 1)
+            np.add.at(diff, (y0, x1 + 1), -1)
+            np.add.at(diff, (y1 + 1, x0), -1)
+            np.add.at(diff, (y1 + 1, x1 + 1), 1)
+            img = diff.cumsum(axis=0).cumsum(axis=1)[:tile_px, :tile_px]
+            out["zoom"].append(int(z))
+            out["tile_x"].append(int(tx))
+            out["tile_y"].append(int(ty))
+            out["n_footprints"].append(len(pdf))
+            out["mask"].append(
+                zlib.compress(np.clip(img, 0, 255).astype(np.uint8).tobytes(), 1)
+            )
+            out["max_cover"].append(int(img.max()))
+            out["covered_px_sum"].append(int(img.sum()))
+        return pd.DataFrame(out)
 
-    return cov.groupBy("zoom", "tile_x", "tile_y").applyInPandas(paint, FOOTPRINT_SCHEMA)
+    return _grouped_map_batched(cov, paint_many, FOOTPRINT_SCHEMA)
 
 
 def decode_mask(mask: bytes, tile_px: int = 256) -> np.ndarray:
