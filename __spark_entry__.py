@@ -533,6 +533,42 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup image join over the input-hint's
+    ``phash: int64`` column: banded Hamming self-join (4x16-bit
+    pigeonhole buckets, operators/dedup.hamming_near_pairs) + native
+    bit_count verify — the image-side twin of SimHash text dedup and the
+    scale shape for 10^12-image near-dup detection (shuffles only short
+    band keys, verification touches candidate pairs only).
+
+    The synthetic phash is md5-derived per image GROUP (c_custkey/4)
+    with per-member bit flips confined to band 0, so every within-group
+    pair is guaranteed a collision in bands 1-3 and sits at Hamming
+    distance 2-4; the oracle replays derivation, banding and verify
+    bit-for-bit. The REAL pixel phash (decoded-payload average-hash,
+    sources/datagen) feeds the same operator in
+    tests/test_images_raster.py."""
+    from tile_grid_spark.operators.dedup import hamming_near_pairs, md5_hash60
+
+    c = read_table(spark, sf_dir, "customer")
+    m = F.pmod(F.col("c_custkey"), F.lit(4))
+    flips = (
+        F.when(m == 1, F.lit((1 << 1) | (1 << 5)))
+        .when(m == 2, F.lit((1 << 8) | (1 << 12)))
+        .when(m == 3, F.lit((1 << 2) | (1 << 14)))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    imgs = c.select(
+        F.col("c_custkey").alias("image_id"),
+        md5_hash60(
+            F.floor(F.col("c_custkey") / F.lit(4)).cast("string"), prefix="img"
+        ).bitwiseXOR(flips).alias("phash"),
+    )
+    return hamming_near_pairs(
+        imgs, "image_id", "phash", max_hamming=6, bands=4
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH. Approximate vs brute force
     (recall pytest-gated) but fully DETERMINISTIC given the seed, so the
@@ -1078,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_face_ij": q_s2_face_ij,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "phash_neardup": q_phash_neardup,
         "neighbors": q_neighbors,
         "parent_children": q_parent_children,
         "tile_assign_wgs84": q_tile_assign_wgs84,
@@ -2159,6 +2196,32 @@ def oracle_sql() -> dict[str, str]:
     sql["s2_cells"] = _s2_cells_oracle_sql()
     sql["ann_lsh"] = _ann_lsh_oracle_sql()
     sql["ann_ivf"] = _ann_ivf_oracle_sql()
+
+    # phash near-dup: replay the md5 phash derivation (group base hash xor
+    # member flips), the 4x16-bit banding, and the bit_count(xor) verify.
+    sql["phash_neardup"] = """
+        WITH imgs AS (
+          SELECT c_custkey AS image_id,
+                 xor(CAST('0x' || substr(md5('img:' || CAST(c_custkey // 4 AS BIGINT)), 1, 15) AS BIGINT),
+                     CAST(CASE c_custkey % 4 WHEN 1 THEN 34 WHEN 2 THEN 4352
+                                             WHEN 3 THEN 16388 ELSE 0 END AS BIGINT)) AS phash
+          FROM customer
+        ),
+        banded AS (
+          SELECT image_id, phash, b.band,
+                 (phash >> (16 * b.band)) & 65535 AS bh
+          FROM imgs, (VALUES (0), (1), (2), (3)) AS b(band)
+        ),
+        pairs AS (
+          SELECT DISTINCT l.image_id AS id_a, r.image_id AS id_b,
+                 CAST(bit_count(xor(l.phash, r.phash)) AS INTEGER) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.image_id < r.image_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= 6
+        ORDER BY id_a, id_b
+    """
 
     return sql
 

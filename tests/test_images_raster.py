@@ -398,3 +398,73 @@ class TestRaster:
         # any of the four center pixels
         assert mask[127:129, 127:129].sum() == 1
         assert mask.sum() == 1
+
+
+class TestPhashNearDup:
+    """hamming_near_pairs over the REAL pixel phash (DCT average-hash from
+    decoded payloads) — the image-side near-dup path the green
+    phash_neardup oracle exercises with a derived hash family."""
+
+    def _expected_pairs(self, ids, hashes, max_hamming, bands=4):
+        """Numpy brute force of the operator's exact contract: candidate
+        iff >=1 shared 16-bit band, reported iff hamming <= max."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        n = len(h)
+        out = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                x = int(h[i] ^ h[j])
+                shares_band = any(
+                    ((int(h[i]) >> (16 * b)) & 0xFFFF) == ((int(h[j]) >> (16 * b)) & 0xFFFF)
+                    for b in range(bands)
+                )
+                if shares_band and bin(x).count("1") <= max_hamming:
+                    a, bb = sorted((ids[i], ids[j]))
+                    out.add((a, bb, bin(x).count("1")))
+        return out
+
+    def test_real_phash_noisy_dups_vs_bruteforce(self, spark, images):
+        from tile_grid_spark.operators.dedup import hamming_near_pairs
+        from tile_grid_spark.sources.datagen import phash64
+
+        rows = images.filter(F.col("fmt") == "raw").orderBy("image_id").limit(30).collect()
+        assert len(rows) >= 20
+        ids, hashes = [], []
+        rng = np.random.default_rng(5)
+        for r in rows:
+            px = decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+            ids.append(r.image_id)
+            hashes.append(int(np.uint64(np.int64(r.phash))))
+            # near-dup: small additive noise, real decode->perturb->rehash
+            noisy = np.clip(
+                px.astype(np.int16) + rng.integers(-4, 5, px.shape), 0, 255
+            ).astype(np.uint8)
+            ids.append(r.image_id + "-noisy")
+            hashes.append(int(np.uint64(phash64(noisy))))
+
+        df = spark.createDataFrame(
+            [(i, int(np.int64(np.uint64(hv)))) for i, hv in zip(ids, hashes)],
+            "image_id STRING, phash BIGINT",
+        )
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(df, "image_id", "phash", max_hamming=12).collect()
+        }
+        want = self._expected_pairs(ids, hashes, max_hamming=12)
+        assert got == want
+        # the planted noisy twins must actually be found (recall floor):
+        found_twins = {p for p in got if p[0] + "-noisy" == p[1]}
+        assert len(found_twins) >= 0.6 * len(rows)
+        assert found_twins == {p for p in want if p[0] + "-noisy" == p[1]}
+
+    def test_exact_dup_images_hamming_zero(self, spark):
+        from tile_grid_spark.operators.dedup import hamming_near_pairs
+
+        a = generate_images(spark, 25, seed=9).select("image_id", "phash")
+        b = generate_images(spark, 25, seed=9).select(
+            F.concat(F.col("image_id"), F.lit("-copy")).alias("image_id"), "phash"
+        )
+        pairs = hamming_near_pairs(a.unionByName(b), "image_id", "phash", max_hamming=0)
+        got = pairs.filter(F.col("id_b") == F.concat(F.col("id_a"), F.lit("-copy")))
+        assert got.count() == 25
+        assert pairs.filter(F.col("hamming") != 0).count() == 0

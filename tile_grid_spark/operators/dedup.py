@@ -337,29 +337,33 @@ def with_simhash(
     return staged.withColumn(out, simhash_udf()(tok_hashes)).drop("_sh_toks")
 
 
-def simhash_near_pairs(
+def hamming_near_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    simhash_col: str = "simhash",
+    id_col: str,
+    bits_col: str,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into `bands` 16-bit
-    keys (pigeonhole: any pair within max_hamming <= bands-1 shares at
-    least one exact band), bucket-join, verify with native bit_count."""
+    """Near-dup pairs over ANY 64-bit integer fingerprint column — SimHash
+    text signatures, perceptual image hashes (the input-hint's
+    ``phash: int64``), audio chromaprints: band the 64 bits into `bands`
+    equal keys (pigeonhole: any pair within max_hamming <= bands-1 shares
+    at least one exact band), bucket-join on the short (band, band_bits)
+    key, verify candidates with native bit_count(xor). Shuffles only
+    (id, fingerprint, band key) rows — never the payloads, never O(N^2)."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(simhash_col), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+                F.shiftrightunsigned(F.col(bits_col), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
             )
             for b in range(bands)
         ]
     )
     banded = df.select(
-        F.col(id_col).alias("_id"), F.col(simhash_col).alias("_sh"), F.explode(band_structs).alias("_b")
+        F.col(id_col).alias("_id"), F.col(bits_col).alias("_sh"), F.explode(band_structs).alias("_b")
     ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     # persist: the self-join's two aliases would otherwise recompute the
     # upstream simhash UDF over the corpus twice (4 Python nodes in the
@@ -378,6 +382,18 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    simhash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash flavor of :func:`hamming_near_pairs` (same banding, same
+    verify; kept as the text-dedup entry point)."""
+    return hamming_near_pairs(df, id_col, simhash_col, max_hamming, bands)
 
 
 # ---------------------------------------------------------------------------
