@@ -533,6 +533,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs -> dedup clusters: distributed connected
+    components via alternating large-star/small-star
+    (operators/cluster.py, Kiveris et al. SoCC'14) — the pairs->groups
+    stage that finishes a 100-TB dedup pipeline ("keep min id per
+    component"). The synthetic edge graph (chains from consecutive keys,
+    long-range merge edges, isolated nodes, one out-of-table endpoint)
+    exercises multi-round convergence; the oracle computes the same
+    components by recursive-CTE transitive closure with min-label."""
+    from tile_grid_spark.operators.cluster import connected_components
+
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    e1 = c.filter(F.pmod(F.col("k"), F.lit(10)) < 4).select(
+        F.col("k").alias("id_a"), (F.col("k") + 1).alias("id_b")
+    )
+    e2 = c.filter(F.pmod(F.col("k"), F.lit(100)) == 42).select(
+        F.col("k").alias("id_a"), (F.col("k") + 5).alias("id_b")
+    )
+    nodes = c.select(F.col("k").alias("id"))
+    out = connected_components(e1.unionByName(e2), nodes=nodes)
+    return out.select("node", "component").orderBy("node")
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup image join over the input-hint's
     ``phash: int64`` column: banded Hamming self-join (4x16-bit
@@ -1115,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "phash_neardup": q_phash_neardup,
+        "dedup_clusters": q_dedup_clusters,
         "neighbors": q_neighbors,
         "parent_children": q_parent_children,
         "tile_assign_wgs84": q_tile_assign_wgs84,
@@ -2221,6 +2245,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, hamming FROM pairs
         WHERE hamming <= 6
         ORDER BY id_a, id_b
+    """
+
+    # connected components: recursive-CTE transitive closure, min label.
+    # (The engine runs large-star/small-star; both compute the same
+    # partition labeled by the component-minimum node id.)
+    sql["dedup_clusters"] = """
+        WITH RECURSIVE edges AS (
+          SELECT c_custkey AS u, c_custkey + 1 AS v FROM customer WHERE c_custkey % 10 < 4
+          UNION ALL
+          SELECT c_custkey AS u, c_custkey + 5 AS v FROM customer WHERE c_custkey % 100 = 42
+        ),
+        sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+        walk(id, lbl) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.id
+        ),
+        comp AS (SELECT id, MIN(lbl) AS component FROM walk GROUP BY id)
+        SELECT c.c_custkey AS node,
+               CAST(COALESCE(p.component, c.c_custkey) AS BIGINT) AS component
+        FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
+        ORDER BY node
     """
 
     return sql

@@ -1,0 +1,80 @@
+"""Connected components (large-star/small-star) vs a union-find oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.operators.cluster import connected_components
+
+
+def _union_find(n_edges, nodes=()):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in n_edges:
+        union(a, b)
+    for x in nodes:
+        find(x)
+    return {x: find(x) for x in parent}
+
+
+def _run(spark, edges, nodes=None):
+    e = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)], "id_a BIGINT, id_b BIGINT"
+    )
+    if not edges:
+        e = e.filter(F.lit(False))
+    nd = None
+    if nodes is not None:
+        nd = spark.createDataFrame([(int(x),) for x in nodes], "id BIGINT")
+    out = connected_components(e, nodes=nd)
+    return {r.node: r.component for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_random_graph_vs_union_find(self, spark):
+        rng = np.random.default_rng(11)
+        n = 300
+        edges = [tuple(sorted(p)) for p in rng.integers(0, n, (220, 2)) if p[0] != p[1]]
+        got = _run(spark, edges)
+        assert got == _union_find(edges)
+
+    def test_long_chain_needs_multiple_rounds(self, spark):
+        edges = [(i, i + 1) for i in range(64)]
+        got = _run(spark, edges)
+        assert set(got.values()) == {0}
+        assert len(got) == 65
+
+    def test_star_and_reverse_star(self, spark):
+        # hub-max star (all point at 99) exercises large-star's hub fix
+        edges = [(i, 99) for i in range(10)] + [(200, 200 + i) for i in range(1, 8)]
+        got = _run(spark, edges)
+        assert {got[i] for i in range(10)} == {0}
+        assert got[99] == 0
+        assert {got[200 + i] for i in range(8)} == {200}
+
+    def test_isolated_nodes_and_duplicates(self, spark):
+        edges = [(5, 6), (6, 5), (5, 6), (7, 7)]
+        got = _run(spark, edges, nodes=[5, 6, 7, 42])
+        assert got == {5: 5, 6: 5, 7: 7, 42: 42}
+
+    def test_empty_edges(self, spark):
+        got = _run(spark, [], nodes=[1, 2, 3])
+        assert got == {1: 1, 2: 2, 3: 3}
+
+    def test_max_iter_raises(self, spark):
+        edges = [(i, i + 1) for i in range(64)]
+        e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(e, max_iter=1)

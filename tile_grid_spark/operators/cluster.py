@@ -1,0 +1,142 @@
+"""Distributed connected components — candidate pairs -> dedup clusters.
+
+Turning near-dup candidate PAIRS (the output of minhash_lsh_pairs /
+simhash_near_pairs / hamming_near_pairs / embedding_near_pairs) into
+duplicate CLUSTERS with one representative per component is the final
+stage of a web-scale dedup pipeline: transitive closure, "keep the
+minimum id per component".
+
+At 10^12 rows the edge list fits nowhere central and components can be
+huge (boilerplate near-dup blobs), so this is the alternating
+large-star / small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+Beyond", ACM SoCC 2014): O(log^2 n) rounds w.h.p., each round two
+groupBy-min shuffles over the edge list and nothing else — no
+driver-side graph, no per-task state beyond a grouped min.
+
+Scale notes:
+- Each round shuffles (node, neighbor) BIGINT pairs only; `distinct`
+  between rounds keeps the edge multiset from ballooning (star steps
+  emit duplicates when several neighbors map to the same min).
+- Skew: a huge star component concentrates on its min-id root node.
+  large-star is exactly the paper's fix — high-degree hubs hand their
+  GREATER neighbors to the component min without routing everything
+  through one reducer chain; groupBy-min is also partially aggregated
+  map-side by Spark, so the hot key receives one row per map task.
+- Lineage: each round localCheckpoints the edge set (iterative plans
+  otherwise nest and re-execute; same gotcha as knn ring escalation).
+- Convergence test is a checksum aggregate (count + sum of xxhash64
+  over canonical edges), one tiny job per round, not a subtract/anti
+  join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected canonical form: (min, max), loops dropped, distinct."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Attach every strictly-greater neighbor of u to min(N(u) + {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("u", "_mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Attach every lesser-or-equal neighbor of u (and u) to their min."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) accumulator: a BIGINT sum of xxhash64 values overflows
+    # (and ANSI mode makes that an error, not a wrap)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row.n), int(row.h)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the undirected graph given by `edges`.
+
+    Returns a DataFrame (node, component) where component is the MINIMUM
+    node id in the node's component — i.e. the dedup representative
+    ("keep the smallest id, drop the rest" is a filter on
+    node != component).
+
+    `nodes` (optional, single column `id`) adds isolated vertices that
+    appear in no edge; they map to themselves. Raises RuntimeError if
+    the star rounds have not converged after `max_iter` (the paper's
+    bound is O(log^2 n) w.h.p.; 30 covers any realistic corpus).
+    """
+    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint()
+    prev = _checksum(e)
+    converged = prev[0] == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        e = _canonical(_small_star(_large_star(e))).localCheckpoint()
+        cur = _checksum(e)
+        converged = cur == prev
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: star rounds did not converge after "
+            f"{max_iter} iterations ({prev[0]} edges) — raise max_iter"
+        )
+    if prev[0] > 0:
+        # A checksum fixed point of S∘L must also BE a star forest before
+        # we read components off the edges: in canonical (min, max) form a
+        # star forest has no node in both the parent (u) and child (v)
+        # columns. One tiny distinct-join check, once, after convergence.
+        non_star = (
+            e.select("u").distinct().join(e.select(F.col("v").alias("u")).distinct(), "u")
+        ).count()
+        if non_star:
+            raise RuntimeError(
+                "connected_components: converged edge set is not a star "
+                f"forest ({non_star} chained nodes) — raise max_iter"
+            )
+    # converged canonical edges are (root=component min, child)
+    comp = e.select(F.col("v").alias("node"), F.col("u").alias("component")).unionByName(
+        e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        comp = (
+            all_nodes.join(comp, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
+    return comp
