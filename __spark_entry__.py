@@ -533,6 +533,62 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/val/test 80/10/10 by md5 of
+    doc_id) + per-split corpus stats — the reproducible way to split a
+    100-TB corpus: no sampling nondeterminism, stable under
+    repartitioning and incremental appends (a new doc's split never
+    depends on the rest of the data), zero shuffle before the final
+    3-group aggregate."""
+    from tile_grid_spark.operators.dedup import md5_hash60
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_hash60(F.col("doc_id").cast("string"), prefix="split"), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return (
+        d.select(split.alias("split"), toks.alias("_nt"), "n_chars", "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_nt").cast("bigint")).alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (functions/text.with_quality_filter):
+    per-source pass rate + per-rule failure counts. One codegen'd scan,
+    no shuffle before the per-source aggregate; the oracle recomputes
+    every rule (token bounds, mean token length, punctuation ratio,
+    stopword presence) from the same text."""
+    from tile_grid_spark.functions.text import with_quality_filter
+
+    d = read_table(spark, sf_dir, "documents")
+    flags = with_quality_filter(d)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("passes").cast("bigint")).alias("n_pass"),
+            F.sum(F.col("fail_tokens").cast("bigint")).alias("n_fail_tokens"),
+            F.sum(F.col("fail_wordlen").cast("bigint")).alias("n_fail_wordlen"),
+            F.sum(F.col("fail_punct").cast("bigint")).alias("n_fail_punct"),
+            F.sum(F.col("fail_stop").cast("bigint")).alias("n_fail_stop"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs -> dedup clusters: distributed connected
     components via alternating large-star/small-star
@@ -1139,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "phash_neardup": q_phash_neardup,
         "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
+        "quality_filter": q_quality_filter,
         "neighbors": q_neighbors,
         "parent_children": q_parent_children,
         "tile_assign_wgs84": q_tile_assign_wgs84,
@@ -2267,6 +2325,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(p.component, c.c_custkey) AS BIGINT) AS component
         FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
         ORDER BY node
+    """
+
+    # deterministic md5 split + per-split stats
+    sql["dataset_split"] = """
+        WITH s AS (
+          SELECT CASE
+                   WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS BIGINT)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+                   WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS BIGINT)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS nt,
+                 n_chars, source
+          FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               round(AVG(n_chars), 4) AS avg_chars
+        FROM s GROUP BY split ORDER BY split
+    """
+
+    # Gopher-style rule filter: every rule recomputed from the raw text
+    sql["quality_filter"] = """
+        WITH s AS (
+          SELECT source,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS nt,
+                 length(text) AS nc,
+                 length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / GREATEST(length(text), 1)::DOUBLE AS punct,
+                 (CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(string_split_regex(trim(lower(text)), '\\s+'), 'to') THEN 1 ELSE 0 END) AS stops
+          FROM documents
+        ),
+        f AS (
+          SELECT source,
+                 (nt < 25 OR nt > 10000) AS fail_tokens,
+                 (nc / GREATEST(nt, 1)::DOUBLE < 3.0 OR nc / GREATEST(nt, 1)::DOUBLE > 6.0) AS fail_wordlen,
+                 (punct > 0.1) AS fail_punct,
+                 (stops < 2) AS fail_stop
+          FROM s
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT (fail_tokens OR fail_wordlen OR fail_punct OR fail_stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN fail_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_tokens,
+               CAST(SUM(CASE WHEN fail_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+               CAST(SUM(CASE WHEN fail_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
+               CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+        FROM f GROUP BY source ORDER BY source
     """
 
     return sql

@@ -417,3 +417,73 @@ class TestSimilarity:
             hits += len(mine & set(exp[qid]))
             total += 5
         assert hits / total > 0.6
+
+
+class TestQualityFilter:
+    def test_rule_boundaries_vs_python_oracle(self, spark):
+        from tile_grid_spark.functions.text import with_quality_filter
+
+        docs = [
+            # passes everything: 30 tokens, stopwords, short words
+            ("ok", "the cat sat on a mat " * 5),
+            # too few tokens
+            ("short", "the a of word here"),
+            # mean token length too high (long words, few stops)
+            ("longwords", " ".join(["the", "a"] + ["extraordinarily"] * 28)),
+            # punctuation soup
+            ("punct", "the a " + "!!! ??? ;;; " * 10),
+            # no stopwords
+            ("nostop", " ".join(f"tok{i}" for i in range(30))),
+        ]
+        df = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+        got = {
+            r.doc_id: (r.fail_tokens, r.fail_wordlen, r.fail_punct, r.fail_stop, r.passes)
+            for r in with_quality_filter(df).collect()
+        }
+
+        def oracle(text):
+            toks = text.strip().lower().split()
+            nt, nc = len(toks), len(text)
+            mean = nc / max(nt, 1)
+            punct = sum(not (c.isalnum() or c.isspace()) for c in text) / max(nc, 1)
+            stops = sum(w in toks for w in ("the", "a", "and", "of", "to"))
+            f = (
+                nt < 25 or nt > 10000,
+                mean < 3.0 or mean > 6.0,
+                punct > 0.1,
+                stops < 2,
+            )
+            return (*f, not any(f))
+
+        for doc_id, text in docs:
+            assert got[doc_id] == oracle(text), doc_id
+        assert got["ok"][4] is True
+        assert got["short"][0] and got["longwords"][1]
+        assert got["punct"][2] and got["nostop"][3]
+
+
+class TestDatasetSplit:
+    def test_split_deterministic_and_partition_invariant(self, spark):
+        from tile_grid_spark.operators.dedup import md5_hash60
+
+        ids = spark.range(0, 2000)
+
+        def splits(df):
+            b = F.pmod(md5_hash60(F.col("id").cast("string"), prefix="split"), F.lit(100))
+            s = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            return df.select("id", s.alias("split"))
+
+        a = {r.id: r.split for r in splits(ids).collect()}
+        b = {r.id: r.split for r in splits(ids.repartition(13)).collect()}
+        assert a == b
+        # ratios near 80/10/10 (md5 uniformity)
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert abs(c["train"] / 2000 - 0.8) < 0.03
+        assert abs(c["val"] / 2000 - 0.1) < 0.02
+        assert abs(c["test"] / 2000 - 0.1) < 0.02
+        # append-stability: the split of ids 0..999 is unchanged when the
+        # corpus doubles (hash depends only on the id)
+        half = {r.id: r.split for r in splits(spark.range(0, 1000)).collect()}
+        assert all(a[i] == half[i] for i in range(1000))

@@ -97,6 +97,61 @@ def with_quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 6))
 
 
+def with_quality_filter(
+    df: DataFrame,
+    text: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 10_000,
+    min_mean_tok: float = 3.0,
+    max_mean_tok: float = 6.0,
+    max_punct: float = 0.1,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to"),
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, appendix A — public):
+    per-rule boolean flags + overall `passes`, all native Columns so the
+    whole filter is one codegen'd scan with zero shuffle — the shape a
+    100-TB corpus filter must have (a mapper; selectivity applied before
+    anything downstream shuffles).
+
+    Rules (each gets a fail_* flag):
+    - token count within [min_tokens, max_tokens]
+    - mean token length (n_chars / n_tokens) within [min_mean_tok, max_mean_tok]
+    - punctuation ratio <= max_punct
+    - at least min_stop_hits distinct stopwords present as whole tokens
+      (natural-language prior; sliced from the head of `stopwords`)
+    """
+    c = F.col(text)
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    nt = F.size(toks)
+    nc = F.length(c)
+    mean_tok = nc / F.greatest(nt, F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / F.greatest(
+        nc, F.lit(1)
+    ).cast("double")
+    stop_hits = None
+    for w in stopwords:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = df.withColumns(
+        {
+            "fail_tokens": (nt < min_tokens) | (nt > max_tokens),
+            "fail_wordlen": (mean_tok < min_mean_tok) | (mean_tok > max_mean_tok),
+            "fail_punct": punct > max_punct,
+            "fail_stop": stop_hits < min_stop_hits,
+        }
+    )
+    return out.withColumn(
+        "passes",
+        ~(
+            F.col("fail_tokens")
+            | F.col("fail_wordlen")
+            | F.col("fail_punct")
+            | F.col("fail_stop")
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language ID (n-gram heuristic)
 # ---------------------------------------------------------------------------
