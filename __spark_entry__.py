@@ -533,6 +533,89 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pyramid over the synthetic image table
+    (functions/multimodal.image_pyramid): 2x2 box-mean halving, 3
+    levels, re-quantized uint8 payloads — one narrow mapInPandas pass,
+    no shuffle until this per-level summary. NO oracle_sql: pixel
+    content originates in the image payloads and DuckDB has no codecs;
+    the gate is the assertion columns themselves (per-level mean drift
+    bounded by quantization+crop, total pixels ~quartering per level),
+    pinned with bit-exact goldens in tests/test_multimodal.py.
+    sf_dir-independent by design — the table is generated
+    deterministically (seeded per row)."""
+    from tile_grid_spark.functions.multimodal import image_pyramid
+    from tile_grid_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 160, seed=11)
+    pyr = image_pyramid(imgs, levels=3)
+    base = pyr.filter(F.col("level") == 0).select(
+        "image_id", F.col("mean_px").alias("_m0")
+    )
+    j = pyr.join(base, "image_id")
+    return (
+        j.groupBy("level")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.max(F.abs(F.col("mean_px") - F.col("_m0"))), 4).alias(
+                "max_mean_drift"
+            ),
+            F.sum((F.col("w") * F.col("h")).cast("bigint")).alias("total_px"),
+        )
+        .orderBy("level")
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — per-polygon aggregates of a point attribute
+    over the PIP join (cover prefilter -> broadcast tile-key equi-join
+    -> exact containment), the vector-side 'zonal stats' raster-analytics
+    surface. The point value is integer cents (floor(bal*100+0.5)) so
+    sums are exact under any aggregation order; the mean is derived
+    sum/count, not a float SUM."""
+    ZOOM = 6
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(_lon_sql("c_custkey")).alias("lon"),
+        F.expr(_lat_sql("c_custkey")).alias("lat"),
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    pts = G.with_tile(pts, WM, ZOOM)
+    rects = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-175.0) + F.col("n_nationkey") * F.lit(12.0) + F.lit(1.0 / 9.0)).alias("minx"),
+        (F.lit(-82.0) + F.col("n_nationkey") * F.lit(6.0) + F.lit(1.0 / 9.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(30.0), "maxy": F.col("miny") + F.lit(24.0)}
+    )
+    rect_tiles = C.cover_bbox_geographic(rects, WM, ZOOM).withColumn(
+        "_tk", G.tile_key("tile_x", "tile_y")
+    ).drop("tile_x", "tile_y")
+    joined = pts.withColumn("_tk", G.tile_key("tile_x", "tile_y")).join(
+        F.broadcast(rect_tiles), on="_tk", how="inner"
+    ).filter(
+        (F.col("lon") >= F.col("minx"))
+        & (F.col("lon") <= F.col("maxx"))
+        & (F.col("lat") >= F.col("miny"))
+        & (F.col("lat") <= F.col("maxy"))
+    )
+    return (
+        joined.groupBy("n_nationkey")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("cents").alias("sum_cents"),
+            F.round(
+                F.sum("cents") / (F.lit(100.0) * F.count("*")), 4
+            ).alias("avg_bal"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash split (train/val/test 80/10/10 by md5 of
     doc_id) + per-split corpus stats — the reproducible way to split a
@@ -1197,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
+        "zonal_stats": q_zonal_stats,
+        "image_pyramid": q_image_pyramid,
         "neighbors": q_neighbors,
         "parent_children": q_parent_children,
         "tile_assign_wgs84": q_tile_assign_wgs84,
@@ -2375,6 +2460,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN fail_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
                CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
         FROM f GROUP BY source ORDER BY source
+    """
+
+    # zonal stats: BETWEEN join + exact integer-cents aggregates
+    sql["zonal_stats"] = f"""
+        WITH pts AS (
+          SELECT c_custkey AS pid, {_lon_sql('c_custkey')} AS lon,
+                 {_lat_sql('c_custkey')} AS lat,
+                 CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT) AS cents
+          FROM customer
+        ),
+        rects AS (
+          SELECT n_nationkey,
+                 -175.0 + n_nationkey * 12.0 + {_d(1.0 / 9.0)} AS minx,
+                 -82.0 + n_nationkey * 6.0 + {_d(1.0 / 9.0)} AS miny
+          FROM nation
+        ),
+        j AS (
+          SELECT rects.n_nationkey, pts.cents
+          FROM pts JOIN rects
+            ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 30.0
+           AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 24.0
+        )
+        SELECT n_nationkey, COUNT(*) AS n_points,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               round(CAST(SUM(cents) AS DOUBLE) / (100e0 * COUNT(*)), 4) AS avg_bal,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM j GROUP BY n_nationkey ORDER BY n_nationkey
     """
 
     return sql

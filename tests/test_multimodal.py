@@ -101,3 +101,66 @@ class TestAudio:
     def test_stub_raises(self):
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3", "mp3")
+
+
+class TestImagePyramid:
+    def _df(self, spark, px, iid="img-a"):
+        return spark.createDataFrame(
+            [(iid, bytearray(px.tobytes()), "raw", px.shape[1], px.shape[0])],
+            "image_id STRING, bytes BINARY, fmt STRING, w INT, h INT",
+        )
+
+    def test_constant_image_exact(self, spark):
+        from tile_grid_spark.functions.multimodal import image_pyramid
+
+        px = np.full((32, 16, 3), 77, dtype=np.uint8)
+        rows = image_pyramid(self._df(spark, px), levels=3).orderBy("level").collect()
+        assert [(r.level, r.w, r.h) for r in rows] == [
+            (0, 16, 32), (1, 8, 16), (2, 4, 8), (3, 2, 4)
+        ]
+        for r in rows:
+            arr = np.frombuffer(bytes(r.bytes), dtype=np.uint8)
+            assert (arr == 77).all()
+            assert r.mean_px == 77.0
+
+    def test_gradient_matches_numpy_golden(self, spark):
+        from tile_grid_spark.functions.multimodal import halve_box, image_pyramid
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (24, 20, 3)).astype(np.uint8)
+        rows = {r.level: r for r in image_pyramid(self._df(spark, px), levels=2).collect()}
+        want = np.clip(np.rint(halve_box(px)), 0, 255).astype(np.uint8)
+        got = np.frombuffer(bytes(rows[1].bytes), dtype=np.uint8).reshape(12, 10, 3)
+        assert (got == want).all()
+        want2 = np.clip(np.rint(halve_box(want)), 0, 255).astype(np.uint8)
+        got2 = np.frombuffer(bytes(rows[2].bytes), dtype=np.uint8).reshape(6, 5, 3)
+        assert (got2 == want2).all()
+
+    def test_odd_dims_crop_and_early_stop(self, spark):
+        from tile_grid_spark.functions.multimodal import image_pyramid
+
+        px = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(5, 7, 3)
+        rows = image_pyramid(self._df(spark, px), levels=5).orderBy("level").collect()
+        # 7x5 -> crop to 6x4 -> 3x2 -> crop 2x2 -> 1x1 -> stop (dim 1)
+        assert [(r.level, r.w, r.h) for r in rows] == [(0, 7, 5), (1, 3, 2), (2, 1, 1)]
+
+    def test_drift_bounded_on_real_images(self, spark, images):
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.functions.multimodal import image_pyramid
+
+        pyr = image_pyramid(images.filter(F.col("fmt") != "png").limit(20), levels=3)
+        base = pyr.filter(F.col("level") == 0).select(
+            "image_id", F.col("mean_px").alias("m0")
+        )
+        j = pyr.join(base, "image_id").collect()
+        assert len(j) >= 20 * 3
+        for r in j:
+            # quantization adds <=0.5/level; odd-dim crops remove up to
+            # one row+col per level, which on a gradient image at the
+            # smallest (16px) dims moves the mean by up to ~2/16 per
+            # level relative — bound relatively, not absolutely
+            assert abs(r.mean_px - r.m0) <= 0.15 * r.m0 + 0.5 * r.level + 1.0, (
+                r.image_id,
+                r.level,
+            )

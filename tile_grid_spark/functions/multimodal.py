@@ -32,6 +32,9 @@ FEATURE_DIM = 3 * 2 + 64  # per-channel mean/std + 8x8 gray downsample
 FEATURIZE_SCHEMA = "image_id STRING, feature ARRAY<FLOAT>, w INT, h INT"
 RESIZE_SCHEMA = "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING"
 FRAME_SCHEMA = "video_id STRING, frame_idx INT, feature ARRAY<FLOAT>"
+PYRAMID_SCHEMA = (
+    "image_id STRING, level INT, w INT, h INT, bytes BINARY, mean_px DOUBLE"
+)
 
 
 def _featurize(px: np.ndarray) -> np.ndarray:
@@ -91,6 +94,60 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
         run, RESIZE_SCHEMA
+    )
+
+
+def halve_box(px: np.ndarray) -> np.ndarray:
+    """One anti-aliased pyramid step: 2x2 box mean over disjoint blocks
+    (float64; crops a trailing odd row/col so blocks tile exactly —
+    cropping keeps the level mean identical to the mean of the covered
+    region, unlike replicate-padding which biases edges)."""
+    h, w = px.shape[0] & ~1, px.shape[1] & ~1
+    c = px[:h, :w].astype(np.float64)
+    return (
+        c.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
+        if c.ndim == 3
+        else c.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    )
+
+
+def image_pyramid(images: DataFrame, levels: int = 3) -> DataFrame:
+    """Thumbnail pyramid: per image emit `levels` extra rows, level L
+    halved L times by 2x2 box mean (anti-aliased, unlike resize_images'
+    nearest-neighbor) and re-quantized to raw uint8. Level 0 re-emits
+    the decoded original.
+
+    mapInPandas keeps this a single narrow pass: one Arrow batch in,
+    (levels+1) rows per image out, no shuffle — at 10^12 images the
+    pyramid cost is pure map-side CPU and the output partitioning is
+    inherited. Stops early when a dimension reaches 1. mean_px is the
+    stored (quantized) level's float mean — the pyramid invariant
+    |mean_L - mean_0| <= ~0.5*L (quantization only) is assertion
+    material for the driver query and pytest."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"image_id": [], "level": [], "w": [], "h": [], "bytes": [], "mean_px": []}
+            for iid, payload, fmt, w, h in zip(
+                b["image_id"], b["bytes"], b["fmt"], b["w"], b["h"]
+            ):
+                px = decode_image(payload, fmt, int(w), int(h))
+                cur = px
+                for lvl in range(levels + 1):
+                    q = np.clip(np.rint(cur), 0, 255).astype(np.uint8)
+                    out["image_id"].append(iid)
+                    out["level"].append(lvl)
+                    out["w"].append(int(q.shape[1]))
+                    out["h"].append(int(q.shape[0]))
+                    out["bytes"].append(q.tobytes())
+                    out["mean_px"].append(float(q.mean()))
+                    if min(q.shape[0], q.shape[1]) < 2 or lvl == levels:
+                        break
+                    cur = halve_box(q)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        run, PYRAMID_SCHEMA
     )
 
 
