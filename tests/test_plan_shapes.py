@@ -254,3 +254,62 @@ class TestTileLayoutWrite:
         )
         assert "PushedFilters: [" in plan_of(narrow)
         assert 0 < narrow.count() < 20000
+
+
+class TestRound3PlanShapes:
+    def test_hamming_band_join_is_equi_join(self, spark):
+        """Candidate generation must be a hash/merge equi-join on the
+        short (band, band_bits) key — never a nested-loop cross."""
+        from tile_grid_spark.operators.dedup import hamming_near_pairs
+
+        df = spark.range(0, 500).select(
+            F.col("id").alias("image_id"), F.xxhash64("id").alias("phash")
+        )
+        plan = plan_of(hamming_near_pairs(df, "image_id", "phash", max_hamming=6))
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_quality_filter_no_shuffle_before_agg(self, spark, sf_dir):
+        """The rule filter is a mapper: exactly the aggregate's own
+        exchange, nothing upstream (filter happens scan-side)."""
+        from tile_grid_spark.functions.text import with_quality_filter
+
+        d = read_table(spark, sf_dir, "documents")
+        flags = with_quality_filter(d).groupBy("source").agg(
+            F.sum(F.col("passes").cast("bigint")).alias("n_pass")
+        )
+        plan = plan_of(flags)
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan, plan  # all-native columns, no UDF
+
+    def test_quality_filter_prunes_scan_columns(self, spark, sf_dir):
+        from tile_grid_spark.functions.text import with_quality_filter
+
+        d = read_table(spark, sf_dir, "documents")
+        out = with_quality_filter(d).filter("passes").select("doc_id")
+        plan = plan_of(out)
+        scan = plan[plan.index("FileScan"):].splitlines()[0]
+        assert "lang" not in scan and "n_chars" not in scan, scan
+
+    def test_image_pyramid_single_narrow_pass(self, spark):
+        """No shuffle anywhere: the pyramid inherits the input
+        partitioning (map-side only)."""
+        from tile_grid_spark.functions.multimodal import image_pyramid
+        from tile_grid_spark.sources.datagen import generate_images
+
+        pyr = image_pyramid(generate_images(spark, 16, seed=1), levels=2)
+        plan = plan_of(pyr)
+        assert "Exchange" not in plan, plan
+
+    def test_connected_components_star_rounds_partial_agg(self, spark):
+        """Each star round's groupBy-min must partial-aggregate map-side
+        (hub skew protection: the hot key receives one row per map task,
+        not one row per edge)."""
+        from tile_grid_spark.operators.cluster import _large_star
+
+        e = spark.range(0, 1000).select(
+            (F.col("id") % 97).alias("u"), F.col("id").alias("v")
+        )
+        plan = plan_of(_large_star(e))
+        # partial_min before the exchange, min after
+        assert "partial_min" in plan, plan
