@@ -337,6 +337,53 @@ def bench_docs(spark: SparkSession) -> dict:
     return {"sec": time.time() - t0}
 
 
+PH_N = int(os.environ.get("SPARK_GRAFT_PHASH_N", "8000000"))
+CC_NODES = int(os.environ.get("SPARK_GRAFT_CC_NODES", "1000000"))
+
+
+def bench_phash_band_join(spark: SparkSession) -> dict:
+    """Banded Hamming near-dup join at web-scale shape: PH_N synthetic
+    64-bit fingerprints, a planted 1-bit twin per id pair, bands=2
+    (32-bit band keys — at N in the millions, 16-bit bands drown in
+    accidental bucket collisions; see hamming_near_pairs' scale rule).
+    Measures candidate generation + bit_count verify end to end."""
+    from tile_grid_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.range(PH_N).select(
+        F.col("id").alias("image_id"),
+        F.xxhash64(F.floor(F.col("id") / 2).cast("long"))
+        .bitwiseXOR(F.when(F.pmod("id", F.lit(2)) == 1, F.lit(1 << 7)).otherwise(F.lit(0)))
+        .alias("phash"),
+    )
+    pairs = hamming_near_pairs(df, "image_id", "phash", max_hamming=2, bands=2)
+    t0 = time.time()
+    n = pairs.agg(F.count("*"), F.sum("hamming")).collect()[0][0]
+    dt = time.time() - t0
+    return {"sec": dt, "phash_rows": PH_N, "phash_pairs": n}
+
+
+def bench_connected_components(spark: SparkSession) -> dict:
+    """Iterative star rounds over a CC_NODES-node graph (chains of 8 +
+    10%-density long-range merges): the pairs->clusters stage's shuffle
+    loop, convergence included."""
+    from tile_grid_spark.operators.cluster import connected_components
+
+    ids = spark.range(CC_NODES)
+    e1 = ids.filter(F.pmod("id", F.lit(8)) < 7).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    e2 = ids.filter(F.pmod("id", F.lit(80)) == 3).select(
+        F.col("id").alias("id_a"), (F.col("id") + 11).alias("id_b")
+    )
+    t0 = time.time()
+    comp = connected_components(e1.unionByName(e2))
+    n = comp.agg(
+        F.count("*"), F.countDistinct("component").alias("n_comp")
+    ).collect()[0]
+    dt = time.time() - t0
+    return {"sec": dt, "cc_nodes": int(n[0]), "cc_components": int(n[1])}
+
+
 def main() -> None:
     spark = build_session(
         "tgs-bench",
@@ -399,6 +446,8 @@ def main() -> None:
         "per_tile_agg_z10": bench_per_tile_agg,
         "knn_bruteforce": bench_knn,
         "doc_ops": bench_docs,
+        "phash_band_join": bench_phash_band_join,
+        "cc_star_rounds": bench_connected_components,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -426,6 +475,10 @@ def main() -> None:
             extras["pip_join_rows_per_sec"] = round(r["pip_rows"] / r["sec"])
         if "knn_pairs" in r:
             extras["knn_exact_pairs_per_sec"] = round(r["knn_pairs"] / r["sec"])
+        if "phash_rows" in r:
+            extras["phash_rows_per_sec"] = round(r["phash_rows"] / r["sec"])
+        if "cc_nodes" in r:
+            extras["cc_nodes_per_sec"] = round(r["cc_nodes"] / r["sec"])
     queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -195,6 +195,20 @@ def run_pipeline(
     if report("dedup", r):
         return results
 
+    # ---- cluster (pairs -> components -> keep-one mapping) ----
+    from tile_grid_spark.operators.cluster import connected_components
+
+    def build_cluster(_unit: str):
+        pairs = spark.read.parquet(os.path.join(log.root, "dedup", "unit=captions"))
+        nodes = images.select(F.col("image_id").alias("id"))
+        comp = connected_components(pairs, "id_a", "id_b", nodes=nodes)
+        # the dedup verdict: keep component representatives only
+        return comp.withColumn("keep", F.col("node") == F.col("component"))
+
+    r = run_stage(spark, log, "cluster", ["components"], build_cluster)
+    if report("cluster", r):
+        return results
+
     # ---- raster (point density + image-footprint coverage units) ----
     rz = raster_zoom if raster_zoom is not None else min(deep, 6)
 

@@ -56,8 +56,11 @@ class TestPipelineResume:
         assert second["assign"].ran_units == []
         # the stages after the crash point actually run
         assert second["dedup"].ran_units == ["captions"]
+        assert second["cluster"].ran_units == ["components"]
         assert set(second["raster"].ran_units) == {"z4", "fp-z4"}
         assert second["dedup"].rows > 0  # caption near-dups exist by design
+        # every image got a component verdict (iterative CC through lineage)
+        assert second["cluster"].rows == 1500
 
     def test_pip_output_not_recomputed(self, crash_then_resume):
         _, _, _, pip_dir, snapshot = crash_then_resume

@@ -350,7 +350,14 @@ def hamming_near_pairs(
     equal keys (pigeonhole: any pair within max_hamming <= bands-1 shares
     at least one exact band), bucket-join on the short (band, band_bits)
     key, verify candidates with native bit_count(xor). Shuffles only
-    (id, fingerprint, band key) rows — never the payloads, never O(N^2)."""
+    (id, fingerprint, band key) rows — never the payloads, never O(N^2).
+
+    Scale rule for `bands`: accidental bucket collisions are
+    ~N^2 * bands / 2^(64/bands), so the band width must comfortably
+    exceed log2(N) — bands=4 (16-bit keys, Hamming<=3 guaranteed) is
+    right up to ~1M rows; at 10^8-10^12 rows use bands=2 (32-bit keys,
+    Hamming<=1 guaranteed, wider radii probabilistic) or run multiple
+    2-band tables with rotated bit layouts."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = F.array(
