@@ -672,6 +672,69 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution per source: EXACT p50/p90 by rank
+    selection (row_number over a sorted window + conditional max at
+    ceil(q*n)), not approx_percentile — both engines replay the
+    identical rank arithmetic so the oracle is hash-exact. One shuffle
+    (the source window); the corpus-profiling surface of a training
+    pipeline."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    s = d.select("source", "doc_id", nt.alias("nt"))
+    w = Window.partitionBy("source").orderBy("nt", "doc_id")
+    wall = Window.partitionBy("source")
+    r = s.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wall)
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("nt"))
+            ).alias("p50_tokens"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("nt"))
+            ).alias("p90_tokens"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text dedup: n-gram-Jaccard near-dup pairs (the same
+    candidate pipeline as `ngram_jaccard`) -> distributed connected
+    components -> per-document keep/drop verdict with cluster size —
+    the composed pairs->clusters->representative flow a 100-TB corpus
+    dedup actually runs. Fully oracle-checked: DuckDB replays shingling,
+    bucketing, Jaccard, then closes the pair graph with a recursive
+    CTE."""
+    from tile_grid_spark.operators.cluster import connected_components
+    from tile_grid_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2, prefilter_prefix=100)
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=d.select(F.col("doc_id").alias("id"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            "component",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs -> dedup clusters: distributed connected
     components via alternating large-star/small-star
@@ -1278,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "phash_neardup": q_phash_neardup,
         "dedup_clusters": q_dedup_clusters,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "token_quantiles": q_token_quantiles,
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
         "zonal_stats": q_zonal_stats,
@@ -2460,6 +2525,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN fail_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
                CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
         FROM f GROUP BY source ORDER BY source
+    """
+
+    # exact rank-selection quantiles (identical rank arithmetic)
+    sql["token_quantiles"] = """
+        WITH s AS (
+          SELECT source, doc_id,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS nt
+          FROM documents
+        ),
+        r AS (
+          SELECT source, nt,
+                 row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM s
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN nt END) AS INTEGER) AS p50_tokens,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN nt END) AS INTEGER) AS p90_tokens,
+               CAST(MIN(nt) AS INTEGER) AS min_tokens,
+               CAST(MAX(nt) AS INTEGER) AS max_tokens
+        FROM r GROUP BY source ORDER BY source
+    """
+
+    # end-to-end text dedup: ngram pairs (same CTEs as ngram_jaccard)
+    # closed into components by recursive CTE, then sized + keep verdict
+    sql["doc_dedup_clusters"] = """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 md5(substring(text, 1, 100)) AS bucket,
+                 list_distinct(
+                   CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                        ELSE list_transform(range(1, len(t) - 1),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                   END) AS s
+          FROM toks
+        ),
+        pairs AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM sh l JOIN sh r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+          WHERE len(list_intersect(l.s, r.s))::DOUBLE
+                / len(list_distinct(l.s || r.s)) >= 0.2
+        ),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b AS u, id_a AS v FROM pairs),
+        walk(id, lbl) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s2.v, w.lbl FROM walk w JOIN sym s2 ON s2.u = w.id
+        ),
+        comp AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(MIN(w.lbl), d.doc_id) AS BIGINT) AS component
+          FROM documents d LEFT JOIN walk w ON w.id = d.doc_id
+          GROUP BY d.doc_id
+        ),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               (c.doc_id = c.component) AS keep
+        FROM comp c JOIN sizes s ON s.component = c.component
+        ORDER BY c.doc_id
     """
 
     # zonal stats: BETWEEN join + exact integer-cents aggregates

@@ -78,3 +78,15 @@ class TestConnectedComponents:
         e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
         with pytest.raises(RuntimeError, match="converge"):
             connected_components(e, max_iter=1)
+
+    def test_huge_hub_star_skew(self, spark):
+        """A 150k-leaf hub at the MAX id: small-star funnels every leaf
+        into the hub's group — partial aggregation must keep the hot key
+        to one row per map task and converge in the star-bound rounds."""
+        n = 150_000
+        e = spark.range(0, n - 1).select(
+            F.col("id").alias("id_a"), F.lit(n - 1).alias("id_b")
+        )
+        out = connected_components(e)
+        assert out.count() == n
+        assert out.filter(F.col("component") != 0).count() == 0

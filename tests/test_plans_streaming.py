@@ -546,3 +546,43 @@ class TestStreamingSessionize:
             assert ok, f"sessionize never accumulated: {rows[:5] if rows else []}"
         finally:
             q.stop()
+
+
+class TestStreamingQualityFilter:
+    def test_stateless_filter_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """with_quality_filter is a pure mapper, so it composes with
+        readStream unchanged; the streamed verdicts must equal the batch
+        verdicts row-for-row (availableNow over a file source)."""
+        from tile_grid_spark.functions.text import with_quality_filter
+        from tile_grid_spark.sources.io import read_table
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = str(tmp_path / "docs")
+        d.coalesce(2).write.parquet(src)
+
+        batch = {
+            r.doc_id: (r.passes, r.fail_tokens, r.fail_stop)
+            for r in with_quality_filter(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = with_quality_filter(stream).select(
+            "doc_id", "passes", "fail_tokens", "fail_stop"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("qf_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+        got = {
+            r.doc_id: (r.passes, r.fail_tokens, r.fail_stop)
+            for r in spark.sql("SELECT * FROM qf_stream").collect()
+        }
+        assert got == batch
