@@ -568,11 +568,14 @@ def q_image_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — per-polygon aggregates of a point attribute
-    over the PIP join (cover prefilter -> broadcast tile-key equi-join
-    -> exact containment), the vector-side 'zonal stats' raster-analytics
+    over the engine's rect_contains_join (cover prefilter with the
+    boundary-pad semantics -> broadcast tile-key equi-join -> exact
+    containment), the vector-side 'zonal stats' raster-analytics
     surface. The point value is integer cents (floor(bal*100+0.5)) so
     sums are exact under any aggregation order; the mean is derived
     sum/count, not a float SUM."""
+    from tile_grid_spark.operators.pip_join import rect_contains_join
+
     ZOOM = 6
     c = read_table(spark, sf_dir, "customer")
     pts = c.select(
@@ -581,7 +584,6 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_lat_sql("c_custkey")).alias("lat"),
         F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("cents"),
     )
-    pts = G.with_tile(pts, WM, ZOOM)
     rects = read_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey"),
         (F.lit(-175.0) + F.col("n_nationkey") * F.lit(12.0) + F.lit(1.0 / 9.0)).alias("minx"),
@@ -590,17 +592,7 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rects = rects.withColumns(
         {"maxx": F.col("minx") + F.lit(30.0), "maxy": F.col("miny") + F.lit(24.0)}
     )
-    rect_tiles = C.cover_bbox_geographic(rects, WM, ZOOM).withColumn(
-        "_tk", G.tile_key("tile_x", "tile_y")
-    ).drop("tile_x", "tile_y")
-    joined = pts.withColumn("_tk", G.tile_key("tile_x", "tile_y")).join(
-        F.broadcast(rect_tiles), on="_tk", how="inner"
-    ).filter(
-        (F.col("lon") >= F.col("minx"))
-        & (F.col("lon") <= F.col("maxx"))
-        & (F.col("lat") >= F.col("miny"))
-        & (F.col("lat") <= F.col("maxy"))
-    )
+    joined = rect_contains_join(pts, rects, WM, ZOOM, rect_id="n_nationkey")
     return (
         joined.groupBy("n_nationkey")
         .agg(
@@ -790,7 +782,7 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).bitwiseXOR(flips).alias("phash"),
     )
     return hamming_near_pairs(
-        imgs, "image_id", "phash", max_hamming=6, bands=4
+        imgs, "image_id", "phash", max_hamming=6, bands=4, persist=False
     ).orderBy("id_a", "id_b")
 
 
@@ -2513,8 +2505,8 @@ def oracle_sql() -> dict[str, str]:
         f AS (
           SELECT source,
                  (nt < 25 OR nt > 10000) AS fail_tokens,
-                 (nc / GREATEST(nt, 1)::DOUBLE < 3.0 OR nc / GREATEST(nt, 1)::DOUBLE > 6.0) AS fail_wordlen,
-                 (punct > 0.1) AS fail_punct,
+                 (nc / GREATEST(nt, 1)::DOUBLE < 3e0 OR nc / GREATEST(nt, 1)::DOUBLE > 6e0) AS fail_wordlen,
+                 (punct > 0.1e0) AS fail_punct,
                  (stops < 2) AS fail_stop
           FROM s
         )
@@ -2541,8 +2533,8 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         )
         SELECT source, COUNT(*) AS n_docs,
-               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN nt END) AS INTEGER) AS p50_tokens,
-               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN nt END) AS INTEGER) AS p90_tokens,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.5e0) AS BIGINT) THEN nt END) AS INTEGER) AS p50_tokens,
+               CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9e0) AS BIGINT) THEN nt END) AS INTEGER) AS p90_tokens,
                CAST(MIN(nt) AS INTEGER) AS min_tokens,
                CAST(MAX(nt) AS INTEGER) AS max_tokens
         FROM r GROUP BY source ORDER BY source
@@ -2569,7 +2561,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT l.doc_id AS id_a, r.doc_id AS id_b
           FROM sh l JOIN sh r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
           WHERE len(list_intersect(l.s, r.s))::DOUBLE
-                / len(list_distinct(l.s || r.s)) >= 0.2
+                / len(list_distinct(l.s || r.s)) >= 0.2e0
         ),
         sym AS (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION SELECT id_b AS u, id_a AS v FROM pairs),
@@ -2601,15 +2593,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         rects AS (
           SELECT n_nationkey,
-                 -175.0 + n_nationkey * 12.0 + {_d(1.0 / 9.0)} AS minx,
-                 -82.0 + n_nationkey * 6.0 + {_d(1.0 / 9.0)} AS miny
+                 -175e0 + n_nationkey * 12e0 + {_d(1.0 / 9.0)} AS minx,
+                 -82e0 + n_nationkey * 6e0 + {_d(1.0 / 9.0)} AS miny
           FROM nation
         ),
         j AS (
           SELECT rects.n_nationkey, pts.cents
           FROM pts JOIN rects
-            ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 30.0
-           AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 24.0
+            ON pts.lon >= rects.minx AND pts.lon <= rects.minx + 30e0
+           AND pts.lat >= rects.miny AND pts.lat <= rects.miny + 24e0
         )
         SELECT n_nationkey, COUNT(*) AS n_points,
                CAST(SUM(cents) AS BIGINT) AS sum_cents,

@@ -355,7 +355,11 @@ def bench_phash_band_join(spark: SparkSession) -> dict:
         .bitwiseXOR(F.when(F.pmod("id", F.lit(2)) == 1, F.lit(1 << 7)).otherwise(F.lit(0)))
         .alias("phash"),
     )
-    pairs = hamming_near_pairs(df, "image_id", "phash", max_hamming=2, bands=2)
+    # persist=False: the fingerprint is one xxhash64 — recomputing beats
+    # pinning 2*PH_N banded rows in storage across bench repeats
+    pairs = hamming_near_pairs(
+        df, "image_id", "phash", max_hamming=2, bands=2, persist=False
+    )
     t0 = time.time()
     n = pairs.agg(F.count("*"), F.sum("hamming")).collect()[0][0]
     dt = time.time() - t0

@@ -175,15 +175,32 @@ def main() -> None:
     eff_pip = pip32 / (4.0 * pip8)
     norm_assign = min(eff_assign / cpu_ceil, 1.0)
     norm_pip = min(eff_pip / mem_ceil, 1.0)
-    # per-query table: min seconds per level across pairs (same estimator)
+    # per-query table: min seconds per level across pairs, and the SAME
+    # estimator for every derived scalar — the composite must never mix
+    # pair-0 throughputs with cross-pair minima (a noisy pair 0 would
+    # make the raw JSON contradict the headline efficiencies)
+    _TP_KEYS = (
+        "tile_assignments_per_sec",
+        "pip_join_rows_per_sec",
+        "knn_exact_pairs_per_sec",
+        "phash_rows_per_sec",
+        "cc_nodes_per_sec",
+    )
     r8 = dict(pairs[0][0])
     r32 = dict(pairs[0][1])
-    r8["queries"] = {
-        k: min(p[0]["queries"][k] for p in pairs) for k in pairs[0][0]["queries"]
-    }
-    r32["queries"] = {
-        k: min(p[1]["queries"][k] for p in pairs) for k in pairs[0][1]["queries"]
-    }
+    for r, idx in ((r8, 0), (r32, 1)):
+        r["queries"] = {
+            k: min(p[idx]["queries"][k] for p in pairs)
+            for k in pairs[0][idx]["queries"]
+        }
+        r["value"] = round(sum(r["queries"].values()), 3)
+        for key in _TP_KEYS:
+            if key in r:
+                r[key] = max(p[idx][key] for p in pairs)
+        probes = [x for p in pairs for x in p[idx].get("cal_probes_units_per_sec", [])]
+        if probes:
+            r["cal_probes_units_per_sec"] = probes
+            r["cal_window_min"] = min(probes)
 
     lines = []
     lines.append("# BENCH/BASELINE — measured throughput + scaling evidence\n")

@@ -468,3 +468,45 @@ class TestPhashNearDup:
         got = pairs.filter(F.col("id_b") == F.concat(F.col("id_a"), F.lit("-copy")))
         assert got.count() == 25
         assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
+class TestCoverOutsideMatrix:
+    def test_cover_xy_exact_rejects_disjoint_bboxes(self, spark, wm):
+        """A bbox entirely outside the matrix must produce NO tiles —
+        clamping must not collapse it onto an edge tile (footprints at
+        |lat| > 85.05 hit this via unclamped mercator_y)."""
+        from tile_grid_spark.operators.cover import cover_bbox_xy_exact
+
+        b = wm.xy_bbox()
+        rows = [
+            (0, b.left - 100.0, b.bottom + 10.0, b.left - 1.0, b.bottom + 20.0),
+            (1, b.right + 1.0, 0.0, b.right + 100.0, 10.0),
+            (2, 0.0, b.top + 1.0, 10.0, b.top + 100.0),
+            (3, 0.0, b.bottom - 100.0, 10.0, b.bottom - 1.0),
+            (4, 0.0, 0.0, 10.0, 10.0),                       # interior
+            (5, b.left - 100.0, 0.0, b.left + 10.0, 10.0),   # straddles west
+            (6, b.right + 0.0, 0.0, b.right + 50.0, 10.0),   # touches east edge
+        ]
+        df = spark.createDataFrame(
+            rows, "id INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        got = {r.id for r in cover_bbox_xy_exact(df, wm, 3).select("id").distinct().collect()}
+        assert got == {4, 5, 6}
+
+    def test_footprint_above_mercator_top_paints_nothing(self, spark, wm):
+        """North-star framing: an image footprint centered at lat 87 is
+        outside WebMercatorQuad entirely; the raster must not acquire
+        phantom row-0 coverage."""
+        from tile_grid_spark.operators.raster import rasterize_footprints
+
+        df = spark.createDataFrame(
+            [("i0", 10.0, 87.0, 32, 32), ("i1", 10.0, 50.0, 32, 32)],
+            "image_id STRING, lon DOUBLE, lat DOUBLE, w INT, h INT",
+        )
+        r = rasterize_footprints(df, wm, 6, ground_px_m=100.0).collect()
+        assert r, "the in-domain footprint must still rasterize"
+        total = sum(x.n_footprints for x in r)
+        assert total >= 1
+        # every painted tile must be reachable from the lat-50 footprint
+        ys = {x.tile_y for x in r}
+        assert 0 not in ys

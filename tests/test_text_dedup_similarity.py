@@ -222,14 +222,24 @@ class TestDedup:
     def test_ngram_bucket_cap_raises(self, docs):
         # every fixture doc shares a prefix bucket only with its dups;
         # force a degenerate bucket by keying on a 1-char prefix and
-        # capping below the bucket size
-        with pytest.raises(ValueError, match="max_bucket"):
-            ngram_jaccard_pairs(
-                docs.withColumn("text", F.concat(F.lit("x"), "text")),
-                threshold=0.1,
-                prefilter_prefix=1,
-                max_bucket=3,
-            )
+        # capping below the bucket size. The guard is LAZY (an in-plan
+        # assertion, not an eager pre-scan): building the plan must NOT
+        # raise; executing it must. (AQE may wrap the USER_RAISED error
+        # in a multi-failure Py4J exception when two stages race — match
+        # on the message, not the wrapper class.)
+        plan = ngram_jaccard_pairs(
+            docs.withColumn("text", F.concat(F.lit("x"), "text")),
+            threshold=0.1,
+            prefilter_prefix=1,
+            max_bucket=3,
+        )  # lazy: no job yet
+        with pytest.raises(Exception, match="max_bucket"):
+            plan.collect()
+
+    def test_ngram_bucket_cap_passes_under_limit(self, docs):
+        ok = ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=100_000)
+        base = ngram_jaccard_pairs(docs, threshold=0.2, max_bucket=None)
+        assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, base.collect()))
 
     def test_minhash_shingles_stay_out_of_banding_shuffle(self, docs):
         # scale shape: the shingle-array verify side is narrowed by a

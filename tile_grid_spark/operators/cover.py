@@ -164,7 +164,18 @@ def cover_bbox_xy_exact(
     mx = F.lit(p.matrix_width - 1)
     my = F.lit(p.matrix_height - 1)
     return (
-        df.withColumn("_ulx", F.least(xy_tile_x(w, p), mx))
+        # a bbox entirely OUTSIDE the matrix must be rejected on the raw
+        # coords: clamping would collapse its disjoint range onto an edge
+        # tile and the inverted-range guard below could no longer see it
+        # (edge-touch from outside keeps the interior edge-touch
+        # semantics: >= / <= includes the boundary tile row/col)
+        df.filter(
+            (F.col(maxx) >= F.lit(b.left))
+            & (F.col(minx) <= F.lit(b.right))
+            & (F.col(maxy) >= F.lit(b.bottom))
+            & (F.col(miny) <= F.lit(b.top))
+        )
+        .withColumn("_ulx", F.least(xy_tile_x(w, p), mx))
         .withColumn("_uly", F.least(xy_tile_y(n, p), my))
         .withColumn("_lrx", F.least(xy_tile_x(e, p), mx))
         .withColumn("_lry", F.least(xy_tile_y(s, p), my))

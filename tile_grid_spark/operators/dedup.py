@@ -228,29 +228,38 @@ def ngram_jaccard_pairs(
 
     The comparison is QUADRATIC within a bucket, so a degenerate corpus
     (everything opens with the same boilerplate) would silently go
-    O(N^2). `max_bucket` makes that footgun explicit: if any prefix
-    bucket exceeds it, raise with the offending size instead of running
-    a cartesian. Pass None to disable (e.g. on a pre-vetted corpus)."""
+    O(N^2). `max_bucket` makes that footgun explicit: any bucket over
+    the cap raises AT EXECUTION via an in-plan assertion — the function
+    stays a lazy plan-builder (no eager pre-scan job; the guard's
+    bucket-count aggregate shares the pair join's shuffle key, so it
+    costs one short-key aggregate, not a second pass over the corpus).
+    Pass None to disable (e.g. on a pre-vetted corpus)."""
     s = df.select(
         F.col(id_col).alias("_id"),
         F.md5(F.substring(F.col(text), 1, prefilter_prefix)).alias("_bucket"),
         F.array_distinct(word_shingles(F.col(text), shingle_n)).alias("_sh"),
     )
     if max_bucket is not None:
-        big = (
-            s.groupBy("_bucket")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select(F.max("count").alias("mx"))
-            .first()
+        bc = s.groupBy("_bucket").agg(F.count("*").alias("_bn"))
+        guard = F.coalesce(
+            F.when(
+                F.col("_bn") > F.lit(max_bucket),
+                F.raise_error(
+                    F.concat(
+                        F.lit("ngram_jaccard_pairs: a prefix bucket holds "),
+                        F.col("_bn").cast("string"),
+                        F.lit(
+                            f" docs (> max_bucket={max_bucket}); the "
+                            "within-bucket compare would be quadratic — use "
+                            "minhash_lsh_pairs for this corpus or raise "
+                            "max_bucket explicitly"
+                        ),
+                    )
+                ).cast("boolean"),
+            ),
+            F.lit(True),
         )
-        if big is not None and big.mx is not None:
-            raise ValueError(
-                f"ngram_jaccard_pairs: a prefix bucket holds {big.mx} docs "
-                f"(> max_bucket={max_bucket}); the within-bucket compare "
-                "would be quadratic — use minhash_lsh_pairs for this corpus "
-                "or raise max_bucket explicitly"
-            )
+        s = s.join(bc.filter(guard), "_bucket").drop("_bn")
     pairs = (
         s.alias("l")
         .join(s.alias("r"), "_bucket")
@@ -343,6 +352,7 @@ def hamming_near_pairs(
     bits_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit integer fingerprint column — SimHash
     text signatures, perceptual image hashes (the input-hint's
@@ -373,9 +383,14 @@ def hamming_near_pairs(
         F.col(id_col).alias("_id"), F.col(bits_col).alias("_sh"), F.explode(band_structs).alias("_b")
     ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     # persist: the self-join's two aliases would otherwise recompute the
-    # upstream simhash UDF over the corpus twice (4 Python nodes in the
-    # executed plan); banded rows are (id, hash, band, bh) — tiny
-    banded = banded.persist()
+    # upstream (e.g. the simhash UDF over the corpus) twice; banded rows
+    # are (id, hash, band, bh) — small, but they stay pinned in executor
+    # storage for the session (Spark has no unpersist-after-next-action
+    # hook). Pass persist=False when the fingerprint is cheap to
+    # recompute (a native hash column) or the call is one-shot at bench
+    # scale.
+    if persist:
+        banded = banded.persist()
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
