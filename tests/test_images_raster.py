@@ -510,3 +510,39 @@ class TestCoverOutsideMatrix:
         # every painted tile must be reachable from the lat-50 footprint
         ys = {x.tile_y for x in r}
         assert 0 not in ys
+
+
+class TestHammingBands2:
+    def test_bands2_matches_bruteforce(self, spark):
+        """The bench's big-N configuration (bands=2, 32-bit keys) must
+        keep the exact banding contract: candidate iff a shared 32-bit
+        half, reported iff hamming <= max."""
+        from tile_grid_spark.operators.dedup import hamming_near_pairs
+
+        rng = np.random.default_rng(17)
+        base = rng.integers(0, 2**63, 60, dtype=np.int64)
+        rows = []
+        for i, b in enumerate(base):
+            rows.append((2 * i, int(b)))
+            # twin flipped in the low half -> collides on the high band
+            rows.append((2 * i + 1, int(b ^ (1 << rng.integers(0, 32)))))
+        df = spark.createDataFrame(rows, "image_id BIGINT, phash BIGINT")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_near_pairs(
+                df, "image_id", "phash", max_hamming=2, bands=2, persist=False
+            ).collect()
+        }
+        want = set()
+        h = dict(rows)
+        ids = [r[0] for r in rows]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = h[ids[i]] & (2**64 - 1), h[ids[j]] & (2**64 - 1)
+                x = (h[ids[i]] ^ h[ids[j]]) & (2**64 - 1)
+                shares = (a & 0xFFFFFFFF) == (b & 0xFFFFFFFF) or (a >> 32) == (b >> 32)
+                if shares and bin(x).count("1") <= 2:
+                    lo, hi = sorted((ids[i], ids[j]))
+                    want.add((lo, hi, bin(x).count("1")))
+        assert got == want
+        assert len(got) == 60  # every planted twin found

@@ -586,3 +586,40 @@ class TestStreamingQualityFilter:
             for r in spark.sql("SELECT * FROM qf_stream").collect()
         }
         assert got == batch
+
+
+class TestStreamingPhashDedup:
+    def test_exact_phash_dedup_stream(self, spark, tmp_path):
+        """Image-side exact dedup in flight: stream_dedup keyed on the
+        phash column keeps one row per fingerprint within the watermark,
+        matching batch dropDuplicates on the same input."""
+        import datetime as dt
+
+        from tile_grid_spark.streaming.stream import stream_dedup
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        rows = []
+        for i in range(60):
+            # 20 distinct phashes, each seen 3x within a minute
+            rows.append((f"img-{i:03d}", i % 20, t0 + dt.timedelta(seconds=i)))
+        src = str(tmp_path / "imgs")
+        spark.createDataFrame(
+            rows, "image_id STRING, phash BIGINT, ts TIMESTAMP"
+        ).coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema("image_id STRING, phash BIGINT, ts TIMESTAMP").parquet(src)
+        out = stream_dedup(stream, keys=["phash"], watermark="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("phash_dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+        got = spark.sql("SELECT phash, COUNT(*) AS n FROM phash_dedup_stream GROUP BY phash").collect()
+        assert len(got) == 20
+        assert all(r.n == 1 for r in got)
