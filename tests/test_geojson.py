@@ -1,0 +1,92 @@
+"""GeoJSON polygon source: both formats, schema, and PIP-join feed."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tile_grid_spark.core import tms
+from tile_grid_spark.sources.geojson import read_geojson
+
+
+def _feature(fid, coords, props=None, gtype="Polygon"):
+    return {
+        "type": "Feature",
+        "id": fid,
+        "geometry": {"type": gtype, "coordinates": coords},
+        "properties": props or {},
+    }
+
+
+SQ = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]
+HOLE = [
+    [[20.0, 20.0], [30.0, 20.0], [30.0, 30.0], [20.0, 30.0], [20.0, 20.0]],
+    [[22.0, 22.0], [24.0, 22.0], [24.0, 24.0], [22.0, 24.0], [22.0, 22.0]],
+]
+MULTI = [SQ, [[[40.0, 40.0], [45.0, 40.0], [45.0, 45.0], [40.0, 45.0], [40.0, 40.0]]]]
+
+
+@pytest.fixture(scope="module")
+def fc():
+    return {
+        "type": "FeatureCollection",
+        "features": [
+            _feature("a", SQ, {"name": "sq"}),
+            _feature("b", HOLE, {"name": "hole"}),
+            _feature("c", MULTI, {"name": "multi"}, "MultiPolygon"),
+            _feature("d", None, {"name": "pt"}, "Point"),  # skipped
+        ],
+    }
+
+
+class TestReadGeojson:
+    def _expected(self):
+        return [("a", 0, 5, 0), ("b", 0, 5, 1), ("c", 0, 5, 0), ("c", 1, 5, 0)]
+
+    def test_feature_collection(self, spark, tmp_path, fc):
+        p = str(tmp_path / "layer.geojson")
+        with open(p, "w") as f:
+            json.dump(fc, f)
+        df = read_geojson(spark, p)
+        got = sorted(
+            (r.feature_id, r.poly_id, len(r.ring_lon), r.n_holes_dropped)
+            for r in df.collect()
+        )
+        assert got == self._expected()
+        props = {r.feature_id: json.loads(r.properties) for r in df.collect()}
+        assert props["a"] == {"name": "sq"}
+
+    def test_ndjson_distributed(self, spark, tmp_path, fc):
+        p = str(tmp_path / "layer.ndjson")
+        with open(p, "w") as f:
+            for ft in fc["features"]:
+                f.write(json.dumps(ft) + "\n")
+        df = read_geojson(spark, p)
+        got = sorted(
+            (r.feature_id, r.poly_id, len(r.ring_lon), r.n_holes_dropped)
+            for r in df.collect()
+        )
+        assert got == self._expected()
+
+    def test_feeds_pip_join(self, spark, tmp_path, fc):
+        from tile_grid_spark.operators.pip_join import pip_join, with_ring_bbox
+
+        p = str(tmp_path / "layer2.geojson")
+        with open(p, "w") as f:
+            json.dump(fc, f)
+        polys = with_ring_bbox(
+            read_geojson(spark, p).withColumn(
+                "pg_id", F.concat_ws("/", "feature_id", "poly_id")
+            )
+        )
+        pts = spark.createDataFrame(
+            [(1, 5.0, 5.0), (2, 25.0, 21.0), (3, 42.0, 43.0), (4, 100.0, 50.0)],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        wm = tms().lookup("WebMercatorQuad")
+        out = pip_join(pts, polys, wm, zoom=4, poly_id="pg_id")
+        got = sorted((r.pid, r.pg_id) for r in out.collect())
+        # pid 1 is inside 'a' AND inside multi part 0 (same square);
+        # pid 2 inside 'b' outer ring (holes outer-ring only, documented);
+        # pid 3 inside multi part 1; pid 4 nowhere
+        assert got == [(1, "a/0"), (1, "c/0"), (2, "b/0"), (3, "c/1")]

@@ -1,0 +1,117 @@
+"""GeoJSON polygon-layer source.
+
+A reference user's polygon layers arrive as GeoJSON (the reference
+emits GeoJSON features the other way — `bbox_to_feature`,
+src/tile.rs:130-160); this reader turns a FeatureCollection (or a
+newline-delimited feature sequence) into the engine's ring-array
+polygon schema:
+
+    (feature_id STRING, poly_id BIGINT, ring_lon ARRAY<DOUBLE>,
+     ring_lat ARRAY<DOUBLE>, properties STRING)
+
+Polygon -> one row per OUTER ring (holes are dropped with a counter —
+the engine's ray-cast join is outer-ring only; a hole-aware variant
+would subtract hole crossings). MultiPolygon -> one row per part
+(poly_id disambiguates). Closing vertices are kept as-is: the
+crossing-number test is closure-agnostic.
+
+Scale shape: file listing and JSON decode run DISTRIBUTED via
+spark.read.text + a mapInPandas parser (one feature per line for NDJSON
+/ GeoJSONSeq, the format large layers actually ship in). A single
+monolithic FeatureCollection cannot be line-split; those are parsed
+driver-side (they are by definition small enough to be one JSON
+document) and parallelized."""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+POLYGON_SCHEMA = (
+    "feature_id STRING, poly_id BIGINT, ring_lon ARRAY<DOUBLE>, "
+    "ring_lat ARRAY<DOUBLE>, properties STRING, n_holes_dropped INT"
+)
+
+
+def _rows_from_feature(feat: dict, idx: int):
+    geom = feat.get("geometry") or {}
+    gtype = geom.get("type")
+    fid = str(feat.get("id", f"feature-{idx}"))
+    props = json.dumps(feat.get("properties") or {}, sort_keys=True)
+    if gtype == "Polygon":
+        parts = [geom.get("coordinates") or []]
+    elif gtype == "MultiPolygon":
+        parts = geom.get("coordinates") or []
+    else:
+        return
+    for p, rings in enumerate(parts):
+        if not rings:
+            continue
+        outer = rings[0]
+        yield {
+            "feature_id": fid,
+            "poly_id": p,
+            "ring_lon": [float(c[0]) for c in outer],
+            "ring_lat": [float(c[1]) for c in outer],
+            "properties": props,
+            "n_holes_dropped": len(rings) - 1,
+        }
+
+
+def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+    """Read a GeoJSON layer into the ring-array polygon schema.
+
+    `path` may be a single .geojson file (FeatureCollection — parsed
+    driver-side, parallelized) or a file/glob of newline-delimited
+    features (GeoJSONSeq / NDJSON — parsed distributed)."""
+    head = spark.read.text(path).limit(1).collect()
+    first = head[0].value.strip() if head else ""
+    # A FeatureCollection opens with a '{' whose document spans ALL
+    # lines; NDJSON lines are each a complete feature object.
+    is_ndjson = False
+    if first.startswith("{"):
+        try:
+            obj = json.loads(first.lstrip("\x1e"))  # RS prefix (RFC 8142)
+            is_ndjson = obj.get("type") == "Feature"
+        except ValueError:
+            is_ndjson = False
+
+    if is_ndjson:
+        lines = spark.read.text(path)
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for i, line in enumerate(b["value"]):
+                    line = line.strip().lstrip("\x1e").rstrip(",")
+                    if not line:
+                        continue
+                    out.extend(_rows_from_feature(json.loads(line), i))
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "feature_id", "poly_id", "ring_lon", "ring_lat",
+                        "properties", "n_holes_dropped",
+                    ],
+                )
+
+        return lines.mapInPandas(parse, POLYGON_SCHEMA)
+
+    # monolithic FeatureCollection: one JSON document, driver parse
+    import glob as _glob
+    rows = []
+    paths = sorted(_glob.glob(path)) or [path]
+    i = 0
+    for p in paths:
+        with open(p) as f:
+            doc = json.load(f)
+        feats = doc.get("features", [doc] if doc.get("type") == "Feature" else [])
+        for feat in feats:
+            rows.extend(_rows_from_feature(feat, i))
+            i += 1
+    return spark.createDataFrame(pd.DataFrame(rows), POLYGON_SCHEMA) if rows else (
+        spark.createDataFrame([], POLYGON_SCHEMA)
+    )
