@@ -90,3 +90,38 @@ class TestReadGeojson:
         # pid 2 inside 'b' outer ring (holes outer-ring only, documented);
         # pid 3 inside multi part 1; pid 4 nowhere
         assert got == [(1, "a/0"), (1, "c/0"), (2, "b/0"), (3, "c/1")]
+
+
+class TestHolesEvenOdd:
+    def test_donut_excludes_hole_interior(self, spark, tmp_path, fc):
+        """holes='evenodd' NaN-ring encoding: points in the hole fall
+        OUT, points in the solid annulus stay IN, bbox prefilter is
+        NaN-safe — all with the unchanged ray-cast operator."""
+        from tile_grid_spark.operators.pip_join import pip_join, with_ring_bbox
+
+        p = str(tmp_path / "donut.geojson")
+        with open(p, "w") as f:
+            json.dump(fc, f)
+        polys = with_ring_bbox(
+            read_geojson(spark, p, holes="evenodd").withColumn(
+                "pg_id", F.concat_ws("/", "feature_id", "poly_id")
+            )
+        )
+        # bbox columns must ignore the NaN separators
+        b = {r.pg_id: (r.minx, r.maxx, r.miny, r.maxy) for r in polys.collect()}
+        assert b["b/0"] == (20.0, 30.0, 20.0, 30.0)
+        assert polys.filter(F.col("n_holes_dropped") != 0).count() == 0
+
+        pts = spark.createDataFrame(
+            [
+                (1, 23.0, 23.0),   # inside the hole -> excluded
+                (2, 21.0, 25.0),   # in the annulus -> included
+                (3, 25.0, 29.0),   # annulus, above the hole -> included
+                (4, 5.0, 5.0),     # inside 'a' (and multi part 0)
+            ],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        wm = tms().lookup("WebMercatorQuad")
+        out = pip_join(pts, polys, wm, zoom=4, poly_id="pg_id")
+        got = sorted((r.pid, r.pg_id) for r in out.collect())
+        assert got == [(2, "b/0"), (3, "b/0"), (4, "a/0"), (4, "c/0")]

@@ -222,13 +222,19 @@ def with_ring_bbox(
     ring_lat: str = "ring_lat",
 ) -> DataFrame:
     """Add minx/miny/maxx/maxy prefilter columns from ring arrays (native
-    array_min/array_max — no UDF)."""
+    array_min/array_max — no UDF). NaN-safe: multi-ring arrays use NaN
+    separators (sources/geojson holes='evenodd') and Spark sorts NaN
+    LAST, so array_max would return the sentinel — filter them out."""
+
+    def _clean(col: str) -> F.Column:
+        return F.filter(F.col(col), lambda x: ~F.isnan(x))
+
     return polygons.withColumns(
         {
-            "minx": F.array_min(ring_lon),
-            "maxx": F.array_max(ring_lon),
-            "miny": F.array_min(ring_lat),
-            "maxy": F.array_max(ring_lat),
+            "minx": F.array_min(_clean(ring_lon)),
+            "maxx": F.array_max(_clean(ring_lon)),
+            "miny": F.array_min(_clean(ring_lat)),
+            "maxy": F.array_max(_clean(ring_lat)),
         }
     )
 

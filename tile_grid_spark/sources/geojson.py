@@ -9,11 +9,11 @@ polygon schema:
     (feature_id STRING, poly_id BIGINT, ring_lon ARRAY<DOUBLE>,
      ring_lat ARRAY<DOUBLE>, properties STRING)
 
-Polygon -> one row per OUTER ring (holes are dropped with a counter —
-the engine's ray-cast join is outer-ring only; a hole-aware variant
-would subtract hole crossings). MultiPolygon -> one row per part
-(poly_id disambiguates). Closing vertices are kept as-is: the
-crossing-number test is closure-agnostic.
+Polygon -> one row per part; holes either dropped with a counter
+(default) or encoded into the flat ring arrays as NaN-separated closed
+rings (`holes="evenodd"` — the engine's even-odd ray cast then
+excludes hole interiors with no operator changes). MultiPolygon ->
+one row per part (poly_id disambiguates).
 
 Scale shape: file listing and JSON decode run DISTRIBUTED via
 spark.read.text + a mapInPandas parser (one feature per line for NDJSON
@@ -36,7 +36,7 @@ POLYGON_SCHEMA = (
 )
 
 
-def _rows_from_feature(feat: dict, idx: int):
+def _rows_from_feature(feat: dict, idx: int, holes: str = "drop"):
     geom = feat.get("geometry") or {}
     gtype = geom.get("type")
     fid = str(feat.get("id", f"feature-{idx}"))
@@ -50,23 +50,51 @@ def _rows_from_feature(feat: dict, idx: int):
     for p, rings in enumerate(parts):
         if not rings:
             continue
-        outer = rings[0]
+        if holes == "evenodd" and len(rings) > 1:
+            # NaN-separated multi-ring encoding: the ray-cast even-odd
+            # parity over concatenated CLOSED rings subtracts holes for
+            # free — bridge edges touching the NaN sentinel can never
+            # register a crossing (px < NaN is false), so the flat array
+            # behaves exactly like the ring set. Rings MUST be closed
+            # (GeoJSON guarantees first == last).
+            lon_arr: list[float] = []
+            lat_arr: list[float] = []
+            for k, ring in enumerate(rings):
+                if k:
+                    lon_arr.append(float("nan"))
+                    lat_arr.append(float("nan"))
+                lon_arr.extend(float(c[0]) for c in ring)
+                lat_arr.extend(float(c[1]) for c in ring)
+            dropped = 0
+        else:
+            outer = rings[0]
+            lon_arr = [float(c[0]) for c in outer]
+            lat_arr = [float(c[1]) for c in outer]
+            dropped = len(rings) - 1
         yield {
             "feature_id": fid,
             "poly_id": p,
-            "ring_lon": [float(c[0]) for c in outer],
-            "ring_lat": [float(c[1]) for c in outer],
+            "ring_lon": lon_arr,
+            "ring_lat": lat_arr,
             "properties": props,
-            "n_holes_dropped": len(rings) - 1,
+            "n_holes_dropped": dropped,
         }
 
 
-def read_geojson(spark: SparkSession, path: str) -> DataFrame:
+def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFrame:
     """Read a GeoJSON layer into the ring-array polygon schema.
 
     `path` may be a single .geojson file (FeatureCollection — parsed
     driver-side, parallelized) or a file/glob of newline-delimited
-    features (GeoJSONSeq / NDJSON — parsed distributed)."""
+    features (GeoJSONSeq / NDJSON — parsed distributed).
+
+    `holes`: "drop" (default) keeps outer rings only and counts dropped
+    interior rings; "evenodd" encodes holes into the same flat ring
+    arrays with NaN separators — the engine's even-odd ray cast then
+    excludes hole interiors with no operator changes (with_ring_bbox is
+    NaN-safe)."""
+    if holes not in ("drop", "evenodd"):
+        raise ValueError(f"holes must be 'drop' or 'evenodd', got {holes!r}")
     head = spark.read.text(path).limit(1).collect()
     first = head[0].value.strip() if head else ""
     # A FeatureCollection opens with a '{' whose document spans ALL
@@ -89,7 +117,7 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
                     line = line.strip().lstrip("\x1e").rstrip(",")
                     if not line:
                         continue
-                    out.extend(_rows_from_feature(json.loads(line), i))
+                    out.extend(_rows_from_feature(json.loads(line), i, holes))
                 yield pd.DataFrame(
                     out,
                     columns=[
@@ -110,7 +138,7 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
             doc = json.load(f)
         feats = doc.get("features", [doc] if doc.get("type") == "Feature" else [])
         for feat in feats:
-            rows.extend(_rows_from_feature(feat, i))
+            rows.extend(_rows_from_feature(feat, i, holes))
             i += 1
     return spark.createDataFrame(pd.DataFrame(rows), POLYGON_SCHEMA) if rows else (
         spark.createDataFrame([], POLYGON_SCHEMA)
