@@ -90,3 +90,17 @@ class TestConnectedComponents:
         out = connected_components(e)
         assert out.count() == n
         assert out.filter(F.col("component") != 0).count() == 0
+
+    def test_string_ids(self, spark):
+        """The pipeline clusters image_id STRINGS — min/least/greatest
+        order lexicographically; representative = lexicographic min."""
+        edges = [("img-003", "img-001"), ("img-001", "img-002"), ("img-010", "img-011")]
+        e = spark.createDataFrame(edges, "id_a STRING, id_b STRING")
+        nodes = spark.createDataFrame([("img-%03d" % i,) for i in range(12)], "id STRING")
+        got = {r.node: r.component for r in connected_components(e, nodes=nodes).collect()}
+        assert got["img-001"] == "img-001"
+        assert got["img-002"] == "img-001"
+        assert got["img-003"] == "img-001"
+        assert got["img-010"] == "img-010"
+        assert got["img-011"] == "img-010"
+        assert got["img-007"] == "img-007"  # isolated
