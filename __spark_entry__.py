@@ -664,6 +664,32 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cover enumeration (functions/cells.geohash_cover_exploded):
+    every precision-3 cell touched by each nation-derived bbox, encoded
+    to base32 — the geohash twin of the tile cover. The oracle replays
+    quantization, the inclusive lattice ranges (generate_series), the
+    interleave and the base32 digits."""
+    from tile_grid_spark.functions.cells import (
+        geohash_cover_exploded,
+        geohash_str_from_code,
+    )
+
+    rects = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-168.0) + F.col("n_nationkey") * F.lit(11.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-78.0) + F.col("n_nationkey") * F.lit(5.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(9.0), "maxy": F.col("miny") + F.lit(7.0)}
+    )
+    cov = geohash_cover_exploded(rects, precision=3)
+    return cov.select(
+        "n_nationkey",
+        geohash_str_from_code(F.col("gh_code"), 3).alias("geohash"),
+    ).orderBy("n_nationkey", "geohash")
+
+
 def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count distribution per source: EXACT p50/p90 by rank
     selection (row_number over a sorted window + conditional max at
@@ -1335,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "token_quantiles": q_token_quantiles,
+        "geohash_cover": q_geohash_cover,
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
         "zonal_stats": q_zonal_stats,
@@ -2347,6 +2374,53 @@ def oracle_sql() -> dict[str, str]:
         coded AS (SELECT pid, {_code_terms} AS code FROM q)
         SELECT {_chars} AS geohash, COUNT(*) AS n, MIN(pid) AS min_pid
         FROM coded GROUP BY 1 ORDER BY geohash
+    """
+
+    # geohash cover: quantize corners, inclusive lattice ranges,
+    # interleave + base32 per covered cell (precision 3: nb_lon=8, nb_lat=7)
+    _P3, _NBL3, _NBA3 = 3, 8, 7
+    _NB3 = 5 * _P3
+
+    def _q3(expr: str, off: str, span: str, nb: int) -> str:
+        return (
+            f"CAST(LEAST(GREATEST(floor((({expr}) + {off}) / {span} * {float(1 << nb)}), 0), "
+            f"{(1 << nb) - 1}) AS BIGINT)"
+        )
+
+    _cover_terms = " + ".join(
+        f"((ql >> {_NBL3 - 1 - i // 2}) & 1) * {1 << (_NB3 - 1 - i)}"
+        if i % 2 == 0
+        else f"((qa >> {_NBA3 - 1 - i // 2}) & 1) * {1 << (_NB3 - 1 - i)}"
+        for i in range(_NB3)
+    )
+    _chars3 = " || ".join(
+        f"substr('{_b32}', CAST(((code >> {5 * (_P3 - 1 - j)}) & 31) + 1 AS INTEGER), 1)"
+        for j in range(_P3)
+    )
+    sql["geohash_cover"] = f"""
+        WITH rects AS (
+          SELECT n_nationkey,
+                 -168.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} AS minx,
+                 -78.0 + n_nationkey * 5.0 + {_d(1.0 / 7.0)} AS miny
+          FROM nation
+        ),
+        qr AS (
+          SELECT n_nationkey,
+                 {_q3('minx', '180.0', '360.0', _NBL3)} AS qlo,
+                 {_q3('minx + 9.0', '180.0', '360.0', _NBL3)} AS qhi,
+                 {_q3('miny', '90.0', '180.0', _NBA3)} AS alo,
+                 {_q3('miny + 7.0', '90.0', '180.0', _NBA3)} AS ahi
+          FROM rects
+        ),
+        cells AS (
+          SELECT n_nationkey, lx.ql AS ql, la.qa AS qa
+          FROM qr,
+               LATERAL (SELECT unnest(generate_series(qlo, qhi)) AS ql) lx,
+               LATERAL (SELECT unnest(generate_series(alo, ahi)) AS qa) la
+        ),
+        coded AS (SELECT n_nationkey, {_cover_terms} AS code FROM cells)
+        SELECT n_nationkey, {_chars3} AS geohash
+        FROM coded ORDER BY n_nationkey, geohash
     """
 
     res10 = LEGACY.resolutions[10]

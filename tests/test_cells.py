@@ -7,6 +7,7 @@ hex ring symmetry, and determinism across chunkings (vectorization safety).
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tile_grid_spark.functions import cells as S
 
@@ -413,3 +414,49 @@ class TestGeohash:
             }
             want = geohash_encode(lon, lat, p)
             assert [got[i] for i in range(len(lon))] == list(want), p
+
+
+class TestGeohashCover:
+    def test_cover_contains_all_member_points_and_only_touching_cells(self, spark):
+        from tile_grid_spark.functions.cells import (
+            geohash_cover_exploded,
+            geohash_decode_bbox,
+            geohash_encode,
+            geohash_str_from_code,
+        )
+
+        rects = [(0, -10.3, -5.2, 7.9, 3.4), (1, 120.0, 40.0, 139.9, 55.1),
+                 (2, -180.0, -90.0, -170.0, -85.0), (3, 178.0, 60.0, 180.0, 62.0)]
+        df = spark.createDataFrame(
+            rects, "rid INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        cov = geohash_cover_exploded(df, precision=3)
+        got = {}
+        for r in cov.select(
+            "rid", geohash_str_from_code(F.col("gh_code"), 3).alias("gh")
+        ).collect():
+            got.setdefault(r.rid, set()).add(r.gh)
+
+        rng = np.random.default_rng(9)
+        for rid, w, s, e, n in rects:
+            # completeness: interior points' geohash is in the cover
+            lons = rng.uniform(w + 1e-6, e - 1e-6, 300)
+            lats = rng.uniform(s + 1e-6, n - 1e-6, 300)
+            ghs = set(geohash_encode(lons, lats, 3).tolist())
+            assert ghs <= got[rid], (rid, sorted(ghs - got[rid]))
+            # soundness: every covered cell's bbox intersects the rect
+            for gh in got[rid]:
+                clo, cla, chi, cha = geohash_decode_bbox(gh)
+                assert chi >= w and clo <= e and cha >= s and cla <= n, (rid, gh)
+
+    def test_inverted_bbox_does_not_descend(self, spark):
+        from tile_grid_spark.functions.cells import geohash_cover_exploded
+
+        df = spark.createDataFrame(
+            [(0, 10.0, 10.0, -10.0, -10.0)],
+            "rid INT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        # malformed (inverted) bbox still enumerates the swapped range
+        # instead of feeding sequence() a descending pair
+        n = geohash_cover_exploded(df, precision=2).count()
+        assert n > 0

@@ -619,6 +619,64 @@ def geohash_bounds_cols(code, precision: int = 9) -> dict[str, F.Column]:
     }
 
 
+def _geohash_q_col(coord, offset: float, span: float, nb: int) -> F.Column:
+    """Quantized cell index of a coordinate (shared by geohash_code_col
+    and the cover): clip(floor((x + offset)/span * 2^nb), 0, 2^nb - 1)."""
+    coord = F.col(coord) if isinstance(coord, str) else coord
+    return F.least(
+        F.greatest(
+            F.floor((coord + F.lit(offset)) / F.lit(span) * F.lit(float(1 << nb))),
+            F.lit(0),
+        ),
+        F.lit((1 << nb) - 1),
+    ).cast("long")
+
+
+def geohash_cover_exploded(
+    df,
+    precision: int = 3,
+    west: str = "minx",
+    south: str = "miny",
+    east: str = "maxx",
+    north: str = "maxy",
+    out: str = "gh_code",
+):
+    """All geohash cells of `precision` whose area a geographic bbox
+    touches — the geohash twin of the tile cover (tms.rs:706-746) on
+    the quantize-then-interleave lattice: the bbox corners
+    floor-quantize to inclusive (qlon, qlat) index ranges, two
+    explode(sequence(...)) fan-outs enumerate the lattice rectangle,
+    and the interleave re-encodes each cell. Native Columns end to end;
+    output adds (qlon, qlat, `out`) per covered cell.
+
+    Edge-touch is inclusive on all sides (floor of a boundary
+    coordinate lands in the adjacent cell, matching the inset-free
+    tile-cover semantics). Caller guarantees west <= east — split
+    antimeridian-wrap boxes upstream exactly like
+    cover_bbox_geographic; coordinates outside the domain clamp to the
+    edge cells (geohash has no out-of-domain area: the lattice spans
+    the full globe)."""
+    nbits, nb_lon, nb_lat = _geohash_dims(precision)
+    qw = _geohash_q_col(west, 180.0, 360.0, nb_lon)
+    qe = _geohash_q_col(east, 180.0, 360.0, nb_lon)
+    qs = _geohash_q_col(south, 90.0, 180.0, nb_lat)
+    qn = _geohash_q_col(north, 90.0, 180.0, nb_lat)
+    # least/greatest: a malformed row (west > east) must not feed a
+    # DESCENDING sequence (Spark counts down when start > stop)
+    covered = (
+        df.withColumn("_qlo", F.least(qw, qe))
+        .withColumn("_qhi", F.greatest(qw, qe))
+        .withColumn("_alo", F.least(qs, qn))
+        .withColumn("_ahi", F.greatest(qs, qn))
+        .withColumn("qlon", F.explode(F.sequence(F.col("_qlo"), F.col("_qhi"))))
+        .withColumn("qlat", F.explode(F.sequence(F.col("_alo"), F.col("_ahi"))))
+        .drop("_qlo", "_qhi", "_alo", "_ahi")
+    )
+    return covered.withColumn(
+        out, geohash_interleave_cols(F.col("qlon"), F.col("qlat"), precision)
+    )
+
+
 def geohash_neighbors_exploded(
     df, code: str = "gh_code", precision: int = 9, out: str = "neighbor_code"
 ):
