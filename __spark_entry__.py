@@ -2383,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
 
     def _q3(expr: str, off: str, span: str, nb: int) -> str:
         return (
-            f"CAST(LEAST(GREATEST(floor((({expr}) + {off}) / {span} * {float(1 << nb)}), 0), "
+            f"CAST(LEAST(GREATEST(floor((({expr}) + {off}) / {span} * {1 << nb}e0), 0), "
             f"{(1 << nb) - 1}) AS BIGINT)"
         )
 
@@ -2400,16 +2400,16 @@ def oracle_sql() -> dict[str, str]:
     sql["geohash_cover"] = f"""
         WITH rects AS (
           SELECT n_nationkey,
-                 -168.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} AS minx,
-                 -78.0 + n_nationkey * 5.0 + {_d(1.0 / 7.0)} AS miny
+                 -168e0 + n_nationkey * 11e0 + {_d(1.0 / 7.0)} AS minx,
+                 -78e0 + n_nationkey * 5e0 + {_d(1.0 / 7.0)} AS miny
           FROM nation
         ),
         qr AS (
           SELECT n_nationkey,
-                 {_q3('minx', '180.0', '360.0', _NBL3)} AS qlo,
-                 {_q3('minx + 9.0', '180.0', '360.0', _NBL3)} AS qhi,
-                 {_q3('miny', '90.0', '180.0', _NBA3)} AS alo,
-                 {_q3('miny + 7.0', '90.0', '180.0', _NBA3)} AS ahi
+                 {_q3('minx', '180e0', '360e0', _NBL3)} AS qlo,
+                 {_q3('minx + 9e0', '180e0', '360e0', _NBL3)} AS qhi,
+                 {_q3('miny', '90e0', '180e0', _NBA3)} AS alo,
+                 {_q3('miny + 7e0', '90e0', '180e0', _NBA3)} AS ahi
           FROM rects
         ),
         cells AS (

@@ -125,3 +125,37 @@ class TestHolesEvenOdd:
         out = pip_join(pts, polys, wm, zoom=4, poly_id="pg_id")
         got = sorted((r.pid, r.pg_id) for r in out.collect())
         assert got == [(2, "b/0"), (3, "b/0"), (4, "a/0"), (4, "c/0")]
+
+
+class TestGeoJSONSeqRS:
+    def test_rs_prefixed_sequence_routes_distributed(self, spark, tmp_path, fc):
+        """RFC 8142 GeoJSONSeq: every line opens with the \\x1e record
+        separator — must route to the line parser, not the monolithic
+        json.load path."""
+        p = str(tmp_path / "layer.geojsonseq")
+        with open(p, "w") as f:
+            for ft in fc["features"]:
+                f.write("\x1e" + json.dumps(ft) + "\n")
+        df = read_geojson(spark, p)
+        got = sorted((r.feature_id, r.poly_id) for r in df.collect())
+        assert got == [("a", 0), ("b", 0), ("c", 0), ("c", 1)]
+
+    def test_idless_features_get_unique_stable_ids(self, spark, tmp_path):
+        feats = [
+            {"type": "Feature", "geometry": {"type": "Polygon",
+             "coordinates": [[[float(i), 0.0], [float(i) + 1, 0.0],
+                              [float(i) + 1, 1.0], [float(i), 1.0],
+                              [float(i), 0.0]]]}, "properties": {}}
+            for i in range(8)
+        ]
+        p = str(tmp_path / "noid.ndjson")
+        with open(p, "w") as f:
+            for ft in feats:
+                f.write(json.dumps(ft) + "\n")
+        # force multiple partitions so a batch-local counter would collide
+        df = read_geojson(spark, p)
+        ids = [r.feature_id for r in df.collect()]
+        assert len(ids) == 8 and len(set(ids)) == 8
+        # stable: re-read yields the same ids (content-derived)
+        again = [r.feature_id for r in read_geojson(spark, p).collect()]
+        assert sorted(ids) == sorted(again)

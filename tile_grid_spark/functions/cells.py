@@ -524,20 +524,8 @@ def geohash_code_col(lon, lat, precision: int = 9):
     nbits = 5 * precision
     nb_lon = (nbits + 1) // 2
     nb_lat = nbits // 2
-    qlon = F.least(
-        F.greatest(
-            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nb_lon))),
-            F.lit(0),
-        ),
-        F.lit((1 << nb_lon) - 1),
-    ).cast("long")
-    qlat = F.least(
-        F.greatest(
-            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nb_lat))),
-            F.lit(0),
-        ),
-        F.lit((1 << nb_lat) - 1),
-    ).cast("long")
+    qlon = _geohash_q_col(lon, 180.0, 360.0, nb_lon)
+    qlat = _geohash_q_col(lat, 90.0, 180.0, nb_lat)
     code = F.lit(0).cast("long")
     for i in range(nbits):
         src, s = (qlon, nb_lon - 1 - i // 2) if i % 2 == 0 else (qlat, nb_lat - 1 - i // 2)

@@ -96,28 +96,45 @@ def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFra
     if holes not in ("drop", "evenodd"):
         raise ValueError(f"holes must be 'drop' or 'evenodd', got {holes!r}")
     head = spark.read.text(path).limit(1).collect()
-    first = head[0].value.strip() if head else ""
+    # normalize BEFORE the '{' check: GeoJSONSeq lines carry an \x1e
+    # record-separator prefix (RFC 8142) and must still route to the
+    # distributed line parser
+    first = head[0].value.strip().lstrip("\x1e").strip() if head else ""
     # A FeatureCollection opens with a '{' whose document spans ALL
     # lines; NDJSON lines are each a complete feature object.
     is_ndjson = False
     if first.startswith("{"):
         try:
-            obj = json.loads(first.lstrip("\x1e"))  # RS prefix (RFC 8142)
-            is_ndjson = obj.get("type") == "Feature"
+            is_ndjson = json.loads(first).get("type") == "Feature"
         except ValueError:
             is_ndjson = False
 
     if is_ndjson:
         lines = spark.read.text(path)
 
+        import hashlib
+
         def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 out = []
-                for i, line in enumerate(b["value"]):
+                for line in b["value"]:
                     line = line.strip().lstrip("\x1e").rstrip(",")
                     if not line:
                         continue
-                    out.extend(_rows_from_feature(json.loads(line), i, holes))
+                    feat = json.loads(line)
+                    # fallback id for id-less features must be unique
+                    # ACROSS batches/partitions/files (a batch-local
+                    # index collides) and stable under repartitioning:
+                    # hash the feature content. Identical id-less
+                    # features collapse to one id — same rings, so PIP
+                    # results are unchanged.
+                    if "id" not in feat:
+                        feat = dict(feat)
+                        feat["id"] = (
+                            "feature-"
+                            + hashlib.md5(line.encode()).hexdigest()[:16]
+                        )
+                    out.extend(_rows_from_feature(feat, 0, holes))
                 yield pd.DataFrame(
                     out,
                     columns=[
