@@ -313,3 +313,44 @@ class TestRound3PlanShapes:
         plan = plan_of(_large_star(e))
         # partial_min before the exchange, min after
         assert "partial_min" in plan, plan
+
+
+class TestTrainingShards:
+    def test_shard_export_deterministic_manifest(self, spark, tmp_path, sf_dir):
+        from tile_grid_spark.sources.io import read_table, write_training_shards
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+        p1 = str(tmp_path / "shards1")
+        m1 = write_training_shards(d, p1, n_shards=4, id_col="doc_id", sort_cols=("doc_id",))
+        assert m1["total_rows"] == d.count()
+        assert set(m1["shards"]) == {0, 1, 2, 3}
+        # balanced-ish (md5 uniformity over 500 docs): no empty shard
+        assert all(v["rows"] > 0 for v in m1["shards"].values())
+
+        # reproducible: a differently-partitioned re-export produces the
+        # SAME per-shard membership (fingerprints equal)
+        p2 = str(tmp_path / "shards2")
+        m2 = write_training_shards(
+            d.repartition(13), p2, n_shards=4, id_col="doc_id", sort_cols=("doc_id",)
+        )
+        assert {k: v["fingerprint"] for k, v in m1["shards"].items()} == {
+            k: v["fingerprint"] for k, v in m2["shards"].items()
+        }
+
+        # append-stability: a row's shard never depends on the rest of
+        # the data — exporting HALF the corpus assigns the shared rows
+        # to the same shards
+        half = d.filter("doc_id < 250")
+        p3 = str(tmp_path / "shards3")
+        write_training_shards(half, p3, n_shards=4, id_col="doc_id")
+        full = {r.doc_id: r.shard for r in spark.read.parquet(p1).select("doc_id", "shard").collect()}
+        part = {r.doc_id: r.shard for r in spark.read.parquet(p3).select("doc_id", "shard").collect()}
+        assert all(full[k] == v for k, v in part.items())
+
+        # manifest file exists and matches the return value
+        import json as _json
+
+        with open(p1 + "/_manifest.json") as f:
+            on_disk = _json.load(f)
+        assert on_disk["total_rows"] == m1["total_rows"]
+        assert {int(k): v for k, v in on_disk["shards"].items()} == m1["shards"]

@@ -74,3 +74,71 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Deterministic training-data shard export + manifest.
+
+    Shard assignment is md5-hash based (shard = md5_60(id) % n_shards),
+    so it is partition-invariant, append-stable and REPRODUCIBLE — the
+    properties a training-data export needs (a re-run assigns every row
+    to the same shard; adding data never moves old rows). One exchange
+    total: repartition BY the shard column so each output shard is
+    exactly one task's write, then optional sortWithinPartitions for
+    stable intra-shard order.
+
+    Writes parquet partitioned by `shard` plus a `_manifest.json` with
+    per-shard row counts and order-insensitive content fingerprints —
+    the consumer-side integrity check (and the resume/lineage hook: a
+    re-export can diff fingerprints instead of re-reading data).
+
+    Returns the manifest dict.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import md5_hash60
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(md5_hash60(F.col(id_col).cast("string"), prefix="shard"), F.lit(n_shards)).cast("int"),
+    )
+    out = sharded.repartition(n_shards, "shard")
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy("shard").parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    per_shard = (
+        written.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string")).cast("decimal(38,0)")
+            ).alias("fp"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "total_rows": int(sum(r.rows for r in per_shard)),
+        "shards": {
+            int(r.shard): {"rows": int(r.rows), "fingerprint": str(r.fp)}
+            for r in per_shard
+        },
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
