@@ -232,9 +232,11 @@ def bench_pip_join(spark: SparkSession) -> dict:
 
 
 def bench_quadkey(spark: SparkSession) -> dict:
-    """Quadkey strings are per-row heap allocations — this row is
-    ALLOCATION-bound by nature and tracks the box's memory ceiling, not
-    the CPU ceiling (see BENCH/BASELINE.md calibration). Consumed by
+    """Quadkey compose. Round 3 rewrote quadkey_col as Morton fold +
+    conv(,10,4) + lpad (one string per row instead of a per-digit
+    transform lambda doing pow/floor double math): measured 30-45x on
+    this exact shape (19.9s -> 0.45s, 8M z12 keys, local[32]). Still
+    allocation-bound at the margin (one string per row), consumed by
     hash checksum so the sink adds no second allocation."""
     t = G.with_tile(_sf_points(spark), E.WM, 12).withColumn("zoom", F.lit(12))
     qk = t.withColumn("qk", G.quadkey_col("tile_x", "tile_y", "zoom"))

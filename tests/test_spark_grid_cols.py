@@ -188,6 +188,50 @@ class TestBoundsAndQuadkey:
         assert got == expected
 
 
+    def test_quadkey_deep_zoom_and_zero_and_variable(self, spark, wm):
+        # fast/slow boundary: z=31 uses morton+conv, z=35 the transform
+        # fallback; z=0 -> ""; variable per-row zoom in one column
+        rows = [
+            (0, 0, 0),
+            (1, 0, 1),
+            (0, 1, 1),              # digit 2
+            (2**31 - 1, 0, 31),     # max morton-path index, all-1 x bits
+            (123456789, 987654321, 35),   # beyond the morton path
+            (486, 332, 10),
+        ]
+        df = spark.createDataFrame(rows, "tile_x BIGINT, tile_y BIGINT, zoom INT")
+        got = [
+            r.qk
+            for r in df.select(
+                G.quadkey_col("tile_x", "tile_y", "zoom").alias("qk")
+            ).collect()
+        ]
+
+        def scalar_qk(x, y, z):
+            return "".join(
+                str(((x >> (i - 1)) & 1) + 2 * ((y >> (i - 1)) & 1))
+                for i in range(z, 0, -1)
+            )
+
+        expected = [scalar_qk(x, y, z) for x, y, z in rows]
+        assert got == expected
+        assert got[0] == "" and len(got[3]) == 31 and len(got[4]) == 35
+
+    def test_quadkey_minzoom_truncation(self, spark, wm):
+        df = spark.createDataFrame(
+            [(486, 332, 10), (3, 3, 2)], "tile_x BIGINT, tile_y BIGINT, zoom INT"
+        )
+        got = [
+            r.qk
+            for r in df.select(
+                G.quadkey_col("tile_x", "tile_y", "zoom", minzoom=2).alias("qk")
+            ).collect()
+        ]
+        # digits from z down to minzoom+1 (quadkey.rs:23-44)
+        assert got == ["03131023", ""]
+
+
+
 class TestCover:
     def test_cover_matches_reference(self, spark, wm):
         # tests/tiles.rs:305-310: (-105.0, 39.99, -104.99, 40.0) z14 -> 2 tiles

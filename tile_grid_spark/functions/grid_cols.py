@@ -368,10 +368,36 @@ def quadkey_col(
     tile_x: ColumnOrName, tile_y: ColumnOrName, zoom: ColumnOrName, minzoom: int = 0
 ) -> Column:
     """Bing quadkey: digit at level i = bit(x, i-1) + 2*bit(y, i-1) for
-    i from z down to minzoom+1 (quadkey.rs:23-44). Variable per-row zoom
-    supported via transform(sequence(...))."""
+    i from z down to minzoom+1 (quadkey.rs:23-44).
+
+    Fast path (zoom <= 31): the quadkey IS the base-4 rendering of the
+    Morton interleave of (x, y), left-padded with '0' to z digits — one
+    integer Morton fold (31 unrolled shift/or pairs, plan-time
+    literals), one conv(,10,4), one lpad. Measured 30-45x faster than
+    the previous per-digit transform() (19.9s -> 0.45s for 8M z12 keys
+    on local[32]): the lambda re-evaluated pow/floor DOUBLE math per
+    digit and array_join allocated per element. Variable per-row zoom
+    keeps working — tiles at zoom z satisfy x,y < 2^z, so higher Morton
+    bits are zero and lpad supplies exactly the leading zeros.
+
+    zoom > 31 rows (beyond int64 Morton range; no registered quadtree
+    TMS goes there, but the reference accepts any u8) fall back to the
+    transform path in the same expression."""
     tx, ty, tz = _col(tile_x), _col(tile_y), _col(zoom)
-    seq = F.sequence(tz.cast("int"), F.lit(minzoom + 1), F.lit(-1))
+
+    morton = F.lit(0).cast("long")
+    for k in range(31):
+        morton = (
+            morton
+            + F.shiftleft(F.shiftright(tx, k).bitwiseAND(F.lit(1)), 2 * k)
+            + F.shiftleft(F.shiftright(ty, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    base4 = F.conv(morton.cast("string"), 10, 4)
+    # F.lpad only takes a literal length; call the SQL function, whose
+    # len argument is a real expression
+    fast = F.call_function("lpad", base4, tz.cast("int"), F.lit("0"))
+
+    seq = F.sequence(tz.cast("int"), F.lit(1), F.lit(-1))
     # bit(v, k) = floor(v / 2^k) % 2 — exact in double for zoom <= 52,
     # and shiftright() only accepts a literal shift amount in the DSL.
 
@@ -382,7 +408,12 @@ def quadkey_col(
         )
 
     digits = F.transform(seq, lambda i: (bit(tx, i) + F.lit(2) * bit(ty, i)).cast("string"))
-    return F.when(tz <= F.lit(minzoom), F.lit("")).otherwise(F.array_join(digits, ""))
+    slow = F.array_join(digits, "")
+
+    qk = F.when(tz <= F.lit(31), fast).otherwise(slow)
+    if minzoom > 0:
+        qk = qk.substr(F.lit(1), (tz - F.lit(minzoom)).cast("int"))
+    return F.when(tz <= F.lit(minzoom), F.lit("")).otherwise(qk)
 
 
 def quadkey_to_tile_cols(qk: ColumnOrName) -> dict[str, Column]:
