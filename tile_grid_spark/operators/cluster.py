@@ -17,7 +17,9 @@ driver-side graph, no per-task state beyond a grouped min.
 Scale notes:
 - Each round shuffles (node, neighbor) BIGINT pairs only; `distinct`
   between rounds keeps the edge multiset from ballooning (star steps
-  emit duplicates when several neighbors map to the same min).
+  emit duplicates when several neighbors map to the same min — measured:
+  skipping the per-round distinct OOMs a 1M-node chain graph before
+  convergence; it is load-bearing, not a polish).
 - Skew: a huge star component concentrates on its min-id root node.
   large-star is exactly the paper's fix — high-degree hubs hand their
   GREATER neighbors to the component min without routing everything
