@@ -91,6 +91,13 @@ class TestConnectedComponents:
         assert out.count() == n
         assert out.filter(F.col("component") != 0).count() == 0
 
+    def test_nodes_never_filters_edge_endpoints(self, spark):
+        """`nodes` ADDS isolated vertices; endpoints absent from `nodes`
+        must keep their rows (r3 ADVICE: the old left-join silently
+        dropped them from the output while they still shaped labels)."""
+        got = _run(spark, [(1, 2), (2, 9)], nodes=[1, 42])
+        assert got == {1: 1, 2: 1, 9: 1, 42: 42}
+
     def test_string_ids(self, spark):
         """The pipeline clusters image_id STRINGS — min/least/greatest
         order lexicographically; representative = lexicographic min."""

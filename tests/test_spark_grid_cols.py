@@ -174,6 +174,28 @@ class TestBoundsAndQuadkey:
         assert (back[0].tile_x, back[0].tile_y, back[0].zoom) == (486, 332, 10)
         assert (back[1].tile_x, back[1].tile_y, back[1].zoom) == (0, 0, 0)
 
+    def test_quadkey_malformed_is_null_both_paths(self, spark):
+        """r3 ADVICE: conv()'s lenient digit parsing made the fast path
+        diverge from the slow path on bad keys; the reference PANICS on a
+        digit outside 0-3 (quadkey.rs:60-66). Column rendering of that
+        error: NULL x/y/z on both the <=31 and >31-char paths."""
+        rows = [
+            ("0313102310",),          # valid, fast path
+            ("031310231z",),          # letter, fast path length
+            ("4313102310",),          # digit 4, fast path length
+            ("0" * 35,),              # valid, slow path
+            ("0" * 34 + "7",),        # digit 7, slow path length
+        ]
+        back = (
+            spark.createDataFrame(rows, "qk STRING")
+            .withColumns(G.quadkey_to_tile_cols("qk"))
+            .collect()
+        )
+        assert (back[0].tile_x, back[0].tile_y, back[0].zoom) == (486, 332, 10)
+        for r in (back[1], back[2], back[4]):
+            assert r.tile_x is None and r.tile_y is None and r.zoom is None
+        assert (back[3].tile_x, back[3].tile_y, back[3].zoom) == (0, 0, 35)
+
     def test_quadkey_matches_core_bulk(self, spark, wm):
         rng = np.random.default_rng(3)
         z = 12

@@ -109,6 +109,21 @@ class TestText:
         assert by_id[6].quality_score < by_id[0].quality_score
         assert by_id[0].stopword_ratio > 0.1
 
+    def test_quality_filter_empty_stopwords(self, spark):
+        """r3 ADVICE: stopwords=() used to crash (None < int). With the
+        lit(0) seed, min_stop_hits=0 disables the rule and positive
+        thresholds fail every row — both well-defined."""
+        from tile_grid_spark.functions.text import with_quality_filter
+
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over a lazy dog " * 5)],
+            "doc_id BIGINT, text STRING",
+        )
+        off = with_quality_filter(df, stopwords=(), min_stop_hits=0).collect()[0]
+        assert not off.fail_stop
+        on = with_quality_filter(df, stopwords=(), min_stop_hits=2).collect()[0]
+        assert on.fail_stop and not on.passes
+
     def test_lang_id(self, docs):
         got = {r.doc_id: r.lang_pred for r in with_lang_id(docs).collect()}
         assert got[0] == "en"

@@ -425,8 +425,16 @@ def quadkey_to_tile_cols(qk: ColumnOrName) -> dict[str, Column]:
     de-interleave (the exact inverse of quadkey_col's compose; measured
     ~6x over the previous two per-char aggregate() lambdas doing
     pow-double math). Longer keys fall back to the aggregate path in
-    the same expression."""
+    the same expression.
+
+    Malformed keys (any char outside '0'-'3') -> NULL tile_x/tile_y/zoom
+    on BOTH paths. The reference panics on such input (quadkey.rs:60-66,
+    QuadKeyError); NULL is the Column-API rendering of that error, and
+    the rlike guard keeps the fast (conv) and slow (per-char) paths
+    consistent instead of conv's lenient digit parsing silently
+    diverging from treat-as-0."""
     q = _col(qk)
+    valid = q.rlike("^[0-3]*$")
     n = F.length(q)
 
     m = F.conv(q, 4, 10).cast("long")
@@ -452,9 +460,9 @@ def quadkey_to_tile_cols(qk: ColumnOrName) -> dict[str, Column]:
     xbits = F.when(n <= F.lit(31), fx).otherwise(bits(("1", "3")))
     ybits = F.when(n <= F.lit(31), fy).otherwise(bits(("2", "3")))
     return {
-        "tile_x": F.coalesce(xbits, F.lit(0).cast("bigint")),
-        "tile_y": F.coalesce(ybits, F.lit(0).cast("bigint")),
-        "zoom": n.cast("int"),
+        "tile_x": F.when(valid, F.coalesce(xbits, F.lit(0).cast("bigint"))),
+        "tile_y": F.when(valid, F.coalesce(ybits, F.lit(0).cast("bigint"))),
+        "zoom": F.when(valid, n.cast("int")),
     }
 
 

@@ -129,10 +129,12 @@ def with_quality_filter(
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / F.greatest(
         nc, F.lit(1)
     ).cast("double")
-    stop_hits = None
+    # F.lit(0) seed: an empty stopwords tuple must mean "rule disabled
+    # when min_stop_hits <= 0" (0 < 0 is False), not a TypeError from a
+    # None accumulator
+    stop_hits = F.lit(0)
     for w in stopwords:
-        hit = F.array_contains(toks, w).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+        stop_hits = stop_hits + F.array_contains(toks, w).cast("int")
     out = df.withColumns(
         {
             "fail_tokens": (nt < min_tokens) | (nt > max_tokens),

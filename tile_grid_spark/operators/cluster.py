@@ -27,14 +27,15 @@ Scale notes:
   map-side by Spark, so the hot key receives one row per map task.
 - Lineage: each round localCheckpoints the edge set (iterative plans
   otherwise nest and re-execute; same gotcha as knn ring escalation).
-- Convergence test is a checksum aggregate (count + sum of xxhash64
-  over canonical edges), one tiny job per round, not a subtract/anti
-  join.
+- Convergence test is a checksum (count + sum of xxhash64 over
+  canonical edges) that rides the round's OWN checkpoint action via
+  DataFrame.observe — zero extra jobs per round, not a subtract/anti
+  join and not a second pass over the edges.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -70,16 +71,27 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
-    # decimal(38,0) accumulator: a BIGINT sum of xxhash64 values overflows
-    # (and ANSI mode makes that an error, not a wrap)
-    row = e.agg(
+def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one round's edge set AND its convergence checksum in a
+    SINGLE driver action: the (count, hash-sum) metrics ride the eager
+    localCheckpoint's own materialization via DataFrame.observe, so a
+    round costs exactly one job — previously it was two (checkpoint,
+    then a checksum .first() re-reading the checkpointed partitions),
+    and at bench scale the extra per-round action dominated cc latency.
+
+    decimal(38,0) accumulator: a BIGINT sum of xxhash64 values overflows
+    (and ANSI mode makes that an error, not a wrap)."""
+    obs = Observation()
+    observed = e.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("h"),
-    ).first()
-    return int(row.n), int(row.h)
+    ).localCheckpoint()
+    m = obs.get
+    return observed, (int(m["n"]), int(m["h"]))
 
 
 def connected_components(
@@ -101,15 +113,14 @@ def connected_components(
     the star rounds have not converged after `max_iter` (the paper's
     bound is O(log^2 n) w.h.p.; 30 covers any realistic corpus).
     """
-    e = _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = e.localCheckpoint()
-    prev = _checksum(e)
+    e, prev = _checkpoint_with_checksum(
+        _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
     converged = prev[0] == 0
     for _ in range(max_iter):
         if converged:
             break
-        e = _canonical(_small_star(_large_star(e))).localCheckpoint()
-        cur = _checksum(e)
+        e, cur = _checkpoint_with_checksum(_canonical(_small_star(_large_star(e))))
         converged = cur == prev
         prev = cur
     if not converged:
@@ -136,9 +147,13 @@ def connected_components(
     )
     comp = comp.groupBy("node").agg(F.min("component").alias("component"))
     if nodes is not None:
+        # `nodes` ADDS isolated vertices; it never filters. Edge
+        # endpoints absent from `nodes` keep their rows (anti-join picks
+        # out only the genuinely isolated ids), so the output always
+        # covers endpoints ∪ nodes.
         all_nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-        comp = (
-            all_nodes.join(comp, "node", "left")
-            .select("node", F.coalesce("component", "node").alias("component"))
+        isolated = all_nodes.join(comp.select("node"), "node", "left_anti").select(
+            "node", F.col("node").alias("component")
         )
+        comp = comp.unionByName(isolated)
     return comp

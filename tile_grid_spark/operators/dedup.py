@@ -119,8 +119,12 @@ def minhash_lsh_pairs(
     candidate ids (tiny by construction: near-dups are rare in a healthy
     corpus) broadcast into a left-semi filter on the shingle side, so
     only candidate docs' arrays are materialized for verification. The
-    candidate subtree is persisted because it feeds both the semi filter
-    and the final pair join (one banding pass, not two).
+    candidate subtree is localCheckpoint()ed because it feeds both the
+    semi filter and the final pair join (one banding pass, not two);
+    checkpoint storage — unlike Dataset .persist(), which pins the
+    CacheManager entry for the whole session — is released by the
+    ContextCleaner once the result is garbage-collected, so repeated
+    calls in a long-lived session don't accrete executor storage.
     """
     from ..functions.text import word_shingles_from_tokens
 
@@ -176,7 +180,7 @@ def minhash_lsh_pairs(
         .filter(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     cand_ids = (
         pairs.select(F.col("id_a").alias("_sid"))
@@ -382,15 +386,17 @@ def hamming_near_pairs(
     banded = df.select(
         F.col(id_col).alias("_id"), F.col(bits_col).alias("_sh"), F.explode(band_structs).alias("_b")
     ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
-    # persist: the self-join's two aliases would otherwise recompute the
-    # upstream (e.g. the simhash UDF over the corpus) twice; banded rows
-    # are (id, hash, band, bh) — small, but they stay pinned in executor
-    # storage for the session (Spark has no unpersist-after-next-action
-    # hook). Pass persist=False when the fingerprint is cheap to
-    # recompute (a native hash column) or the call is one-shot at bench
-    # scale.
+    # localCheckpoint (not .persist()): the self-join's two aliases would
+    # otherwise recompute the upstream (e.g. the simhash UDF over the
+    # corpus) twice. A Dataset .persist() here pins a CacheManager entry
+    # for the whole session with no unpersist path from a lazy return
+    # value; checkpoint storage is instead released by the ContextCleaner
+    # once the result is GC'd, so pipelines that call this per-stage
+    # don't accrete executor storage. Pass persist=False when the
+    # fingerprint is cheap to recompute (a native hash column) and the
+    # materialization job isn't worth it.
     if persist:
-        banded = banded.persist()
+        banded = banded.localCheckpoint()
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])

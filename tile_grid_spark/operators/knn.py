@@ -124,14 +124,19 @@ def knn_join(
     ).withColumns({"cx": mercator_x(lon), "cy": mercator_y(lat)}).select(
         cand_id, tile_key("tile_x", "tile_y").alias("_jk"), "cx", "cy"
     )
-    c = c.cache()
+    # localCheckpoint, not .cache(): the candidate index is re-read every
+    # escalation round + the brute tail, but a Dataset cache entry stays
+    # pinned in the session CacheManager after return with no unpersist
+    # hook; checkpoint storage is ContextCleaner-released once the result
+    # is GC'd.
+    c = c.localCheckpoint()
 
     adx = F.abs(F.col("qx") - F.col("cx"))
     dx_eff = F.least(adx, F.lit(world_w) - adx) if wrap_x else adx
     dist = F.sqrt(dx_eff ** 2 + (F.col("qy") - F.col("cy")) ** 2)
     w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(cand_id).asc())
 
-    pending = q.cache()
+    pending = q.localCheckpoint()
     results: list[DataFrame] = []
     r = 1
     # with wrap, rings wider than the matrix would duplicate wrapped

@@ -145,14 +145,17 @@ def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFra
 
         return lines.mapInPandas(parse, POLYGON_SCHEMA)
 
-    # monolithic FeatureCollection: one JSON document, driver parse
-    import glob as _glob
+    # monolithic FeatureCollection: one JSON document per file, driver
+    # parse. Files are fetched via sc.wholeTextFiles — the Hadoop FS API
+    # — so the same s3a://, hdfs://, or glob path that works for the
+    # NDJSON branch works here too (a local open()/glob would silently
+    # read nothing on a non-local filesystem). Sorted by path so poly_id
+    # assignment is deterministic across runs.
+    docs = sorted(spark.sparkContext.wholeTextFiles(path).collect())
     rows = []
-    paths = sorted(_glob.glob(path)) or [path]
     i = 0
-    for p in paths:
-        with open(p) as f:
-            doc = json.load(f)
+    for _p, text in docs:
+        doc = json.loads(text)
         feats = doc.get("features", [doc] if doc.get("type") == "Feature" else [])
         for feat in feats:
             rows.extend(_rows_from_feature(feat, i, holes))
