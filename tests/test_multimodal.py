@@ -157,10 +157,11 @@ class TestImagePyramid:
         assert len(j) >= 20 * 3
         for r in j:
             # quantization adds <=0.5/level; odd-dim crops remove up to
-            # one row+col per level, which on a gradient image at the
-            # smallest (16px) dims moves the mean by up to ~2/16 per
-            # level relative — bound relatively, not absolutely
-            assert abs(r.mean_px - r.m0) <= 0.15 * r.m0 + 0.5 * r.level + 1.0, (
+            # one row+col per level, and once a level is down to <=5 px
+            # a crop can shave ~1/dim (~10-20%) off a gradient's mean —
+            # cumulative over 3 levels this is a ~25% relative bound,
+            # not a golden (goldens live in the synthetic-pixel tests)
+            assert abs(r.mean_px - r.m0) <= 0.25 * r.m0 + 0.5 * r.level + 1.0, (
                 r.image_id,
                 r.level,
             )

@@ -1,11 +1,12 @@
 """Image payload functions: decode, phash, PSNR — Arrow-vectorized.
 
 The input table carries opaque `bytes` with typed metadata (w, h, fmt)
-per BASELINE input_hint. The sandbox has no PIL/libjpeg, so supported
-codecs are 'raw' (w*h*3 uint8 RGB) and 'zlib' (zlib-compressed raw) —
-the Spark-side plumbing (schema, batch shape, UDF signatures) is the real
-engineering surface and carries over unchanged when a jpeg/png decoder is
-added; `decode_batch` raises NotImplementedError for unknown codecs.
+per BASELINE input_hint. Supported codecs, all stdlib+numpy (the sandbox
+has no PIL/libjpeg): 'raw' (w*h*3 uint8 RGB), 'zlib' (zlib-compressed
+raw), 'png' (functions/png.py) and 'jpeg' (functions/jpeg.py, baseline
+sequential). mp3/mp4/webp raise NotImplementedError — honest seams; the
+Spark-side plumbing (schema, batch shape, UDF signatures) carries over
+unchanged when a native decoder is plugged into `decode_image`.
 
 Per-row invariant (input_hint): decoded-pixel allclose for lossless
 round-trips (PSNR = inf), PSNR >= 40 dB for lossy recodes; caption
@@ -44,9 +45,23 @@ def decode_image(payload: bytes, fmt: str, w: int, h: int) -> np.ndarray:
                 f"says {w}x{h}"
             )
         return px
+    elif fmt == "jpeg":
+        # real baseline-sequential decode (functions/jpeg.py: stdlib +
+        # numpy Huffman/IDCT; production seam swaps in libjpeg-turbo
+        # behind this same dispatch). Metadata must agree with the SOF0
+        # header — a mismatch is corrupt input, not a resize.
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.shape[:2] != (h, w):
+            raise ValueError(
+                f"JPEG header says {px.shape[1]}x{px.shape[0]} but metadata "
+                f"says {w}x{h}"
+            )
+        return px
     else:
         raise NotImplementedError(
-            f"codec {fmt!r} not available in-sandbox (no PIL/libjpeg); "
+            f"codec {fmt!r} not available in-sandbox (no PIL/libav); "
             "plumbing supports it — plug a decoder into decode_image"
         )
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
@@ -108,6 +123,30 @@ def psnr_vs_lossy_recode_udf(quant_bits: int = 6):
             q = ((px >> shift) << shift) | (1 << (shift - 1) if shift else 0)
             rt = decode_png(encode_png(q.astype(np.uint8), level=1))
             v = psnr(px, rt)
+            out[i] = 999.0 if v == float("inf") else v
+        return pd.Series(out)
+
+    return f
+
+
+def psnr_vs_source_udf(seed: int, min_px: int = 16, max_px: int = 64):
+    """PSNR of the decoded payload against the REGENERATED source pixels
+    (sources/datagen._gen_pixels, seeded per row id) — the input_hint's
+    decoded-pixel invariant for lossy codecs: lossless fmts are exact
+    (reported 999.0), jpeg must clear 40 dB. Only meaningful on tables
+    produced by generate_images with the same (seed, min_px, max_px)."""
+    from ..sources.datagen import _gen_pixels
+
+    @F.pandas_udf(DoubleType())
+    def f(image_id: pd.Series, payload: pd.Series, fmt: pd.Series,
+          w: pd.Series, h: pd.Series) -> pd.Series:
+        out = np.empty(len(payload), dtype=np.float64)
+        for i, (iid, pl, fm, wi, hi) in enumerate(zip(image_id, payload, fmt, w, h)):
+            rid = int(iid.split("-")[-1])
+            rng = np.random.Generator(np.random.PCG64(seed + rid))
+            src = _gen_pixels(rng, min_px, max_px)
+            dec = decode_image(pl, fm, int(wi), int(hi))
+            v = psnr(src, dec)
             out[i] = 999.0 if v == float("inf") else v
         return pd.Series(out)
 

@@ -1,0 +1,659 @@
+"""Baseline sequential JPEG codec — stdlib + numpy only.
+
+Closes the BASELINE input_hint PSNR gate (decoded-pixel PSNR >= 40 dB
+for lossy codecs) for the dominant real-world image format without any
+native library: the sandbox has no PIL/libjpeg, and the round-3 PNG
+codec (functions/png.py) proved a stdlib codec is the right seam shape.
+Production swaps `decode_jpeg` for libjpeg-turbo behind the same
+`decode_image` dispatch (functions/image.py) — the Spark-side plumbing
+(schema, Arrow batches, UDF signatures) is identical.
+
+Scope (ITU-T T.81, public spec):
+- Decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+  arbitrary sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0),
+  restart markers, multi-table DQT/DHT segments, APPn/COM skipped.
+  Progressive (SOF2) and arithmetic coding raise NotImplementedError —
+  honest seams, same policy as the other codecs.
+- Encoder: 4:4:4 (no subsampling), quality 1-100 via the IJG table
+  scaling, Annex-K quantization + Huffman tables (spec constants,
+  embedded verbatim in DQT/DHT so ANY standard decoder can read the
+  output regardless of table choice).
+
+Numerics: the DCT/IDCT is the exact orthonormal 8x8 matrix transform
+(D @ B @ D.T), vectorized over all blocks per component with one
+einsum — entropy coding is the only per-symbol Python, acceptable for
+the Arrow-batch UDF path where images are small and decode parallelism
+comes from Spark partitions, not SIMD.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K — published standard tables)
+# ---------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance quantization tables (natural row order)
+QTABLE_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+QTABLE_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# K.3-K.6 Huffman tables as (BITS[1..16], HUFFVAL). NOTE: the encoder
+# embeds whatever tables these are in DHT, so interop never depends on
+# them matching the spec byte-for-byte — but they are validated below
+# to be a complete prefix code over every symbol the encoder can emit.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> np.ndarray:
+    """Index of each (row-major) position in the zigzag sequence —
+    computed from the diagonal walk, not hardcoded."""
+    order = np.empty((8, 8), dtype=np.int64)
+    idx = 0
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 else range(
+            max(0, s - 7), min(s, 7) + 1
+        )
+        for i in rng:
+            order[i, s - i] = idx
+            idx += 1
+    return order.reshape(64)
+
+
+ZIGZAG = _zigzag_order()            # natural pos -> zigzag rank
+UNZIGZAG = np.argsort(ZIGZAG)       # zigzag rank -> natural pos
+
+# orthonormal 8-point DCT-II matrix
+_D = np.zeros((8, 8))
+_D[0, :] = 1.0 / np.sqrt(8.0)
+for _k in range(1, 8):
+    _D[_k, :] = 0.5 * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16.0)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C canonical assignment."""
+    assert len(bits) == 16 and sum(bits) == len(vals)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            assert code < (1 << length), "invalid Huffman BITS list"
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ENC_DC = (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+           _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+_ENC_AC = (_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+           _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+# completeness: the encoder can emit DC sizes 0-11 and every (run, size)
+# with run 0-15, size 1-10, plus EOB (0x00) and ZRL (0xF0)
+for _t in _ENC_DC:
+    assert all(s in _t for s in range(12))
+for _t in _ENC_AC:
+    assert 0x00 in _t and 0xF0 in _t
+    assert all((r << 4 | s) in _t for r in range(16) for s in range(1, 11))
+
+
+def _quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 5000/q below 50, 200-2q at/above."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (table.astype(np.int64) * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Color transforms (JFIF full-range YCbCr)
+# ---------------------------------------------------------------------------
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., 0].astype(np.float64), px[..., 1].astype(np.float64),
+               px[..., 2].astype(np.float64))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Block helpers (vectorized over all blocks of a component)
+# ---------------------------------------------------------------------------
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-pad a plane to multiples of 8 and split into (N, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, bh, bw
+
+
+def _from_blocks(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    return blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+
+
+def _fdct_quant(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    coef = np.einsum("ij,njk,lk->nil", _D, blocks - 128.0, _D)
+    return np.round(coef / qt).astype(np.int32)
+
+
+def _dequant_idct(coefs: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    spat = np.einsum("ji,njk,kl->nil", _D, coefs * qt.astype(np.float64), _D)
+    return spat + 128.0
+
+
+# ---------------------------------------------------------------------------
+# Bit IO
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, value-bits) encoding of a coefficient (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _encode_block(bw_: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-encode one zigzag-ordered block; returns the new DC pred."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_tab[size]
+    bw_.put(code, length)
+    if size:
+        bw_.put(bits, size)
+    nz = np.nonzero(zz[1:])[0]
+    prev = 0
+    for pos in nz:
+        run = int(pos) - prev
+        prev = int(pos) + 1
+        while run > 15:
+            c, l = ac_tab[0xF0]                   # ZRL
+            bw_.put(c, l)
+            run -= 16
+        size, bits = _magnitude(int(zz[1 + pos]))
+        c, l = ac_tab[(run << 4) | size]
+        bw_.put(c, l)
+        bw_.put(bits, size)
+    if prev != 63:
+        c, l = ac_tab[0x00]                       # EOB
+        bw_.put(c, l)
+    return dc
+
+
+def _box_halve(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample (edge-padded to even dims first)."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (plane[0::2, 0::2] + plane[0::2, 1::2]
+            + plane[1::2, 0::2] + plane[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF.
+
+    subsampling: "444" (no chroma subsampling, highest fidelity — the
+    datagen default) or "420" (2x2 box-mean chroma, the dominant
+    real-world layout; exercises the decoder's MCU-interleave +
+    upsample path)."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"invalid image size {w}x{h}")
+    qt_l = _quality_scaled(QTABLE_LUMA, quality)
+    qt_c = _quality_scaled(QTABLE_CHROMA, quality)
+    sub = subsampling == "420"
+    hs_y = vs_y = 2 if sub else 1
+
+    ycc = _rgb_to_ycbcr(px)
+    # per-component block grids of zigzag coeffs, padded so the Y grid
+    # is a multiple of its sampling factor (whole MCUs)
+    grids = []   # (bh, bw, (bh*bw, 64) zigzag coeffs)
+    for ci in range(3):
+        plane = ycc[..., ci]
+        if sub and ci > 0:
+            plane = _box_halve(plane)
+        blocks, bh, bw0 = _to_blocks(plane)
+        if ci == 0 and sub and (bh % 2 or bw0 % 2):
+            # pad Y block grid to even (full MCUs) by edge-replicating
+            g = _from_blocks(blocks, bh, bw0)
+            g = np.pad(g, ((0, (bh % 2) * 8), (0, (bw0 % 2) * 8)), mode="edge")
+            blocks, bh, bw0 = _to_blocks(g)
+        qz = _fdct_quant(blocks, qt_l if ci == 0 else qt_c)
+        grids.append((bh, bw0, qz.reshape(-1, 64)[:, UNZIGZAG]))
+
+    out = bytearray()
+    out += b"\xff\xd8"                                   # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, qt: np.ndarray) -> bytes:
+        return (b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
+                + bytes(qt.reshape(64)[UNZIGZAG].astype(np.uint8).tolist()))
+
+    out += dqt(0, qt_l) + dqt(1, qt_c)
+    sof = bytearray(b"\xff\xc0")
+    sof += (8 + 3 * 3).to_bytes(2, "big") + b"\x08"
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    for cid, hv, tq in ((1, (hs_y << 4) | vs_y, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
+    out += sof
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return (b"\xff\xc4" + (19 + len(vals)).to_bytes(2, "big")
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytearray(b"\xff\xda")
+    sos += (6 + 2 * 3).to_bytes(2, "big") + b"\x03"
+    for cid, tbl in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        sos += bytes([cid, tbl])
+    sos += b"\x00\x3f\x00"
+    out += sos
+
+    # entropy-coded data, MCU-interleaved: (hs*vs) Y blocks then Cb, Cr
+    bw_ = _BitWriter()
+    mcus_y = grids[0][0] // vs_y
+    mcus_x = grids[0][1] // hs_y
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                tid = 0 if ci == 0 else 1
+                dc_tab, ac_tab = _ENC_DC[tid], _ENC_AC[tid]
+                bh, bwid, zzs = grids[ci]
+                hs, vs = (hs_y, vs_y) if ci == 0 else (1, 1)
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * bwid + (mx * hs + bx)
+                        pred[ci] = _encode_block(
+                            bw_, zzs[bi], pred[ci], dc_tab, ac_tab
+                        )
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"                                    # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                return False
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                self.marker = nxt    # restart or EOI/next segment
+                return False
+        else:
+            self.pos = p + 1
+        # mask consumed high bits so acc stays a small int
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            # past-the-end reads decode as 0 per the usual tolerant
+            # handling of truncated streams
+            return 0
+        if self.nbits == 0:
+            return 0
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # padding bits were still buffered; the next marker in the
+            # byte stream must be the RSTn
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                    self.marker = d[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2   # past FF Dn (pos still points at the FF)
+            self.marker = None
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code in entropy stream")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline sequential JPEG to (h, w, 3) uint8 RGB (grayscale
+    inputs are replicated to 3 channels)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None       # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    planes: dict[int, np.ndarray] = {}
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:          # EOI
+            break
+        seg_len = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:          # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                qt[tq] = vals[ZIGZAG].reshape(8, 8)   # zigzag -> natural
+            pos += seg_len
+            continue
+        if marker == 0xC4:          # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                dec: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        dec[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = dec
+                p += 17 + nv
+            pos += seg_len
+            continue
+        if marker == 0xDD:          # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+            pos += seg_len
+            continue
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} (progressive/extended/arithmetic) "
+                "not supported — baseline sequential (SOF0) only"
+            )
+        if marker == 0xC0:          # SOF0
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq_ = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_))
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError("jpeg: only 1 or 3 components")
+            for _, hs, vs, _t in comps:
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise NotImplementedError(
+                        f"jpeg: sampling factors {hs}x{vs} unsupported"
+                    )
+            frame = (h, w, comps)
+            pos += seg_len
+            continue
+        if marker == 0xDA:          # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            h, w, comps = frame
+            ns = seg[0]
+            scan_tbl = {}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tbl[cid] = (tabs >> 4, tabs & 0xF)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            # per-component block grids (MCU-padded)
+            grids = {}
+            for cid, hs, vs, tq_ in comps:
+                grids[cid] = np.zeros(
+                    (mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64
+                )
+            coef_store: dict[int, list] = {c[0]: [] for c in comps}
+            reader = _BitReader(data, pos + seg_len)
+            pred = {c[0]: 0 for c in comps}
+            mcu_count = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        reader.sync_restart()
+                        pred = {c[0]: 0 for c in comps}
+                    for cid, hs, vs, tq_ in comps:
+                        dc_t = huff[(0, scan_tbl[cid][0])]
+                        ac_t = huff[(1, scan_tbl[cid][1])]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                zz = np.zeros(64, dtype=np.int32)
+                                size = _decode_huffman(reader, dc_t)
+                                diff = _extend(reader.read_bits(size), size)
+                                pred[cid] += diff
+                                zz[0] = pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = _decode_huffman(reader, ac_t)
+                                    r, s = rs >> 4, rs & 0xF
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break            # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("jpeg: AC index overflow")
+                                    zz[k] = _extend(reader.read_bits(s), s)
+                                    k += 1
+                                coef_store[cid].append(
+                                    (my * vs + by, mx * hs + bx, zz)
+                                )
+                    mcu_count += 1
+            # batch dequant + IDCT per component
+            for cid, hs, vs, tq_ in comps:
+                entries = coef_store[cid]
+                if not entries:
+                    continue
+                coefs = np.stack([e[2][ZIGZAG].reshape(8, 8) for e in entries])
+                spat = _dequant_idct(coefs.astype(np.float64), qt[tq_])
+                g = grids[cid]
+                for (by, bx, _zz), blk in zip(entries, spat):
+                    g[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+                # upsample to full resolution if subsampled
+                ry, rx = vmax // vs, hmax // hs
+                if ry > 1 or rx > 1:
+                    g = np.repeat(np.repeat(g, ry, axis=0), rx, axis=1)
+                planes[cid] = g[:h, :w]
+            pos = reader.pos
+            # scan consumed; continue main loop to find EOI
+            continue
+        pos += seg_len              # APPn / COM / anything else: skip
+
+    if frame is None or not planes:
+        raise ValueError("jpeg: no decodable scan found")
+    h, w, comps = frame
+    if len(comps) == 1:
+        y = np.clip(planes[comps[0][0]].round(), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    ycc = np.stack([planes[c[0]] for c in comps], axis=-1)
+    return _ycbcr_to_rgb(ycc)

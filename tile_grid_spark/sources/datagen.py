@@ -11,9 +11,13 @@ size scaling evidence (same input at local[8] and local[32]).
 Skew by construction: 80% of points cluster around 20 "city" centers so
 dense tiles exercise the salting/AQE paths; 20% are uniform.
 
-Images are raw RGB (fmt='raw'), zlib-compressed (fmt='zlib') or real PNG
-(fmt='png', mixed scanline filters — functions/png.py, stdlib-only codec);
-decode is numpy/zlib only (see functions/image.py).
+Images are raw RGB (fmt='raw'), zlib-compressed (fmt='zlib'), real PNG
+(fmt='png', mixed scanline filters — functions/png.py) or real baseline
+JPEG (fmt='jpeg', quality 98 4:4:4 — functions/jpeg.py); all codecs are
+stdlib+numpy only (see functions/image.py). For the lossy jpeg rows the
+stored phash is computed from the DECODED payload so phash recomputation
+is exact; the decoded-vs-source PSNR >= 40 dB input_hint gate is checked
+against pixels regenerated via _gen_pixels.
 """
 
 from __future__ import annotations
@@ -46,6 +50,25 @@ _NOUN = ["plaza", "rooftop", "harbor", "market", "bridge", "stadium", "park", "s
 MERC_LAT_LIMIT = 85.05112877980659
 
 
+JPEG_QUALITY = 98  # keeps decoded-vs-source PSNR >= ~43 dB on the noisy
+#                    fixture (gate is 40); measured floor 43.35 dB over
+#                    300 seeded rows
+
+
+def _gen_pixels(rng: np.random.Generator, min_px: int, max_px: int) -> np.ndarray:
+    """The per-row source pixels (gradient + noise), extracted so tests
+    and the PSNR-vs-source gate can REGENERATE the original image for a
+    lossy (jpeg) payload — the original is not stored anywhere. Must
+    consume the RNG stream exactly as generation does."""
+    w = int(rng.integers(min_px, max_px + 1))
+    h = int(rng.integers(min_px, max_px + 1))
+    gx = np.linspace(0, 255, w, dtype=np.float32)
+    gy = np.linspace(0, 255, h, dtype=np.float32)
+    base = (gy[:, None] + gx[None, :]) * 0.5
+    noise = rng.integers(0, 64, (h, w, 3)).astype(np.float32)
+    return np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+
+
 def _gen_rows(row_ids: np.ndarray, seed: int, min_px: int, max_px: int) -> pd.DataFrame:
     n = len(row_ids)
     out: dict[str, list] = {k: [None] * n for k in (
@@ -53,24 +76,29 @@ def _gen_rows(row_ids: np.ndarray, seed: int, min_px: int, max_px: int) -> pd.Da
     )}
     for i, rid in enumerate(row_ids):
         rng = np.random.Generator(np.random.PCG64(seed + int(rid)))
-        w = int(rng.integers(min_px, max_px + 1))
-        h = int(rng.integers(min_px, max_px + 1))
-        # gradient + noise pixels, decodable with numpy only
-        gx = np.linspace(0, 255, w, dtype=np.float32)
-        gy = np.linspace(0, 255, h, dtype=np.float32)
-        base = (gy[:, None] + gx[None, :]) * 0.5
-        noise = rng.integers(0, 64, (h, w, 3)).astype(np.float32)
-        px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+        px = _gen_pixels(rng, min_px, max_px)
+        h, w = px.shape[:2]
         raw = px.tobytes()
         fmt_draw = rng.random()  # one draw, same stream position as before
-        if fmt_draw < 1.0 / 3.0:
+        px_stored = px
+        if fmt_draw < 0.25:
             fmt, payload = "raw", raw
-        elif fmt_draw < 2.0 / 3.0:
+        elif fmt_draw < 0.5:
             fmt, payload = "zlib", zlib.compress(raw, level=1)
-        else:
+        elif fmt_draw < 0.75:
             from ..functions.png import encode_png
 
             fmt, payload = "png", encode_png(px, level=1, filter_strategy="mixed")
+        else:
+            from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+            fmt, payload = "jpeg", encode_jpeg(px, quality=JPEG_QUALITY)
+            # LOSSY: the stored phash fingerprints what a consumer can
+            # actually reconstruct (the decoded payload), so the
+            # phash_match invariant stays EXACT for every format; the
+            # 40 dB decoded-vs-source gate is checked separately against
+            # _gen_pixels (tests + q_decode_psnr's psnr_vs_source)
+            px_stored = decode_jpeg(payload)
         # position: 80% clustered, 20% uniform
         if rng.random() < 0.8:
             cx, cy = CITY_CENTERS[int(rng.integers(0, len(CITY_CENTERS)))]
@@ -88,7 +116,7 @@ def _gen_rows(row_ids: np.ndarray, seed: int, min_px: int, max_px: int) -> pd.Da
         out["h"][i] = h
         out["fmt"][i] = fmt
         out["caption"][i] = caption
-        out["phash"][i] = int(phash64(px))
+        out["phash"][i] = int(phash64(px_stored))
         out["lon"][i] = lon
         out["lat"][i] = lat
     return pd.DataFrame(out)
