@@ -812,6 +812,38 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_phash_multi_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table bands=2 Hamming near-dup (the 10^8-10^12-row scale
+    path, operators/dedup.hamming_near_pairs_multi): 4 seeded random
+    2-partitions of the 64 bit positions, 32-bit band keys, native
+    bit_count verify. Deterministic given the seed, so the oracle
+    replays the EXACT partitions (same random.Random shuffle stream) —
+    including any probabilistically-missed wide pair — bit for bit.
+    phash values are 60-bit md5-derived (positive), so DuckDB's
+    arithmetic >> equals Spark's shiftrightunsigned on every bit used.
+    Recall-vs-bruteforce is gated separately in
+    tests/test_images_raster.py (TestHammingMulti)."""
+    from tile_grid_spark.operators.dedup import hamming_near_pairs_multi, md5_hash60
+
+    c = read_table(spark, sf_dir, "customer")
+    m = F.pmod(F.col("c_custkey"), F.lit(4))
+    flips = (
+        F.when(m == 1, F.lit(1 << 3))
+        .when(m == 2, F.lit((1 << 7) | (1 << 21)))
+        .when(m == 3, F.lit((1 << 11) | (1 << 33) | (1 << 52)))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    imgs = c.select(
+        F.col("c_custkey").alias("image_id"),
+        md5_hash60(
+            F.floor(F.col("c_custkey") / F.lit(4)).cast("string"), prefix="img"
+        ).bitwiseXOR(flips).alias("phash"),
+    )
+    return hamming_near_pairs_multi(
+        imgs, "image_id", "phash", max_hamming=6, n_tables=4, seed=7, persist=False
+    ).orderBy("id_a", "id_b")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH. Approximate vs brute force
     (recall pytest-gated) but fully DETERMINISTIC given the seed, so the
@@ -1378,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "phash_neardup": q_phash_neardup,
+        "phash_multi_band": q_phash_multi_band,
         "dedup_clusters": q_dedup_clusters,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "token_quantiles": q_token_quantiles,
@@ -1485,6 +1518,54 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> 
         )
         SELECT id_a, id_b, round(j, 6) AS jaccard
         FROM scored WHERE j >= {_d(threshold)} ORDER BY id_a, id_b
+    """
+
+
+def _hamming_multi_oracle_sql(n_tables: int, seed: int, max_hamming: int) -> str:
+    """DuckDB replay of hamming_near_pairs_multi's seeded bit partitions
+    (operators/dedup.py): the SAME random.Random(seed) shuffle stream
+    yields the same 2-partitions, each 32-bit band key is the same
+    OR-fold, and the verify is bit_count(xor). phash is 60-bit positive
+    so >> is sign-safe."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    selects = []
+    for t in range(n_tables):
+        positions = list(range(64))
+        rnd.shuffle(positions)
+        for band in range(2):
+            half = positions[band * 32:(band + 1) * 32]
+            terms = " + ".join(
+                f"(((phash >> {src}) & 1) << {out})" for out, src in enumerate(half)
+            )
+            selects.append(
+                f"SELECT image_id, phash, {t * 2 + band} AS band, "
+                f"CAST({terms} AS BIGINT) AS bh FROM imgs"
+            )
+    union = "\n          UNION ALL ".join(selects)
+    return f"""
+        WITH imgs AS (
+          SELECT c_custkey AS image_id,
+                 xor(CAST('0x' || substr(md5('img:' || CAST(c_custkey // 4 AS BIGINT)), 1, 15) AS BIGINT),
+                     CAST(CASE c_custkey % 4 WHEN 1 THEN {1 << 3}
+                                             WHEN 2 THEN {(1 << 7) | (1 << 21)}
+                                             WHEN 3 THEN {(1 << 11) | (1 << 33) | (1 << 52)}
+                                             ELSE 0 END AS BIGINT)) AS phash
+          FROM customer
+        ),
+        banded AS (
+          {union}
+        ),
+        pairs AS (
+          SELECT DISTINCT l.image_id AS id_a, r.image_id AS id_b,
+                 CAST(bit_count(xor(l.phash, r.phash)) AS INTEGER) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bh = r.bh AND l.image_id < r.image_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs
+        WHERE hamming <= {max_hamming}
+        ORDER BY id_a, id_b
     """
 
 
@@ -2510,6 +2591,9 @@ def oracle_sql() -> dict[str, str]:
 
     # ---- md5-family dedup, S2 Hilbert, seeded-LSH oracles (round 3) ----
     sql["minhash_pairs"] = _minhash_oracle_sql(k=32, bands=8, threshold=0.2)
+    sql["phash_multi_band"] = _hamming_multi_oracle_sql(
+        n_tables=4, seed=7, max_hamming=6
+    )
     sql["simhash_pairs"] = _simhash_oracle_sql(max_hamming=16, bands=4)
     sql["s2_cells"] = _s2_cells_oracle_sql()
     sql["ann_lsh"] = _ann_lsh_oracle_sql()

@@ -472,6 +472,76 @@ class TestJpegCodec:
         assert agg.max_src < 999.0, agg  # jpeg really is lossy
 
 
+class TestHammingMulti:
+    """hamming_near_pairs_multi (bands=2 scale path) vs an exact numpy
+    all-pairs oracle: radius-1 recall must be 1.0 (per-table pigeonhole
+    guarantee), wider radii meet the documented probabilistic floor,
+    and every returned pair is exact (bit_count verify)."""
+
+    @staticmethod
+    def _popcount_matrix(v: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor.outer(v, v).view(np.uint8)
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        return lut[x].reshape(len(v), len(v), 8).sum(axis=2)
+
+    def test_recall_vs_bruteforce(self, spark):
+        from tile_grid_spark.operators.dedup import hamming_near_pairs_multi
+
+        rng = np.random.default_rng(5)
+        base = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+        vals = list(base)
+        # plant twins at hamming exactly 1, 2, 3 for the first 300 bases
+        for i in range(300):
+            flips = rng.choice(64, size=(i % 3) + 1, replace=False)
+            tw = int(base[i]) & ((1 << 64) - 1)   # unsigned view
+            for b in flips:
+                tw ^= 1 << int(b)
+            tw = tw - (1 << 64) if tw >= (1 << 63) else tw
+            vals.append(np.int64(tw))
+        v = np.array(vals, dtype=np.int64)
+        ham = self._popcount_matrix(v.view(np.uint64))
+        iu = np.triu_indices(len(v), k=1)
+        truth = {
+            (int(a), int(b)): int(ham[a, b])
+            for a, b in zip(*iu)
+            if ham[a, b] <= 3
+        }
+        df = spark.createDataFrame(
+            [(i, int(x)) for i, x in enumerate(v)], "image_id BIGINT, phash BIGINT"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_near_pairs_multi(
+                df, "image_id", "phash", max_hamming=3, n_tables=8, seed=7
+            ).collect()
+        }
+        # exactness: every returned pair is in truth with the same distance
+        for k, h in got.items():
+            assert truth.get(k) == h, (k, h)
+        by_h = {1: [0, 0], 2: [0, 0], 3: [0, 0]}  # h -> [found, total]
+        for k, h in truth.items():
+            if h == 0:
+                continue
+            by_h[h][1] += 1
+            by_h[h][0] += int(k in got)
+        assert by_h[1][0] == by_h[1][1], by_h          # guaranteed
+        assert by_h[2][0] / by_h[2][1] >= 0.95, by_h    # ~0.997 expected
+        assert by_h[3][0] / by_h[3][1] >= 0.80, by_h    # ~0.89 expected
+
+    def test_plan_is_short_key_equi_join(self, spark):
+        from tile_grid_spark.operators.dedup import hamming_near_pairs_multi
+
+        df = spark.range(0, 400).select(
+            F.col("id").alias("image_id"), F.xxhash64("id").alias("phash")
+        )
+        plan = hamming_near_pairs_multi(
+            df, "image_id", "phash", n_tables=4, persist=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan  # pure codegen band keys
+
+
 class TestRaster:
     def test_rasterize_counts(self, spark, wm, images):
         z = 4

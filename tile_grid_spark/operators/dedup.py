@@ -370,8 +370,9 @@ def hamming_near_pairs(
     ~N^2 * bands / 2^(64/bands), so the band width must comfortably
     exceed log2(N) — bands=4 (16-bit keys, Hamming<=3 guaranteed) is
     right up to ~1M rows; at 10^8-10^12 rows use bands=2 (32-bit keys,
-    Hamming<=1 guaranteed, wider radii probabilistic) or run multiple
-    2-band tables with rotated bit layouts."""
+    Hamming<=1 guaranteed) and, for wider radii at that scale,
+    :func:`hamming_near_pairs_multi` (multiple 2-band tables with
+    independent bit partitions, recall-gated)."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = F.array(
@@ -395,6 +396,80 @@ def hamming_near_pairs(
     # don't accrete executor storage. Pass persist=False when the
     # fingerprint is cheap to recompute (a native hash column) and the
     # materialization job isn't worth it.
+    if persist:
+        banded = banded.localCheckpoint()
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bh"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def hamming_near_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    bits_col: str,
+    max_hamming: int = 3,
+    n_tables: int = 8,
+    seed: int = 42,
+    persist: bool = True,
+) -> DataFrame:
+    """The bands=2 SCALE path for Hamming radius > 1: at 10^8-10^12 rows
+    16-bit band keys (bands=4) drown in accidental collisions
+    (~N^2*bands/2^16 candidate pairs), so banding must use 32-bit keys —
+    but 2 bands pigeonhole-guarantee only radius 1. This operator unions
+    `n_tables` independent 2-band layouts, each a seeded random
+    2-PARTITION of the 64 bit positions (NOT rotations: a rotation
+    family has a systematic blind spot — two differing bits 32 apart
+    never share a 32-bit cyclic window), then verifies candidates with
+    native bit_count.
+
+    Guarantees: radius 1 pairs are found by EVERY table (pigeonhole).
+    Radius h >= 2 is probabilistic per table with
+    p(h) ~ 2*C(32,h)/C(64,h)  (h=2: 0.49, h=3: 0.24), so the miss rate
+    decays as (1-p)^n_tables — n_tables=8 gives ~99.7% recall at h=2 and
+    ~89% at h=3; raise n_tables for wider radii. The recall gate vs an
+    exact all-pairs oracle is pinned in tests/test_images_raster.py.
+
+    Scale shape: per table both 32-bit band keys are OR-folds of that
+    table's assigned bit positions (pure codegen Columns, ~64 terms per
+    table); the join shuffles only (table, band, key32, id, bits) rows;
+    distinct collapses multi-table hits before the pair-volume verify.
+    Same storage lifecycle as hamming_near_pairs (localCheckpoint, no
+    session cache pins)."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    structs = []
+    for t in range(n_tables):
+        positions = list(range(64))
+        rnd.shuffle(positions)
+        for band in range(2):
+            half = positions[band * 32:(band + 1) * 32]
+            key = F.lit(0).cast("long")
+            for out_bit, src_bit in enumerate(half):
+                key = key + F.shiftleft(
+                    F.shiftrightunsigned(F.col(bits_col), src_bit).bitwiseAND(F.lit(1)),
+                    out_bit,
+                )
+            structs.append(
+                F.struct(
+                    F.lit(t * 2 + band).alias("band"), key.alias("bh")
+                )
+            )
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bits_col).alias("_sh"),
+        F.explode(F.array(*structs)).alias("_b"),
+    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
     if persist:
         banded = banded.localCheckpoint()
     pairs = (
