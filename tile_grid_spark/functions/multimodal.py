@@ -3,10 +3,11 @@ metadata.
 
 The Spark-side engineering here is REAL and tested: schemas, mapInPandas
 batch shapes, partition-size control for wide binary rows, deterministic
-fake decoders for round-trip tests. The codec layer is a seam: raw/zlib
-images decode for real (numpy); jpeg/png/mp3/mp4 raise NotImplementedError
-until a decoder library is present (none ships in this sandbox — see
-functions/image.py for the same policy on images).
+fake decoders for round-trip tests. The codec layer is a seam:
+raw/zlib/png/jpeg images decode for real (numpy + stdlib codecs,
+functions/png.py and functions/jpeg.py); mp3/mp4/webp raise
+NotImplementedError until a decoder library is present (none ships in
+this sandbox — see functions/image.py for the dispatch).
 
 Operators:
 - decode_and_featurize: binary -> fixed-width feature vector (mean/std per
