@@ -664,6 +664,96 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (functions/text.with_repetition_features):
+    per-doc duplicate-line fraction, duplicate-line char fraction and
+    top-bigram char coverage — the repetition half of the Gopher filter
+    family (quality_filter covers the length/punct/stopword half). Full
+    per-doc output: every feature of every document is hash-compared
+    against the oracle's unnest+groupBy replay (integer char counts and
+    one-division doubles, so the comparison is exact, not avg-blurred).
+    Zero-shuffle mapper plan — repetition scoring at 100 TB must run as
+    a scan-side filter, never behind an exchange."""
+    from tile_grid_spark.functions.text import with_repetition_features
+
+    d = read_table(spark, sf_dir, "documents")
+    feats = with_repetition_features(d)
+    return feats.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+    ).orderBy("doc_id")
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/interval_join.interval_join):
+    every event attributed to every 6-hour post-purchase window of the
+    same user, summarized per attributed event_type. The bucket column
+    manufactures the equality conjunct a pure range predicate lacks, so
+    the plan is a hash/sort-merge join on (user_id, bucket) instead of
+    the nested-loop a theta join degenerates to; the oracle replays the
+    semantics as the naive non-equi join DuckDB can afford at sf0.01."""
+    from tile_grid_spark.operators.interval_join import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("window_id"),
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    hits = interval_join(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        windows,
+        left_ts="ts",
+        start="w_start",
+        end="w_end",
+        on=("user_id",),
+        width_sec=6 * 3600,
+    )
+    return (
+        hits.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.countDistinct("window_id").alias("n_windows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sample): documents
+    kept at per-source rates (even sources 50%, odd 12.5%, src0 100%),
+    per-source sampled counts + char mass + bucket checksum. The oracle
+    replays the md5 threshold exactly (integer compare — no float
+    boundary), proving partition-invariance: DuckDB sees one partition,
+    Spark 32."""
+    from tile_grid_spark.operators.sample import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0}
+    rates.update({f"src{i}": 0.5 for i in range(2, 20, 2)})
+    kept = stratified_sample(
+        d, id_col="doc_id", strata_col="source", rates=rates, default_rate=0.125
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.sum(F.col("_sample_bucket").cast("decimal(38,0)")).alias("bucket_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_geohash_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash cover enumeration (functions/cells.geohash_cover_exploded):
     every precision-3 cell touched by each nation-derived bbox, encoded
@@ -1417,6 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cover": q_geohash_cover,
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
+        "doc_repetition": q_doc_repetition,
+        "event_attribution": q_event_attribution,
+        "stratified_sample": q_stratified_sample,
         "zonal_stats": q_zonal_stats,
         "image_pyramid": q_image_pyramid,
         "neighbors": q_neighbors,
@@ -2695,6 +2788,99 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN fail_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct,
                CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
         FROM f GROUP BY source ORDER BY source
+    """
+
+    # Gopher repetition rules: line-count map + bigram argmax replayed
+    # via unnest + group-by; argmax orders by (count, key-chars) exactly
+    # like the engine's struct array_max, and equal (count,chars) ties
+    # yield the same count*chars product either way
+    sql["doc_repetition"] = """
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ),
+        lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line),
+        ld AS (
+          SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+                 SUM((c - 1) * length(line)) AS dup_chars,
+                 SUM(c * length(line)) AS tot_chars
+          FROM lc GROUP BY doc_id
+        ),
+        tk AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+          FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+          WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+        tb AS (
+          SELECT doc_id, c * length(b) AS cover,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, length(b) DESC
+                 ) AS rn
+          FROM bc
+        )
+        SELECT d.doc_id,
+               CAST(ld.n_lines AS INT) AS n_lines,
+               round((ld.n_lines - ld.n_distinct)
+                     / GREATEST(ld.n_lines, 1)::DOUBLE, 6) + 0.0 AS dup_line_frac,
+               round(ld.dup_chars
+                     / GREATEST(ld.tot_chars, 1)::DOUBLE, 6) + 0.0 AS dup_line_char_frac,
+               round(COALESCE(t.cover, 0)
+                     / GREATEST(length(d.text), 1)::DOUBLE, 6) + 0.0 AS top_bigram_char_frac
+        FROM documents d
+        JOIN ld ON ld.doc_id = d.doc_id
+        LEFT JOIN (SELECT doc_id, cover FROM tb WHERE rn = 1) t
+          ON t.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+    # interval containment as the naive non-equi join (DuckDB can afford
+    # it at sf0.01; the engine's bucketed equi-join must agree exactly)
+    sql["event_attribution"] = """
+        WITH w AS (
+          SELECT event_id AS window_id, user_id, ts AS w_start,
+                 ts + INTERVAL 6 HOUR AS w_end
+          FROM events WHERE event_type = 'purchase'
+        ),
+        hits AS (
+          SELECT e.event_type, e.value, w.window_id, e.user_id
+          FROM events e JOIN w
+            ON e.user_id = w.user_id
+           AND e.ts >= w.w_start AND e.ts < w.w_end
+        )
+        SELECT event_type,
+               COUNT(*) AS n_attributed,
+               CAST(COUNT(DISTINCT window_id) AS BIGINT) AS n_windows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(SUM(value), 4) + 0.0 AS sum_value
+        FROM hits GROUP BY event_type ORDER BY event_type
+    """
+
+    # deterministic stratified sample: md5 threshold replayed as an
+    # integer compare (no float boundary), same family as dataset_split
+    sql["stratified_sample"] = """
+        WITH s AS (
+          SELECT source, n_chars,
+                 CAST('0x' || substr(md5('sample:' || CAST(doc_id AS BIGINT)), 1, 15) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM s
+          WHERE bucket < (CASE
+            WHEN source = 'src0' THEN 1000000
+            WHEN source IN ('src2','src4','src6','src8','src10',
+                            'src12','src14','src16','src18') THEN 500000
+            ELSE 125000 END)
+        )
+        SELECT source, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+               CAST(SUM(bucket) AS DECIMAL(38,0)) AS bucket_sum
+        FROM kept GROUP BY source ORDER BY source
     """
 
     # exact rank-selection quantiles (identical rank arithmetic)

@@ -1,0 +1,221 @@
+"""Bucketed interval join + deterministic stratified sampling.
+
+Independent oracles: pure-Python brute-force containment for the
+interval join; hashlib md5 replays + distribution/invariance properties
+for the sampler. Plan shape: the join must be an equi hash/sort-merge
+join (never a nested loop), the sampler a zero-shuffle scan filter.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tile_grid_spark.operators.interval_join import interval_join
+from tile_grid_spark.operators.sample import SAMPLE_MOD, stratified_sample
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=sec)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, key=k, ts=_ts(s)) for i, (k, s) in enumerate(rows)]
+    )
+
+
+def _mk_intervals(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(iv_id=i, key=k, start=_ts(a), end=_ts(b))
+            for i, (k, a, b) in enumerate(rows)
+        ]
+    )
+
+
+class TestIntervalJoin:
+    def test_brute_force_oracle_random(self, spark):
+        rng = random.Random(42)
+        events = [(rng.randrange(4), rng.uniform(0, 50_000)) for _ in range(300)]
+        intervals = []
+        for _ in range(40):
+            a = rng.uniform(0, 50_000)
+            # mix of sub-bucket, multi-bucket, empty and inverted spans
+            b = a + rng.choice([-10.0, 0.0, 5.0, 900.0, 7200.0, 20_000.0])
+            intervals.append((rng.randrange(4), a, b))
+        got = (
+            interval_join(
+                _mk_events(spark, events),
+                _mk_intervals(spark, intervals),
+                left_ts="ts",
+                start="start",
+                end="end",
+                on=("key",),
+                width_sec=3600,
+            )
+            .select("event_id", "iv_id")
+            .collect()
+        )
+        expect = {
+            (ei, ii)
+            for ei, (ek, es) in enumerate(events)
+            for ii, (ik, a, b) in enumerate(intervals)
+            if ek == ik and a <= es < b
+        }
+        pairs = [(r.event_id, r.iv_id) for r in got]
+        assert len(pairs) == len(set(pairs)), "bucket join produced duplicates"
+        assert set(pairs) == expect
+
+    def test_keyless_and_boundaries(self, spark):
+        # half-open: start included, end excluded; back-to-back windows
+        # never double-attribute the boundary event
+        ev = _mk_events(spark, [(0, 0.0), (0, 3600.0), (0, 7199.9), (0, 7200.0)])
+        iv = _mk_intervals(spark, [(0, 0.0, 3600.0), (0, 3600.0, 7200.0)])
+        got = sorted(
+            (r.event_id, r.iv_id)
+            for r in interval_join(
+                ev.drop("key"),
+                iv.drop("key"),
+                left_ts="ts",
+                start="start",
+                end="end",
+                width_sec=600,
+            )
+            .select("event_id", "iv_id")
+            .collect()
+        )
+        assert got == [(0, 0), (1, 1), (2, 1)]
+
+    def test_self_join_lineage_keys_not_trivial(self, spark):
+        # both sides derived from ONE frame: key equality must still bind
+        # per-side (the bare df[col] form degenerates to always-true)
+        ev = _mk_events(spark, [(1, 0.0), (2, 10.0), (1, 20.0)])
+        iv = ev.filter(F.col("event_id") == 0).select(
+            F.col("event_id").alias("iv_id"),
+            "key",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("end"),
+        )
+        got = interval_join(
+            ev, iv, left_ts="ts", start="start", end="end", on=("key",),
+            width_sec=60,
+        )
+        # key=2 event at 10s is inside the window but must NOT match
+        assert sorted(r.event_id for r in got.collect()) == [0, 2]
+
+    def test_explode_budget_raises(self, spark):
+        ev = _mk_events(spark, [(0, 0.0)])
+        iv = _mk_intervals(spark, [(0, 0.0, 1_000_000.0)])
+        j = interval_join(
+            ev, iv, left_ts="ts", start="start", end="end", on=("key",),
+            width_sec=1, max_buckets_per_interval=1000,
+        )
+        with pytest.raises(Exception, match="interval_join"):
+            j.count()
+
+    def test_column_collision_raises(self, spark):
+        ev = _mk_events(spark, [(0, 0.0)])
+        with pytest.raises(ValueError, match="collision"):
+            interval_join(
+                ev, ev, left_ts="ts", start="ts", end="ts", on=("key",)
+            )
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        ev = _mk_events(spark, [(0, 0.0)])
+        iv = _mk_intervals(spark, [(0, 0.0, 7200.0)])
+        plan = interval_join(
+            ev, iv, left_ts="ts", start="start", end="end", on=("key",),
+            width_sec=3600,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Join" in plan
+
+
+def _md5_bucket(doc_id: int, seed: str = "sample") -> int:
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % SAMPLE_MOD
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [Row(doc_id=i, stratum=f"s{i % 3}") for i in range(3000)]
+        )
+
+    def test_matches_hashlib_replay(self, spark, docs):
+        rates = {"s0": 1.0, "s1": 0.25}
+        kept = stratified_sample(
+            docs, id_col="doc_id", strata_col="stratum", rates=rates,
+            default_rate=0.0,
+        ).collect()
+        expect = {
+            i
+            for i in range(3000)
+            if _md5_bucket(i)
+            < int(rates.get(f"s{i % 3}", 0.0) * SAMPLE_MOD)
+        }
+        assert {r.doc_id for r in kept} == expect
+        for r in kept:
+            assert r._sample_bucket == _md5_bucket(r.doc_id)
+
+    def test_partition_invariant(self, spark, docs):
+        rates = {"s0": 0.5, "s1": 0.5, "s2": 0.5}
+        a = {
+            r.doc_id
+            for r in stratified_sample(
+                docs.repartition(1), "doc_id", "stratum", rates
+            ).collect()
+        }
+        b = {
+            r.doc_id
+            for r in stratified_sample(
+                docs.repartition(16, "stratum"), "doc_id", "stratum", rates
+            ).collect()
+        }
+        assert a == b
+
+    def test_append_stable(self, spark, docs):
+        # adding rows never flips existing verdicts
+        rates = {"s0": 0.3, "s1": 0.3, "s2": 0.3}
+        before = {
+            r.doc_id
+            for r in stratified_sample(
+                docs.filter(F.col("doc_id") < 1000), "doc_id", "stratum", rates
+            ).collect()
+        }
+        after = {
+            r.doc_id
+            for r in stratified_sample(docs, "doc_id", "stratum", rates).collect()
+        }
+        assert before == {i for i in after if i < 1000}
+
+    def test_rates_are_exact_at_extremes_and_plausible_between(self, spark, docs):
+        kept = stratified_sample(
+            docs, "doc_id", "stratum", {"s0": 1.0, "s1": 0.0}, default_rate=0.5
+        ).groupBy("stratum").count().collect()
+        counts = {r.stratum: r["count"] for r in kept}
+        assert counts["s0"] == 1000
+        assert "s1" not in counts
+        assert 400 < counts["s2"] < 600  # ~Binomial(1000, .5)
+
+    def test_invalid_rate_raises(self, spark, docs):
+        with pytest.raises(ValueError, match="rate"):
+            stratified_sample(docs, "doc_id", "stratum", {"s0": 1.5})
+
+    def test_zero_shuffle_plan(self, spark, docs):
+        plan = (
+            stratified_sample(docs, "doc_id", "stratum", {"s0": 0.5})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

@@ -109,6 +109,67 @@ class TestText:
         assert by_id[6].quality_score < by_id[0].quality_score
         assert by_id[0].stopword_ratio > 0.1
 
+    def test_repetition_features_match_python(self, spark):
+        """Gopher repetition signals vs a from-scratch python oracle:
+        dup-line fractions and top-bigram coverage, incl. the edge rows
+        (no newline, single token, empty-ish, all-duplicate lines)."""
+        import re
+        from collections import Counter
+
+        from tile_grid_spark.functions.text import with_repetition_features
+
+        texts = [
+            "alpha beta\ngamma delta\nalpha beta\nepsilon",  # one dup line
+            "same line\nsame line\nsame line",  # all dup
+            "no newline here just words and words and words",
+            "solo",
+            "a b a b a b a b",  # dominant bigram
+            "x",
+            "line1\n\nline1\n\nother",  # duplicated EMPTY lines too
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+        )
+        got = {r.doc_id: r for r in with_repetition_features(df).collect()}
+        for i, t in enumerate(texts):
+            lines = t.split("\n")
+            lc = Counter(lines)
+            n_lines = len(lines)
+            dup_line = (n_lines - len(lc)) / max(n_lines, 1)
+            dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+            tot_chars = sum(len(ln) for ln in lines)
+            toks = re.split(r"\s+", t.strip().lower())
+            bg = Counter(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+            top = max(
+                (c * len(k) for k, c in bg.items()
+                 if (c, len(k)) == max((c2, len(k2)) for k2, c2 in bg.items())),
+                default=0,
+            )
+            r = got[i]
+            assert r.n_lines == n_lines
+            assert abs(r.dup_line_frac - round(dup_line, 6)) < 1e-12, i
+            assert (
+                abs(r.dup_line_char_frac - round(dup_chars / max(tot_chars, 1), 6))
+                < 1e-12
+            ), i
+            assert (
+                abs(r.top_bigram_char_frac - round(top / max(len(t), 1), 6)) < 1e-12
+            ), i
+
+    def test_repetition_features_zero_shuffle(self, spark):
+        from tile_grid_spark.functions.text import with_repetition_features
+
+        df = spark.createDataFrame([(0, "a b\na b")], "doc_id BIGINT, text STRING")
+        plan = (
+            with_repetition_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
     def test_quality_filter_empty_stopwords(self, spark):
         """r3 ADVICE: stopwords=() used to crash (None < int). With the
         lit(0) seed, min_stop_hits=0 disables the rule and positive

@@ -154,6 +154,108 @@ def with_quality_filter(
     )
 
 
+def with_repetition_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    public): the repetition family of quality rules that
+    `with_quality_filter` does not cover. Attaches, per row:
+
+    - ``n_lines``             lines after splitting on ``\\n``
+    - ``dup_line_frac``       (n_lines − n_distinct_lines) / n_lines —
+      the fraction of line occurrences that repeat an earlier line
+    - ``dup_line_char_frac``  chars inside those repeat occurrences
+      (count−1 per distinct duplicated line) / total line chars
+    - ``top_bigram_char_frac`` chars covered by every occurrence of the
+      most frequent word bigram (joined with one space) / total chars
+
+    All native Columns — the whole computation is one codegen'd scan
+    with ZERO shuffle, the only shape a 100-TB corpus filter can afford
+    (repetition scoring is a mapper; selectivity happens before anything
+    downstream shuffles). Intermediate arrays (lines, tokens, bigrams,
+    count maps) are materialized as real columns in staged projections:
+    composing split()+aggregate in one expression re-evaluates the split
+    per lambda step — the measured O(len^2) Catalyst HOF trap (see
+    with_rolling_fingerprints).
+    """
+    c = F.col(text)
+    df = df.withColumn("_lines", F.split(c, "\n")).withColumn(
+        "_toks", F.split(F.trim(F.lower(c)), r"\s+")
+    )
+    # distinct-line count map: {line -> occurrences}
+    df = df.withColumn(
+        "_lc",
+        F.aggregate(
+            F.col("_lines"),
+            F.create_map().cast("map<string,int>"),
+            lambda acc, t: F.map_zip_with(
+                acc,
+                F.create_map(t, F.lit(1)),
+                lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+            ),
+        ),
+    )
+    n_lines = F.size("_lines")
+    n_distinct = F.size(F.map_keys("_lc"))
+    dup_chars = F.aggregate(
+        F.map_entries("_lc"),
+        F.lit(0),
+        lambda acc, e: acc + (e["value"] - 1) * F.length(e["key"]),
+    )
+    tot_line_chars = F.aggregate(
+        F.col("_lines"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    # word bigrams: zip(toks[:-1], toks[1:]); empty when < 2 tokens
+    nt = F.size("_toks")
+    df = df.withColumn(
+        "_bg",
+        F.zip_with(
+            F.slice("_toks", 1, F.greatest(nt - 1, F.lit(0))),
+            F.slice("_toks", 2, F.greatest(nt - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    df = df.withColumn(
+        "_bgc",
+        F.aggregate(
+            F.col("_bg"),
+            F.create_map().cast("map<string,int>"),
+            lambda acc, t: F.map_zip_with(
+                acc,
+                F.create_map(t, F.lit(1)),
+                lambda k, v1, v2: F.coalesce(v1, F.lit(0)) + F.coalesce(v2, F.lit(0)),
+            ),
+        ),
+    )
+    # argmax by (count, key-chars): struct comparison is field-ordered,
+    # so ties between equal-count bigrams resolve to the LONGER key —
+    # deterministic on both engines
+    top = F.array_max(
+        F.transform(
+            F.map_entries("_bgc"),
+            lambda e: F.struct(
+                e["value"].alias("c"), F.length(e["key"]).alias("len")
+            ),
+        )
+    )
+    df = df.withColumns(
+        {
+            "n_lines": n_lines,
+            "dup_line_frac": F.round(
+                (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)).cast("double"),
+                6,
+            ),
+            "dup_line_char_frac": F.round(
+                dup_chars / F.greatest(tot_line_chars, F.lit(1)).cast("double"), 6
+            ),
+            "top_bigram_char_frac": F.round(
+                F.coalesce(top["c"] * top["len"], F.lit(0))
+                / F.greatest(F.length(c), F.lit(1)).cast("double"),
+                6,
+            ),
+        }
+    )
+    return df.drop("_lines", "_toks", "_lc", "_bg", "_bgc")
+
+
 # ---------------------------------------------------------------------------
 # Language ID (n-gram heuristic)
 # ---------------------------------------------------------------------------
