@@ -1143,6 +1143,26 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality with a FULL value-hash oracle (unlike the image
+    codecs, which are rows-only because DuckDB cannot decode them):
+    deterministic integer-sawtooth clips are encoded through the REAL
+    RIFF/WAV writer (sources/datagen.synth_wav_clips), decoded back by
+    the REAL chunk-walking parser (functions/audio.decode_wav) inside
+    an Arrow-batched mapInPandas, and reduced to integer-exact features
+    (peak, zero crossings, sum|x|, exact-sum rms). The oracle re-derives
+    every sample from the closed form in SQL — any header/chunk/
+    interleave/width bug in the codec path breaks the hash. Decode is a
+    zero-shuffle mapper: at 100 TB the bytes never move, only features
+    do. sf_dir-independent by design (synthetic modality table, like
+    decode_psnr)."""
+    from tile_grid_spark.functions.audio import audio_features
+    from tile_grid_spark.sources.datagen import synth_wav_clips
+
+    clips = synth_wav_clips(spark, 60)
+    return audio_features(clips).orderBy("clip_id")
+
+
 def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE input_hint invariant over the synthetic image table
     (raw / zlib / REAL PNG / REAL baseline JPEG payloads — functions/
@@ -1523,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "decode_psnr": q_decode_psnr,
+        "audio_features": q_audio_features,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "bbox_overlap": q_bbox_overlap,
@@ -2738,6 +2759,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(p.component, c.c_custkey) AS BIGINT) AS component
         FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
         ORDER BY node
+    """
+
+    # audio: the closed-form sawtooth samples re-derived in SQL — the
+    # engine side must round-trip them through the REAL RIFF/WAV codec
+    sql["audio_features"] = """
+        WITH p AS (
+          SELECT clip_id,
+                 2000 + (clip_id % 5) * 500 AS n,
+                 3 + (clip_id % 7) AS freq,
+                 500 + 100 * (clip_id % 4) AS amp,
+                 1 + clip_id % 2 AS ch,
+                 8000 + 1000 * (clip_id % 3) AS rate
+          FROM (SELECT unnest(generate_series(0, 59)) AS clip_id)
+        ),
+        samp AS (
+          SELECT p.clip_id, i,
+                 ((i * p.freq + p.clip_id) % (2 * p.amp)) - p.amp AS x
+          FROM p, unnest(generate_series(0, p.n - 1)) AS g(i)
+        ),
+        zc AS (
+          SELECT clip_id,
+                 COUNT(*) FILTER (WHERE prev IS NOT NULL AND sgn <> prev) AS nzc
+          FROM (
+            SELECT clip_id,
+                   CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn,
+                   lag(CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                     OVER (PARTITION BY clip_id ORDER BY i) AS prev
+            FROM samp WHERE x <> 0
+          ) GROUP BY clip_id
+        ),
+        agg AS (
+          SELECT clip_id, MAX(abs(x)) AS peak, SUM(abs(x)) AS sum_abs,
+                 SUM(x * x) AS ss
+          FROM samp GROUP BY clip_id
+        )
+        SELECT p.clip_id,
+               CAST(p.rate AS INT) AS sample_rate,
+               CAST(p.ch AS INT) AS n_channels,
+               CAST(p.n AS INT) AS n_samples,
+               CAST((p.n * 1000) // p.rate AS BIGINT) AS duration_ms,
+               CAST(a.peak AS INT) AS peak,
+               CAST(COALESCE(z.nzc, 0) AS INT) AS n_zero_cross,
+               CAST(a.sum_abs AS BIGINT) AS sum_abs,
+               round(sqrt(CAST(a.ss AS DOUBLE) / p.n), 4) + 0.0 AS rms
+        FROM p JOIN agg a USING (clip_id) LEFT JOIN zc z USING (clip_id)
+        ORDER BY p.clip_id
     """
 
     # deterministic md5 split + per-split stats

@@ -171,3 +171,44 @@ def generate_images(
             yield _gen_rows(b["id"].to_numpy(), seed, min_px, max_px)
 
     return spark.range(0, n_rows, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+WAV_CLIPS_SCHEMA = "clip_id BIGINT, bytes BINARY, fmt STRING"
+
+
+def synth_wav_clips(spark: SparkSession, n_clips: int) -> DataFrame:
+    """Deterministic REAL-WAV clip table (the audio face of the
+    multimodal surface): integer sawtooth samples — closed form
+    x[i] = ((i*freq + clip_id) mod 2*amp) - amp — encoded through the
+    real RIFF writer (functions/audio.encode_wav). Integer arithmetic
+    only, so a SQL oracle can re-derive every sample exactly (no libm
+    sine whose last-ulp could flip an int16 quantization). Odd clip ids
+    are stereo (channel 2 = -x) to exercise interleaving.
+
+    Params per clip (all closed-form in clip_id):
+      n = 2000 + (id%5)*500; freq = 3 + id%7; amp = 500 + 100*(id%4);
+      channels = 1 + id%2; rate = 8000 + 1000*(id%3)
+    """
+    from tile_grid_spark.functions.audio import encode_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"clip_id": [], "bytes": [], "fmt": []}
+            for cid in b["id"]:
+                cid = int(cid)
+                ns = 2000 + (cid % 5) * 500
+                freq = 3 + cid % 7
+                amp = 500 + 100 * (cid % 4)
+                ch = 1 + cid % 2
+                rate = 8000 + 1000 * (cid % 3)
+                i = np.arange(ns, dtype=np.int64)
+                x = (i * freq + cid) % (2 * amp) - amp
+                s = x.astype(np.int16)
+                if ch == 2:
+                    s = np.stack([s, (-x).astype(np.int16)], axis=1)
+                rows["clip_id"].append(cid)
+                rows["bytes"].append(encode_wav(s, rate))
+                rows["fmt"].append("wav")
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_clips).mapInPandas(gen, WAV_CLIPS_SCHEMA)
