@@ -19,6 +19,9 @@ Stages (each resumable via per-partition lineage, see plans/lineage.py):
              (multi-input, shuffle-bearing — the resume shapes that
              matter at scale)
   dedup    - MinHash+LSH caption near-dup pairs (banded shuffle)
+  cluster  - pairs -> connected components -> keep-one verdicts
+  export   - dedup-filtered, caption-length-stratified sample written
+             as deterministic training shards + manifest
   raster   - per-tile density masks at the deepest zoom
 
 Re-running the same command after an interruption skips completed units
@@ -207,6 +210,46 @@ def run_pipeline(
 
     r = run_stage(spark, log, "cluster", ["components"], build_cluster)
     if report("cluster", r):
+        return results
+
+    # ---- export (dedup verdicts -> stratified sample -> training shards) ----
+    from tile_grid_spark.operators.sample import stratified_sample
+    from tile_grid_spark.sources.io import write_training_shards
+
+    def build_export(_unit: str):
+        keep = spark.read.parquet(
+            os.path.join(log.root, "cluster", "unit=components")
+        ).filter(F.col("keep"))
+        corpus = images.join(
+            keep.select(F.col("node").alias("image_id")), "image_id"
+        )
+        # caption-length strata: keep every long-caption image, half of
+        # the short ones — md5-threshold verdicts, so a resumed or
+        # incremental export re-selects the identical sample
+        strata = F.when(F.length("caption") >= 40, F.lit("long")).otherwise(
+            F.lit("short")
+        )
+        sampled = stratified_sample(
+            corpus, "image_id", strata, {"long": 1.0}, default_rate=0.5,
+            seed="export",
+        )
+        manifest = write_training_shards(
+            sampled.select("image_id", "caption", "w", "h", "fmt"),
+            os.path.join(out, "export_shards"),
+            n_shards=4,
+            id_col="image_id",
+            sort_cols=("image_id",),
+        )
+        return spark.createDataFrame(
+            [
+                (int(s), int(v["rows"]), str(v["fingerprint"]))
+                for s, v in sorted(manifest["shards"].items())
+            ],
+            "shard INT, n_rows BIGINT, fingerprint STRING",
+        )
+
+    r = run_stage(spark, log, "export", ["shards"], build_export)
+    if report("export", r):
         return results
 
     # ---- raster (point density + image-footprint coverage units) ----

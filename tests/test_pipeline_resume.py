@@ -57,6 +57,7 @@ class TestPipelineResume:
         # the stages after the crash point actually run
         assert second["dedup"].ran_units == ["captions"]
         assert second["cluster"].ran_units == ["components"]
+        assert second["export"].ran_units == ["shards"]
         assert set(second["raster"].ran_units) == {"z4", "fp-z4"}
         assert second["dedup"].rows > 0  # caption near-dups exist by design
         # every image got a component verdict (iterative CC through lineage)

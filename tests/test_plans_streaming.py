@@ -588,6 +588,108 @@ class TestStreamingQualityFilter:
         assert got == batch
 
 
+class TestStreamingRepetition:
+    def test_repetition_features_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """with_repetition_features is a pure zero-shuffle mapper (the
+        Gopher repetition rules), so it composes with readStream
+        unchanged — streamed per-doc features must equal batch."""
+        from tile_grid_spark.functions.text import with_repetition_features
+        from tile_grid_spark.sources.io import read_table
+
+        d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        src = str(tmp_path / "docs_rep")
+        d.coalesce(2).write.parquet(src)
+
+        cols = ("dup_line_frac", "dup_line_char_frac", "top_bigram_char_frac")
+        batch = {
+            r.doc_id: tuple(r[c] for c in cols)
+            for r in with_repetition_features(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = with_repetition_features(stream).select("doc_id", *cols)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rep_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+        got = {
+            r.doc_id: tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM rep_stream").collect()
+        }
+        assert got == batch
+
+
+class TestStreamingIntervalJoin:
+    def test_stream_static_interval_join(self, spark, tmp_path):
+        """Bucketed interval join as a STREAM-static join: the
+        manufactured equi-key matters even more in streaming — a pure
+        range predicate against a static frame is a per-microbatch
+        nested loop. Streamed attributions must equal the batch join."""
+        import datetime as dt
+
+        from pyspark.sql import Row
+        from tile_grid_spark.operators.interval_join import interval_join
+
+        t0 = dt.datetime(2026, 1, 1)
+        ev_rows = [
+            Row(event_id=i, key=i % 3, ts=t0 + dt.timedelta(seconds=137 * i))
+            for i in range(200)
+        ]
+        iv_rows = [
+            Row(
+                iv_id=j,
+                key=j % 3,
+                start=t0 + dt.timedelta(seconds=1800 * j),
+                end=t0 + dt.timedelta(seconds=1800 * j + 2700),
+            )
+            for j in range(12)
+        ]
+        ev = spark.createDataFrame(ev_rows)
+        iv = spark.createDataFrame(iv_rows)
+        src = str(tmp_path / "ev_stream")
+        ev.coalesce(2).write.parquet(src)
+
+        batch = {
+            (r.event_id, r.iv_id)
+            for r in interval_join(
+                spark.read.parquet(src), iv, left_ts="ts", start="start",
+                end="end", on=("key",), width_sec=900,
+            ).select("event_id", "iv_id").collect()
+        }
+        assert batch, "fixture must produce matches"
+        stream = spark.readStream.schema("event_id BIGINT, key BIGINT, ts TIMESTAMP").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = interval_join(
+            stream, iv, left_ts="ts", start="start", end="end",
+            on=("key",), width_sec=900,
+        ).select("event_id", "iv_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ij_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+        got = {
+            (r.event_id, r.iv_id)
+            for r in spark.sql("SELECT * FROM ij_stream").collect()
+        }
+        assert got == batch
+
+
 class TestStreamingPhashDedup:
     def test_exact_phash_dedup_stream(self, spark, tmp_path):
         """Image-side exact dedup in flight: stream_dedup keyed on the
