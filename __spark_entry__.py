@@ -460,6 +460,33 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "rank").orderBy("query_id", "rank")
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial join (operators/knn.radius_join): every
+    (supplier, customer) pair within 500 km in the Mercator-plane
+    metric, antimeridian-wrapped. The 3x3 ring explode at the
+    auto-picked zoom manufactures the equi-key a distance predicate
+    lacks (the oracle affords the naive cross join at sf0.01; the
+    engine never builds it). dist is bit-reproduced: both engines
+    evaluate the identical IEEE expression tree."""
+    from tile_grid_spark.operators.knn import radius_join
+
+    s = _points_df(spark, sf_dir, "supplier", "s_suppkey").withColumnRenamed(
+        "pid", "s_suppkey"
+    )
+    c = _points_df(spark, sf_dir, "customer", "c_custkey").withColumnRenamed(
+        "pid", "c_custkey"
+    )
+    out = radius_join(
+        s, c, WM, radius=500_000.0, left_id="s_suppkey", right_id="c_custkey"
+    )
+    # dist rounded to mm: the two engines' mercator_y trees differ in
+    # the last ulp (the membership predicate itself is ulp-insensitive
+    # at this radius; tests pin the exact metric against numpy)
+    return out.withColumn("dist", F.round("dist", 4)).orderBy(
+        "s_suppkey", "c_custkey"
+    )
+
+
 def q_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile-cover enumeration size per bbox at z8 (tiles()/extent_limits
     semantics with the LL_EPSILON inset, tms.rs:706-746)."""
@@ -1514,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "raster_density": q_raster_density,
         "knn_ring": q_knn_ring,
+        "radius_join": q_radius_join,
         "cover_counts": q_cover_counts,
         "s2_cells": q_s2_cells,
         "s2_face_ij": q_s2_face_ij,
@@ -2255,6 +2283,33 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, cand_id, rnk AS "rank" FROM p
         WHERE rnk <= 3 ORDER BY query_id, rnk
+    """
+
+    # within-distance join: naive wrapped-metric cross join as the oracle
+    sql["radius_join"] = f"""
+        WITH q AS (
+          SELECT s_suppkey,
+                 {_merc_x_sql(_lon_sql('s_suppkey'))} AS qx,
+                 {_merc_y_sql(_lat_sql('s_suppkey'))} AS qy
+          FROM supplier
+        ),
+        c AS (
+          SELECT c_custkey,
+                 {_merc_x_sql(_lon_sql('c_custkey'))} AS cx,
+                 {_merc_y_sql(_lat_sql('c_custkey'))} AS cy
+          FROM customer
+        )
+        SELECT s_suppkey, c_custkey,
+               round(sqrt(
+                 LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                   * LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                 + (qy - cy) * (qy - cy)), 4) + 0.0 AS dist
+        FROM q CROSS JOIN c
+        WHERE sqrt(
+                 LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                   * LEAST(abs(qx - cx), {_d(40075016.685578436)} - abs(qx - cx))
+                 + (qy - cy) * (qy - cy)) <= {_d(500000.0)}
+        ORDER BY s_suppkey, c_custkey
     """
 
     bbox = WM.bbox()

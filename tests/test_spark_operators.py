@@ -294,3 +294,117 @@ class TestKnn:
         counts = got.groupBy("query_id").count().collect()
         assert len(counts) == 40
         assert all(r["count"] == 3 for r in counts)
+
+
+class TestRadiusJoin:
+    def test_vs_bruteforce(self, spark, wm):
+        from tile_grid_spark.operators.knn import radius_join
+
+        l, llon, llat = make_points(spark, n=80, seed=31)
+        r, rlon, rlat = make_points(spark, n=1500, seed=32)
+        l = l.withColumnRenamed("pid", "left_id")
+        r = r.withColumnRenamed("pid", "right_id")
+        radius = 300_000.0
+        got = radius_join(l, r, wm, radius).toPandas()
+        pairs = list(zip(got.left_id, got.right_id))
+        assert len(pairs) == len(set(pairs)), "pair emitted more than once"
+        R = 6378137.0
+        lx, ly = R * np.radians(llon), R * np.log(
+            np.tan(np.pi * 0.25 + 0.5 * np.radians(llat))
+        )
+        rx, ry = R * np.radians(rlon), R * np.log(
+            np.tan(np.pi * 0.25 + 0.5 * np.radians(rlat))
+        )
+        expect = {
+            (i, j)
+            for i in range(80)
+            for j in np.nonzero(np.hypot(lx[i] - rx, ly[i] - ry) <= radius)[0]
+        }
+        assert set(pairs) == expect
+        assert expect  # fixture produces matches
+
+    def test_antimeridian_pairs_found(self, spark, wm):
+        from tile_grid_spark.operators.knn import radius_join
+
+        rng = np.random.default_rng(7)
+        llon = rng.uniform(178.5, 180.0, 25)
+        rlon = rng.uniform(-180.0, -178.5, 40)
+        llat = rng.uniform(-30.0, 30.0, 25)
+        rlat = rng.uniform(-30.0, 30.0, 40)
+        l = spark.createDataFrame(
+            list(zip(range(25), llon.tolist(), llat.tolist())),
+            "left_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        r = spark.createDataFrame(
+            list(zip(range(40), rlon.tolist(), rlat.tolist())),
+            "right_id BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        radius = 250_000.0
+        got = {
+            (row.left_id, row.right_id)
+            for row in radius_join(l, r, wm, radius).collect()
+        }
+        R = 6378137.0
+        world = 2 * np.pi * R
+        lx, ly = R * np.radians(llon), R * np.log(
+            np.tan(np.pi * 0.25 + 0.5 * np.radians(llat))
+        )
+        rx, ry = R * np.radians(rlon), R * np.log(
+            np.tan(np.pi * 0.25 + 0.5 * np.radians(rlat))
+        )
+        expect = set()
+        for i in range(25):
+            adx = np.abs(lx[i] - rx)
+            d = np.hypot(np.minimum(adx, world - adx), ly[i] - ry)
+            expect |= {(i, int(j)) for j in np.nonzero(d <= radius)[0]}
+        assert got == expect
+        assert expect, "seam fixture must produce wrapped matches"
+
+    def test_zoom_autopick_covers_radius(self, spark, wm):
+        from tile_grid_spark.operators.knn import radius_join
+
+        # boundary: radius just under one tile edge at z5 must pick z>=5;
+        # behavioral check — widening radius can only ADD pairs
+        l, _, _ = make_points(spark, n=30, seed=33)
+        r, _, _ = make_points(spark, n=300, seed=34)
+        l = l.withColumnRenamed("pid", "left_id")
+        r = r.withColumnRenamed("pid", "right_id")
+        small = {
+            (row.left_id, row.right_id)
+            for row in radius_join(l, r, wm, 100_000.0).collect()
+        }
+        big = {
+            (row.left_id, row.right_id)
+            for row in radius_join(l, r, wm, 1_000_000.0).collect()
+        }
+        assert small <= big and len(big) > len(small)
+
+    def test_near_global_radius_raises(self, spark, wm):
+        from tile_grid_spark.operators.knn import radius_join
+
+        l, _, _ = make_points(spark, n=3, seed=35)
+        with pytest.raises(ValueError, match="radius_join"):
+            radius_join(
+                l.withColumnRenamed("pid", "left_id"),
+                l.withColumnRenamed("pid", "right_id"),
+                wm,
+                25_000_000.0,
+            )
+
+    def test_plan_is_equi_join(self, spark, wm):
+        from tile_grid_spark.operators.knn import radius_join
+
+        l, _, _ = make_points(spark, n=5, seed=36)
+        r, _, _ = make_points(spark, n=5, seed=37)
+        plan = (
+            radius_join(
+                l.withColumnRenamed("pid", "left_id"),
+                r.withColumnRenamed("pid", "right_id"),
+                wm,
+                200_000.0,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
