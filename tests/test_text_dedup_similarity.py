@@ -260,6 +260,40 @@ class TestDedup:
         h = dict(((r.id_a, r.id_b), r.hamming) for r in pairs)
         assert h[(0, 1)] == 0
 
+    def test_minhash_md5_family_matches_hashlib(self, spark):
+        # bit-exact pin of the md5 60-bit family against a pure-Python
+        # recompute. Guards the HOF lambda-arity trap: a two-parameter
+        # lambda (e.g. `lambda s, j=j:`) silently receives the ARRAY
+        # INDEX from Spark's transform(), which once turned the hash
+        # prefix into str(<index Column>) — session-dependent signatures
+        # and ~5%-flaky LSH recall. hashlib can't flake.
+        import hashlib
+
+        from tile_grid_spark.operators.dedup import minhash_signature
+
+        text = "the quick brown fox jumps over the lazy dog and runs away fast"
+        k = 8
+        df = spark.createDataFrame([(text,)], "text STRING")
+        got = df.select(
+            minhash_signature(F.col("text"), k=k, hash_fn="md5").alias("sig")
+        ).collect()[0].sig
+        toks = text.lower().strip().split()
+        sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        want = []
+        for i in range(k):
+            digs = [hashlib.md5(f"{i // 2}:{s}".encode()).hexdigest() for s in sh]
+            want.append(min(int(d[16 * (i % 2) :][:15], 16) for d in digs))
+        assert list(got) == want
+        # adjacent elements use the two INDEPENDENT halves of one digest
+        assert all(got[2 * i] != got[2 * i + 1] for i in range(k // 2))
+        # xxhash64 family: values aren't replicable in pure Python, but
+        # the k draws must be k DISTINCT families (the arity bug made
+        # every element the same per-position fold)
+        xx = df.select(
+            minhash_signature(F.col("text"), k=k, hash_fn="xxhash64").alias("sig")
+        ).collect()[0].sig
+        assert len(set(xx)) > k // 2
+
     def test_minhash_md5_family_matches_gates(self, docs):
         # the md5 60-bit family (the DuckDB-oracle variant) must pass the
         # same detection gates as the xxhash64 production family

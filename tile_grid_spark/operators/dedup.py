@@ -64,6 +64,19 @@ def _md5_half60(digest: F.Column, half: int) -> F.Column:
     return F.conv(F.substring(digest, 1 + 16 * half, 15), 16, 10).cast("long")
 
 
+def _lam1(fn, *bound):
+    """Bind loop variables into a SINGLE-parameter lambda for Spark HOFs.
+
+    NEVER write `F.transform(col, lambda s, i=i: ...)`: PySpark picks how
+    many arguments to pass by the callable's parameter COUNT (defaults
+    included), so a two-parameter lambda silently receives the ARRAY
+    INDEX as its second argument. That bug shipped here once — the md5
+    minhash prefix became str(<index Column>) = "Column<'y_4'>", a string
+    embedding a session-global lambda counter: signatures varied with
+    session history and LSH recall flaked ~5% per near-pair."""
+    return lambda s: fn(s, *bound)
+
+
 def _minhash_elems(sh, k: int, hash_fn: str) -> list[F.Column]:
     """The k signature mins over a shingle-array column `sh`. md5 family:
     hash_i(s) = 60-bit half (i%2) of md5(f'{i//2}:{s}') — two signature
@@ -72,7 +85,9 @@ def _minhash_elems(sh, k: int, hash_fn: str) -> list[F.Column]:
     expression per lambda element (the measured-25x HOF trap)."""
     if hash_fn == "xxhash64":
         return [
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            F.array_min(
+                F.transform(sh, _lam1(lambda s, i: F.xxhash64(F.lit(i), s), i))
+            )
             for i in range(k)
         ]
     if hash_fn == "md5":
@@ -80,8 +95,11 @@ def _minhash_elems(sh, k: int, hash_fn: str) -> list[F.Column]:
             F.array_min(
                 F.transform(
                     sh,
-                    lambda s, i=i: _md5_half60(
-                        F.md5(F.concat_ws(":", F.lit(str(i // 2)), s)), i % 2
+                    _lam1(
+                        lambda s, i: _md5_half60(
+                            F.md5(F.concat_ws(":", F.lit(str(i // 2)), s)), i % 2
+                        ),
+                        i,
                     ),
                 )
             )
@@ -144,14 +162,14 @@ def minhash_lsh_pairs(
             {
                 f"_dg{j}": F.transform(
                     "_shingles",
-                    lambda s, j=j: F.md5(F.concat_ws(":", F.lit(str(j)), s)),
+                    _lam1(lambda s, j: F.md5(F.concat_ws(":", F.lit(str(j)), s)), j),
                 )
                 for j in range((k + 1) // 2)
             }
         )
         sig_elems = [
             F.array_min(
-                F.transform(f"_dg{i // 2}", lambda d, i=i: _md5_half60(d, i % 2))
+                F.transform(f"_dg{i // 2}", _lam1(_md5_half60, i % 2))
             )
             for i in range(k)
         ]
@@ -174,6 +192,11 @@ def minhash_lsh_pairs(
     banded = sig.select("_id", F.explode(band_structs).alias("_b")).select(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh")
     )
+    # materialize ONCE before the self-join (same rule as
+    # hamming_near_pairs): the two aliases would otherwise recompute the
+    # whole signature subtree — k minhash folds over the shingle arrays —
+    # per side, and both sides must consume the identical banded rows
+    banded = banded.localCheckpoint()
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
