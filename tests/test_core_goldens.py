@@ -160,6 +160,20 @@ class TestTileCoordinates:
         xy = t.xy(0.0, 0.0)
         assert abs(xy.x) < 1e-7 and abs(xy.y) < 1e-7
 
+    def test_xy_south_pole_ieee(self):
+        # Rust ln() is IEEE (no panic): ln(tan(0)) = ln(0) = -inf at
+        # lat=-90, ln(<0) = NaN below it; xy_tile maps non-finite y to
+        # row 0 (tms.rs:506-515 infinite check + NaN-saturating cast).
+        # Python math.log raises instead — the engine must reproduce
+        # the IEEE results, not crash.
+        import math
+
+        t = tms().lookup("WebMercatorQuad")
+        assert t.xy(8.5, -90.0).y == float("-inf")
+        assert math.isnan(t.xy(8.5, -91.0).y)
+        assert t.tile(8.5417, -90.0, 5).y == 0
+        assert t.tile(8.5417, 90.0, 5).y == 0  # y >> origin -> floor < 0 -> clamp 0
+
     def test_xy_truncate(self):
         # tests/tiles.rs:259-267 (engine supports this without proj)
         t = tms().lookup("WebMercatorQuad")

@@ -30,7 +30,17 @@ def lonlat_to_merc(lon, lat):
         # (numpy's SIMD kernels differ by 1 ulp on some inputs — they match
         # the reference's #[cfg(target_os = "macos")] goldens instead).
         x = SEMI_MAJOR_METRE * math.radians(float(lon))
-        y = SEMI_MAJOR_METRE * math.log(math.tan((math.pi * 0.25) + (0.5 * math.radians(float(lat)))))
+        t = math.tan((math.pi * 0.25) + (0.5 * math.radians(float(lat))))
+        # Rust f64 ln() follows IEEE: ln(0) = -inf, ln(<0) = NaN — no
+        # panic — and tile() then clamps non-finite coords to 0
+        # (tms.rs:446-455 + xy_tile). Python math.log raises instead;
+        # reproduce the IEEE result so lat <= -90 stays reference-exact.
+        if t > 0.0:
+            y = SEMI_MAJOR_METRE * math.log(t)
+        elif t == 0.0:
+            y = float("-inf")
+        else:
+            y = float("nan")
         return np.float64(x), np.float64(y)
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
