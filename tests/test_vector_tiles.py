@@ -1,0 +1,150 @@
+"""MVT codec + point-tile encoder vs from-scratch oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tile_grid_spark.functions.mvt import (
+    _varint,
+    _zigzag,
+    decode_point_tile,
+    encode_point_tile,
+)
+
+
+@pytest.fixture(scope="module")
+def wm():
+    from tile_grid_spark.core.registry import tms
+
+    return tms().lookup("WebMercatorQuad")
+
+
+class TestMvtCodec:
+    def test_roundtrip(self):
+        feats = [(0, 0, 0), (7, 4095, 4095), (1 << 40, 2048, 17)]
+        d = decode_point_tile(encode_point_tile(feats, "pts", 4096))
+        (layer,) = d["layers"]
+        assert layer["features"] == feats
+        assert layer["name"] == "pts"
+        assert layer["extent"] == 4096
+        assert layer["version"] == 2
+
+    def test_wire_golden(self):
+        # one feature (id=1, point (3,5)) in layer "a", extent 4096 —
+        # bytes derived by hand from the MVT 2.1 + protobuf specs
+        b = encode_point_tile([(1, 3, 5)], "a", 4096)
+        expect = bytes(
+            [0x1A, 0x13]            # tile field 3, len 19 (layer below)
+            + [0x78, 0x02]          # layer: version=2
+            + [0x0A, 0x01, 0x61]    # name "a"
+            + [0x28, 0x80, 0x20]    # extent 4096
+            + [0x12, 0x09]          # feature, len 9
+            + [0x08, 0x01]          # id 1
+            + [0x18, 0x01]          # type POINT
+            + [0x22, 0x03, 0x09, 0x06, 0x0A]  # geometry [9, zz(3), zz(5)]
+        )
+        assert b == expect
+
+    def test_varint_zigzag(self):
+        assert _varint(0) == b"\x00"
+        assert _varint(300) == b"\xac\x02"
+        assert _zigzag(0) == 0 and _zigzag(-1) == 1 and _zigzag(1) == 2
+        assert _zigzag(-4096) == 8191
+
+    def test_unknown_fields_skipped(self):
+        # splice an unknown varint field + fixed32 field into the layer
+        b = bytearray(encode_point_tile([(1, 3, 5)], "a", 4096))
+        extra = bytes([0x58, 0x07])  # field 11 varint — unknown in our subset
+        spliced = bytes([0x1A, b[1] + len(extra)]) + extra + bytes(b[2:])
+        d = decode_point_tile(spliced)
+        assert d["layers"][0]["features"] == [(1, 3, 5)]
+
+    def test_out_of_extent_raises(self):
+        with pytest.raises(ValueError, match="extent"):
+            encode_point_tile([(1, 4096, 0)], "a", 4096)
+
+    def test_non_point_geometry_raises(self):
+        # hand-build a feature with type=2 (LINESTRING)
+        body = bytes([0x08, 0x01, 0x18, 0x02, 0x22, 0x01, 0x09])
+        layer = bytes([0x78, 0x02, 0x0A, 0x01, 0x61, 0x12, len(body)]) + body
+        tile = bytes([0x1A, len(layer)]) + layer
+        with pytest.raises(NotImplementedError, match="geometry type 2"):
+            decode_point_tile(tile)
+
+
+class TestEncodePointTiles:
+    def test_matches_core_grid_math(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+        rng = np.random.default_rng(11)
+        n = 400
+        lon = rng.uniform(-170, 170, n)
+        lat = rng.uniform(-80, 80, n)
+        pts = spark.createDataFrame(
+            list(zip(range(n), lon.tolist(), lat.tolist())),
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        zoom, extent = 4, 4096
+        tiles = {
+            (r.tile_x, r.tile_y): r
+            for r in encode_point_tiles(pts, wm, zoom, extent=extent).collect()
+        }
+        # python oracle: core tms assignment + the documented local formula
+        p = wm.zoom_params(zoom)
+        span = p.resolution * 256.0
+        R = 6378137.0
+        mx = R * np.radians(lon)
+        my = R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(lat)))
+        fx = (mx - p.origin_x) / span
+        fy = (p.origin_y - my) / span
+        tx = np.clip(np.floor(fx), 0, p.matrix_width - 1).astype(int)
+        ty = np.clip(np.floor(fy), 0, p.matrix_height - 1).astype(int)
+        px = np.clip(np.floor((fx - tx) * extent), 0, extent - 1).astype(int)
+        py = np.clip(np.floor((fy - ty) * extent), 0, extent - 1).astype(int)
+        expect: dict = {}
+        for i in range(n):
+            expect.setdefault((tx[i], ty[i]), []).append((i, int(px[i]), int(py[i])))
+        assert set(tiles) == set(expect)
+        for key, rows in expect.items():
+            d = decode_point_tile(bytes(tiles[key].mvt))
+            assert d["layers"][0]["features"] == sorted(rows)
+            assert tiles[key].n_features == len(rows)
+
+    def test_decode_stats_roundtrip(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            decode_tile_stats,
+            encode_point_tiles,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, -30.0 + i, 10.0 + i / 3.0) for i in range(30)],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        enc = encode_point_tiles(pts, wm, 3)
+        got = decode_tile_stats(enc).collect()
+        assert sum(r.n_features for r in got) == 30
+        assert all(r.extent == 4096 for r in got)
+
+    def test_dense_tile_budget_raises(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+        pts = spark.createDataFrame(
+            [(i, 1.0, 1.0) for i in range(50)], "pid BIGINT, lon DOUBLE, lat DOUBLE"
+        )
+        with pytest.raises(Exception, match="max_features_per_tile"):
+            encode_point_tiles(pts, wm, 3, max_features_per_tile=10).collect()
+
+    def test_single_exchange_plan(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+        pts = spark.createDataFrame(
+            [(0, 1.0, 1.0)], "pid BIGINT, lon DOUBLE, lat DOUBLE"
+        )
+        plan = (
+            encode_point_tiles(pts, wm, 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1

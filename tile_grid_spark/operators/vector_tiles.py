@@ -1,0 +1,135 @@
+"""Vector-tile payload production: points -> real MVT binaries per tile.
+
+Completes the raster<->vector story (operators/raster.py paints raster
+masks; this emits the vector side) on top of the reference's tile
+addressing (/root/reference/src/tms.rs xy_bounds/tile semantics for the
+local-coordinate transform). Payload format is the public Mapbox Vector
+Tile 2.1 spec via the stdlib-only codec in functions/mvt.py.
+
+Scale shape: ONE shuffle (groupBy tile key — the same exchange any
+per-tile sink needs), then applyInPandas builds each tile's binary
+where its rows landed; feature coords are quantized to tile-local
+integers with native Column math BEFORE the shuffle, so only
+(tile, id, px, py) ints move, never raw payloads. Dense tiles are real
+data skew: cap features per tile explicitly (`max_features_per_tile`
+raises) rather than OOM inside a task — producers should roll up dense
+zooms first (operators/rollup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.tms import Tms
+from ..functions.grid_cols import mercator_x, mercator_y, xy_tile_x, xy_tile_y
+from ..functions.mvt import DEFAULT_EXTENT, decode_point_tile, encode_point_tile
+
+TILES_SCHEMA = "tile_x BIGINT, tile_y BIGINT, n_features INT, mvt BINARY"
+
+
+def encode_point_tiles(
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    extent: int = DEFAULT_EXTENT,
+    layer: str = "points",
+    max_features_per_tile: int = 2_000_000,
+) -> DataFrame:
+    """(id, lon, lat) -> one row per non-empty tile at `zoom`:
+    (tile_x, tile_y, n_features, mvt). Features are sorted by id inside
+    each tile, so the binaries are deterministic. Local coordinates are
+    floor((frac_within_tile) * extent) clamped to [0, extent-1] — the
+    formula a SQL oracle replays verbatim."""
+    p = tms.zoom_params(zoom)
+    srid = tms.crs().as_srid()
+    if srid == 3857:
+        gx, gy = mercator_x(lon), mercator_y(lat)
+    elif srid == 4326:
+        gx, gy = F.col(lon), F.col(lat)
+    else:
+        raise ValueError(f"encode_point_tiles supports EPSG:3857/4326, got {tms.crs()}")
+    span_x = p.resolution * float(p.tile_width)
+    span_y = p.resolution * float(p.tile_height)
+
+    def local(g, origin, span, tile, flip):
+        frac = (F.lit(origin) - g) / F.lit(span) if flip else (g - F.lit(origin)) / F.lit(span)
+        raw = F.floor((frac - tile) * F.lit(float(extent)))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(extent - 1)
+        ).cast("int")
+
+    staged = points.withColumns({"_gx": gx, "_gy": gy})
+    staged = staged.withColumns(
+        {
+            "tile_x": xy_tile_x(F.col("_gx"), p),
+            "tile_y": xy_tile_y(F.col("_gy"), p),
+        }
+    )
+    rows = staged.select(
+        "tile_x",
+        "tile_y",
+        F.col(id_col).alias("fid"),
+        local(F.col("_gx"), p.origin_x, span_x, F.col("tile_x"), False).alias("px"),
+        local(F.col("_gy"), p.origin_y, span_y, F.col("tile_y"), True).alias("py"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_features_per_tile:
+            raise ValueError(
+                f"tile ({pdf.tile_x.iloc[0]},{pdf.tile_y.iloc[0]}) has "
+                f"{len(pdf)} features > max_features_per_tile="
+                f"{max_features_per_tile} — roll up before encoding"
+            )
+        pdf = pdf.sort_values("fid")
+        feats = [(int(f), int(x), int(y)) for f, x, y in zip(pdf.fid, pdf.px, pdf.py)]
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_features": [len(feats)],
+                "mvt": [encode_point_tile(feats, layer, extent)],
+            }
+        )
+
+    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "tile_x BIGINT, tile_y BIGINT, n_features INT, min_id BIGINT, "
+    "max_id BIGINT, sum_px BIGINT, sum_py BIGINT, extent INT"
+)
+
+
+def decode_tile_stats(tiles: DataFrame) -> DataFrame:
+    """Re-parse the MVT binaries and aggregate what they CONTAIN —
+    everything except the passthrough tile address is recomputed from
+    the bytes, so any encoder/wire bug surfaces as a value mismatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in (
+                "tile_x", "tile_y", "n_features", "min_id", "max_id",
+                "sum_px", "sum_py", "extent",
+            )}
+            for tx, ty, payload in zip(b["tile_x"], b["tile_y"], b["mvt"]):
+                d = decode_point_tile(bytes(payload))
+                (layer,) = d["layers"]
+                fs = layer["features"]
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["n_features"].append(len(fs))
+                out["min_id"].append(min(f[0] for f in fs))
+                out["max_id"].append(max(f[0] for f in fs))
+                out["sum_px"].append(sum(f[1] for f in fs))
+                out["sum_py"].append(sum(f[2] for f in fs))
+                out["extent"].append(int(layer["extent"]))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(run, DECODED_SCHEMA)
