@@ -781,6 +781,68 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile payload production + decode-back verification
+    (operators/vector_tiles): customers encoded into REAL Mapbox Vector
+    Tile 2.1 binaries (functions/mvt.py, protobuf wire format from
+    scratch), then re-PARSED, and the per-tile stats the bytes contain
+    (feature count, id range, sums of tile-local integer coords) are
+    hash-compared against the oracle's pure-SQL re-derivation of the
+    same quantization — a full-value oracle THROUGH the binary codec,
+    like audio_features. One exchange: the groupBy-tile any per-tile
+    sink needs."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_tile_stats,
+        encode_point_tiles,
+    )
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    tiles = encode_point_tiles(pts, WM, zoom=5, id_col="pid")
+    return decode_tile_stats(tiles).orderBy("tile_x", "tile_y")
+
+
+def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style corpus maintenance (sources/io.upsert_latest): a batch
+    of revisions (every 7th doc re-texted at rev 2) plus inserts (every
+    11th doc cloned to a new id) merged latest-wins into the corpus —
+    the engine-side plan of an Iceberg MERGE INTO (union + ONE key
+    shuffle + per-key top-1, no join). The oracle replays the same
+    window; result profiled per source."""
+    from tile_grid_spark.sources.io import upsert_latest
+
+    d = read_table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", "text", "lang", "source", F.lit(1).alias("rev"))
+    upd = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            F.lit(2).alias("rev"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                F.lit(1).alias("rev"),
+            )
+        )
+    )
+    merged = upsert_latest(cur, upd, key_cols=("doc_id",), version_col="rev")
+    return (
+        merged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("rev") == 2).cast("bigint")).alias("n_updated"),
+            F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_geohash_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash cover enumeration (functions/cells.geohash_cover_exploded):
     every precision-3 cell touched by each nation-derived bbox, encoded
@@ -1556,6 +1618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
         "doc_repetition": q_doc_repetition,
+        "corpus_upsert": q_corpus_upsert,
+        "vector_tiles": q_vector_tiles,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
         "zonal_stats": q_zonal_stats,
@@ -2958,6 +3022,62 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT doc_id, cover FROM tb WHERE rn = 1) t
           ON t.doc_id = d.doc_id
         ORDER BY d.doc_id
+    """
+
+    # vector tiles: the engine output is DECODED FROM MVT BINARIES; the
+    # oracle re-derives the tile-local quantization in pure SQL
+    p5v = _zp(5)
+    unit5v = f"{_d(p5v.resolution)} * 256.0"
+    tx5v = _tile_sql("mx", _d(p5v.origin_x), unit5v, flip=False, max_index=p5v.matrix_width)
+    ty5v = _tile_sql("my", _d(p5v.origin_y), unit5v, flip=True, max_index=p5v.matrix_height)
+    sql["vector_tiles"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        t AS (
+          SELECT pid,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        ti AS (
+          SELECT pid, mx, my, {tx5v} AS tile_x, {ty5v} AS tile_y FROM t
+        ),
+        l AS (
+          SELECT pid, tile_x, tile_y,
+                 CAST(LEAST(GREATEST(floor(((mx - {_d(p5v.origin_x)}) / ({unit5v}) - tile_x) * 4096e0), 0), 4095) AS INT) AS px,
+                 CAST(LEAST(GREATEST(floor((({_d(p5v.origin_y)} - my) / ({unit5v}) - tile_y) * 4096e0), 0), 4095) AS INT) AS py
+          FROM ti
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS INT) AS n_features,
+               MIN(pid) AS min_id, MAX(pid) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM l GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # latest-wins MERGE replayed with the same union + window
+    sql["corpus_upsert"] = """
+        WITH cur AS (
+          SELECT doc_id, text, lang, source, 1 AS rev, 0 AS src FROM documents
+        ),
+        upd AS (
+          SELECT doc_id, 'UPD ' || text AS text, lang, source, 2 AS rev, 1 AS src
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, 'NEW ' || text, lang, source, 1, 1
+          FROM documents WHERE doc_id % 11 = 0
+        ),
+        m AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY rev DESC, src DESC
+          ) AS rn
+          FROM (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN rev = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM m WHERE rn = 1 GROUP BY source ORDER BY source
     """
 
     # interval containment as the naive non-equi join (DuckDB can afford

@@ -219,3 +219,48 @@ class TestStratifiedSample:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestUpsertLatest:
+    def test_semantics_vs_python(self, spark):
+        from tile_grid_spark.sources.io import upsert_latest
+
+        cur = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 2)], "id BIGINT, val STRING, rev INT"
+        )
+        upd = spark.createDataFrame(
+            [(2, "b2", 2),   # newer rev wins
+             (3, "c-old", 1),  # older rev loses
+             (3, "c-tie", 2),  # SAME rev as current -> updates side wins
+             (4, "d", 1)],     # insert
+            "id BIGINT, val STRING, rev INT",
+        )
+        got = {
+            r.id: (r.val, r.rev)
+            for r in upsert_latest(cur, upd, ("id",), "rev").collect()
+        }
+        assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c-tie", 2), 4: ("d", 1)}
+
+    def test_tiebreak_column(self, spark):
+        from tile_grid_spark.sources.io import upsert_latest
+
+        cur = spark.createDataFrame([(1, "x", 1, 10)], "id BIGINT, val STRING, rev INT, ts INT")
+        upd = spark.createDataFrame(
+            [(1, "y", 1, 5), (1, "z", 1, 7)], "id BIGINT, val STRING, rev INT, ts INT"
+        )
+        got = upsert_latest(cur, upd, ("id",), "rev", tiebreak_col="ts").collect()
+        assert len(got) == 1 and got[0].val == "z"  # updates side, max ts
+
+    def test_one_exchange_no_join(self, spark):
+        from tile_grid_spark.sources.io import upsert_latest
+
+        cur = spark.range(100).selectExpr("id", "CAST(id AS STRING) val", "1 rev")
+        upd = spark.range(10).selectExpr("id", "'u' val", "2 rev")
+        plan = (
+            upsert_latest(cur, upd, ("id",), "rev")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan

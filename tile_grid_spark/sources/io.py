@@ -142,3 +142,41 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def upsert_latest(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] | list[str],
+    version_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Engine-side MERGE/upsert semantics (latest version per key wins)
+    — the incremental-corpus maintenance shape of an Iceberg MERGE INTO,
+    expressed as the Spark plan a table format executes underneath:
+    union + one shuffle on the key + per-key top-1 window. No
+    join: a join-based merge shuffles BOTH inputs AND re-reads the big
+    side per batch; union+window is |current| + |updates| rows through
+    one exchange, and the table format's file pruning (partition/bucket
+    on the key) bounds the re-written span at 100 TB.
+
+    Ties on (version) resolve to the UPDATES side, then by
+    `tiebreak_col` descending when given — deterministic re-runs.
+    Schemas must match (unionByName).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+    u = updates.withColumn("_src", F.lit(1))
+    c = current.withColumn("_src", F.lit(0))
+    allr = c.unionByName(u)
+    order = [F.col(version_col).desc(), F.col("_src").desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
