@@ -9,7 +9,9 @@ from tile_grid_spark.functions.mvt import (
     _varint,
     _zigzag,
     decode_point_tile,
+    decode_poly_tile,
     encode_point_tile,
+    encode_poly_tile,
 )
 
 
@@ -71,6 +73,131 @@ class TestMvtCodec:
         tile = bytes([0x1A, len(layer)]) + layer
         with pytest.raises(NotImplementedError, match="geometry type 2"):
             decode_point_tile(tile)
+
+
+class TestMvtPolyCodec:
+    def test_wire_golden_triangle(self):
+        # id=1, one ring (0,0)->(10,0)->(10,10), layer "a" — bytes
+        # re-derived by hand: MoveTo(1)=9, LineTo(2)=(2)|(2<<3)=18,
+        # ClosePath=15, zigzag(10)=20
+        b = encode_poly_tile([(1, [[(0, 0), (10, 0), (10, 10)]])], "a", 4096)
+        expect = bytes(
+            [0x1A, 0x19]            # tile field 3, len 25
+            + [0x78, 0x02]          # version=2
+            + [0x0A, 0x01, 0x61]    # name "a"
+            + [0x28, 0x80, 0x20]    # extent 4096
+            + [0x12, 0x0F]          # feature, len 15
+            + [0x08, 0x01]          # id 1
+            + [0x18, 0x03]          # type POLYGON
+            + [0x22, 0x09]          # geometry, len 9
+            + [0x09, 0x00, 0x00]    # MoveTo (0,0)
+            + [0x12, 0x14, 0x00, 0x00, 0x14]  # LineTo d(10,0), d(0,10)
+            + [0x0F]                # ClosePath
+        )
+        assert b == expect
+
+    def test_roundtrip_with_hole_and_negatives(self):
+        # exterior + hole; second feature starts at a fresh cursor but
+        # deltas are cumulative WITHIN a feature across rings; negative
+        # (clip-buffer) coords must survive
+        f1 = (7, [
+            [(-64, -32), (4200, -32), (4200, 4200), (-64, 4200)],  # buffered ext
+            [(100, 100), (100, 200), (200, 200), (200, 100)],      # hole (CCW)
+        ])
+        f2 = (1 << 33, [[(0, 0), (10, 0), (10, 10)]])
+        d = decode_poly_tile(encode_poly_tile([f1, f2], "polys"))
+        (layer,) = d["layers"]
+        assert layer["features"] == [f1, f2]
+        assert layer["version"] == 2 and layer["extent"] == 4096
+
+    def test_point_decoder_rejects_polygons(self):
+        b = encode_poly_tile([(1, [[(0, 0), (1, 0), (1, 1)]])], "a")
+        with pytest.raises(NotImplementedError, match="POINT only"):
+            decode_point_tile(b)
+
+    def test_poly_decoder_rejects_points(self):
+        b = encode_point_tile([(1, 3, 5)], "a")
+        with pytest.raises(NotImplementedError, match="POLYGON only"):
+            decode_poly_tile(b)
+
+    def test_short_ring_raises(self):
+        with pytest.raises(ValueError, match="ring"):
+            encode_poly_tile([(1, [[(0, 0), (1, 1)]])], "a")
+
+
+class TestEncodeBboxPolyTiles:
+    def test_matches_core_cover_and_quantization(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            decode_poly_stats,
+            encode_bbox_poly_tiles,
+        )
+
+        zoom, extent = 5, 4096
+        rng = np.random.default_rng(23)
+        rows = []
+        for i in range(40):
+            w = float(rng.uniform(-170, 150))
+            s = float(rng.uniform(-75, 60))
+            rows.append((i, w, s, w + float(rng.uniform(0.5, 25)),
+                         s + float(rng.uniform(0.5, 12))))
+        rects = spark.createDataFrame(
+            rows, "rid BIGINT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE"
+        )
+        enc = encode_bbox_poly_tiles(rects, wm, zoom, extent=extent)
+        got = {(r.tile_x, r.tile_y): r for r in decode_poly_stats(enc).collect()}
+
+        # python oracle: core tiles() cover + explicit quantization
+        import math as m
+
+        p = wm.zoom_params(zoom)
+        span = p.resolution * 256.0
+        R = 6378137.0
+
+        def merc(lon, lat):
+            return (R * m.radians(lon),
+                    R * m.log(m.tan(m.pi * 0.25 + 0.5 * m.radians(lat))))
+
+        expect: dict = {}
+        for rid, w, s, e, n in rows:
+            for t in wm.tiles(w, s, e, n, [zoom], False):
+                mxw, _ = merc(w, 0)
+                mxe, _ = merc(e, 0)
+                _, myn = merc(0, n)
+                _, mys = merc(0, s)
+                pxw = m.floor(((mxw - p.origin_x) / span - t.x) * extent)
+                pxe = m.floor(((mxe - p.origin_x) / span - t.x) * extent)
+                pyn = m.floor(((p.origin_y - myn) / span - t.y) * extent)
+                pys = m.floor(((p.origin_y - mys) / span - t.y) * extent)
+                ent = expect.setdefault((t.x, t.y), [])
+                ent.append((rid, pxw, pxe, pyn, pys))
+        assert set(got) == set(expect)
+        for key, feats in expect.items():
+            r = got[key]
+            assert r.n_features == len(feats)
+            assert r.n_vertices == 4 * len(feats)
+            assert r.min_id == min(f[0] for f in feats)
+            assert r.sum_px == sum(2 * (f[1] + f[2]) for f in feats)
+            assert r.sum_py == sum(2 * (f[3] + f[4]) for f in feats)
+
+    def test_buffer_coords_exceed_extent(self, spark, wm):
+        # one rect spanning 2 tiles at z1: the east tile sees a negative
+        # west edge, the west tile an east edge beyond the extent
+        from tile_grid_spark.operators.vector_tiles import encode_bbox_poly_tiles
+
+        rects = spark.createDataFrame(
+            [(0, -40.0, -20.0, 40.0, 20.0)],
+            "rid BIGINT, minx DOUBLE, miny DOUBLE, maxx DOUBLE, maxy DOUBLE",
+        )
+        out = {
+            (r.tile_x, r.tile_y): decode_poly_tile(bytes(r.mvt))
+            for r in encode_bbox_poly_tiles(rects, wm, 1).collect()
+        }
+        assert set(out) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+        (_, rings), = out[(1, 1)]["layers"][0]["features"]
+        xs = [v[0] for v in rings[0]]
+        ys = [v[1] for v in rings[0]]
+        assert min(xs) < 0  # west edge lies one tile to the west
+        assert min(ys) < 0  # north edge lies one tile up
 
 
 class TestEncodePointTiles:

@@ -7,18 +7,22 @@ is the VECTOR side: real MVT binaries per the public Mapbox Vector Tile
 spec 2.1 (protobuf wire format hand-rolled — varint/zigzag/len-delimited,
 same stdlib-only philosophy as the PNG/JPEG/WAV codecs).
 
-Scope: POINT layers (feature id + single MoveTo geometry command, tags
-elided), one layer per tile. The decoder is a tolerant minimal protobuf
-walker (unknown fields skipped by wire type) so tests can feed it
-foreign streams. Line/polygon command streams and tag dictionaries
+Scope: POINT and POLYGON layers (feature id + geometry command stream,
+tags elided), one layer per tile. The decoder is a tolerant minimal
+protobuf walker (unknown fields skipped by wire type) so tests can feed
+it foreign streams. LineString command streams and tag dictionaries
 raise NotImplementedError at the seam.
 
 Wire layout (MVT 2.1):
   Tile:    field 3 = repeated Layer (len-delimited)
   Layer:   15=version(=2) 1=name 5=extent 2=repeated Feature
-  Feature: 1=id 3=geom_type(1=POINT) 4=packed geometry commands
-  Point geometry: MoveTo(count=1) = (1<<3)|1 = 9, then zigzag(dx),
-  zigzag(dy) as raw varints.
+  Feature: 1=id 3=geom_type(1=POINT,3=POLYGON) 4=packed geometry commands
+  Command integer: (id & 0x7) | (count << 3); MoveTo=1 LineTo=2
+  ClosePath=7. Point geometry: MoveTo(1), zigzag(dx), zigzag(dy).
+  Polygon ring: MoveTo(1) + LineTo(n-1) + ClosePath(1); deltas are
+  CUMULATIVE — the cursor persists across rings and features. Vertices
+  may lie outside [0, extent) (clip-buffer semantics renderers rely on);
+  exterior rings wind clockwise in the y-down tile frame.
 """
 
 from __future__ import annotations
@@ -84,6 +88,47 @@ def encode_point_tile(
     return _len_delim(3, layer)
 
 
+def encode_poly_tile(
+    features: list[tuple[int, list[list[tuple[int, int]]]]],
+    layer_name: str = "polys",
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """One MVT tile binary from [(feature_id, rings)] where each ring is
+    [(x, y), ...] WITHOUT the closing vertex repeated (ClosePath implies
+    it). Coords are tile-local ints and MAY lie outside [0, extent) —
+    the clip-buffer case. Emitted in the given order; ring 0 should be
+    the exterior (clockwise in y-down)."""
+    feats = bytearray()
+    for fid, rings in features:
+        geom = bytearray()
+        cx = cy = 0  # the cursor persists across rings within a feature
+        for ring in rings:
+            if len(ring) < 3:
+                raise ValueError(f"ring needs >= 3 vertices, got {len(ring)}")
+            x0, y0 = ring[0]
+            geom += _varint(9)  # MoveTo(1)
+            geom += _varint(_zigzag(x0 - cx)) + _varint(_zigzag(y0 - cy))
+            cx, cy = x0, y0
+            geom += _varint(2 | ((len(ring) - 1) << 3))  # LineTo(n-1)
+            for x, y in ring[1:]:
+                geom += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+                cx, cy = x, y
+            geom += _varint(15)  # ClosePath(1)
+        body = (
+            _key(1, 0) + _varint(fid)
+            + _key(3, 0) + _varint(3)  # POLYGON
+            + _len_delim(4, bytes(geom))
+        )
+        feats += _len_delim(2, body)
+    layer = (
+        _key(15, 0) + _varint(2)
+        + _len_delim(1, layer_name.encode())
+        + _key(5, 0) + _varint(extent)
+        + bytes(feats)
+    )
+    return _len_delim(3, layer)
+
+
 def _walk(buf: bytes, pos: int, end: int):
     """Yield (field, wire, value_or_span) over one message body."""
     while pos < end:
@@ -128,10 +173,56 @@ def _walk(buf: bytes, pos: int, end: int):
             raise ValueError(f"unsupported wire type {wire}")
 
 
-def decode_point_tile(buf: bytes) -> dict:
-    """Parse one MVT tile (point layers only). Returns
-    {"layers": [{"name", "extent", "version", "features":
-    [(id, px, py)]}]}. Non-point geometry types raise."""
+def _varints(buf: bytes, lo: int, hi: int) -> list[int]:
+    ints = []
+    p = lo
+    while p < hi:
+        v = 0
+        shift = 0
+        while True:
+            b = buf[p]
+            p += 1
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        ints.append(v)
+    return ints
+
+
+def _parse_rings(ints: list[int]) -> list[list[tuple[int, int]]]:
+    """Polygon command stream -> rings of absolute (x, y); the implied
+    ClosePath vertex is not materialized."""
+    rings: list[list[tuple[int, int]]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(ints):
+        cmd, count = ints[i] & 0x7, ints[i] >> 3
+        i += 1
+        if cmd == 1:  # MoveTo(1) starts a ring
+            if count != 1:
+                raise ValueError(f"polygon MoveTo count {count} != 1")
+            cx += _unzigzag(ints[i])
+            cy += _unzigzag(ints[i + 1])
+            i += 2
+            rings.append([(cx, cy)])
+        elif cmd == 2:  # LineTo(n)
+            for _ in range(count):
+                cx += _unzigzag(ints[i])
+                cy += _unzigzag(ints[i + 1])
+                i += 2
+                rings[-1].append((cx, cy))
+        elif cmd == 7:  # ClosePath
+            if len(rings[-1]) < 3:
+                raise ValueError("ClosePath on a ring with < 3 vertices")
+        else:
+            raise ValueError(f"unknown geometry command {cmd}")
+    return rings
+
+
+def _decode_layers(buf: bytes) -> list[dict]:
+    """Shared layer/feature walk; features kept raw as
+    (fid, gtype, geometry varint list)."""
     layers = []
     for field, wire, span in _walk(buf, 0, len(buf)):
         if field != 3 or wire != 2:
@@ -147,35 +238,53 @@ def decode_point_tile(buf: bytes) -> dict:
             elif lf == 15 and lw == 0:
                 version = lv
             elif lf == 2 and lw == 2:
-                fid, gtype, geom_span = None, None, None
+                fid, gtype, geom = None, None, []
                 for ff, fw, fv in _walk(buf, lv[0], lv[1]):
                     if ff == 1 and fw == 0:
                         fid = fv
                     elif ff == 3 and fw == 0:
                         gtype = fv
                     elif ff == 4 and fw == 2:
-                        geom_span = fv
-                if gtype != 1:
-                    raise NotImplementedError(
-                        f"geometry type {gtype} unavailable in-sandbox (POINT only)"
-                    )
-                ints = []
-                p = geom_span[0]
-                while p < geom_span[1]:
-                    v = 0
-                    shift = 0
-                    while True:
-                        b = buf[p]
-                        p += 1
-                        v |= (b & 0x7F) << shift
-                        shift += 7
-                        if not b & 0x80:
-                            break
-                    ints.append(v)
-                if not ints or ints[0] != 9:
-                    raise ValueError("expected single MoveTo point geometry")
-                feats.append((fid, _unzigzag(ints[1]), _unzigzag(ints[2])))
+                        geom = _varints(buf, fv[0], fv[1])
+                feats.append((fid, gtype, geom))
         layers.append(
             {"name": name, "extent": extent, "version": version, "features": feats}
         )
+    return layers
+
+
+def decode_point_tile(buf: bytes) -> dict:
+    """Parse one MVT tile (point layers only). Returns
+    {"layers": [{"name", "extent", "version", "features":
+    [(id, px, py)]}]}. Non-point geometry types raise."""
+    layers = _decode_layers(buf)
+    for layer in layers:
+        feats = []
+        for fid, gtype, ints in layer["features"]:
+            if gtype != 1:
+                raise NotImplementedError(
+                    f"geometry type {gtype} unavailable in-sandbox (POINT only)"
+                )
+            if not ints or ints[0] != 9:
+                raise ValueError("expected single MoveTo point geometry")
+            feats.append((fid, _unzigzag(ints[1]), _unzigzag(ints[2])))
+        layer["features"] = feats
+    return {"layers": layers}
+
+
+def decode_poly_tile(buf: bytes) -> dict:
+    """Parse one MVT tile (polygon layers only). Returns
+    {"layers": [{"name", "extent", "version", "features":
+    [(id, rings)]}]} with rings of absolute (x, y) vertices (closing
+    vertex implied, as encoded)."""
+    layers = _decode_layers(buf)
+    for layer in layers:
+        feats = []
+        for fid, gtype, ints in layer["features"]:
+            if gtype != 3:
+                raise NotImplementedError(
+                    f"geometry type {gtype} in a polygon layer (POLYGON only)"
+                )
+            feats.append((fid, _parse_rings(ints)))
+        layer["features"] = feats
     return {"layers": layers}

@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from ..core.tms import Tms
 from ..functions.grid_cols import mercator_x, mercator_y, xy_tile_x, xy_tile_y
-from ..functions.mvt import DEFAULT_EXTENT, decode_point_tile, encode_point_tile
+from ..functions.mvt import (
+    DEFAULT_EXTENT,
+    decode_point_tile,
+    decode_poly_tile,
+    encode_point_tile,
+    encode_poly_tile,
+)
+from .cover import cover_bbox_geographic
 
 TILES_SCHEMA = "tile_x BIGINT, tile_y BIGINT, n_features INT, mvt BINARY"
 
@@ -101,6 +108,90 @@ def encode_point_tiles(
     return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
 
 
+def encode_bbox_poly_tiles(
+    rects: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "rid",
+    west: str = "minx",
+    south: str = "miny",
+    east: str = "maxx",
+    north: str = "maxy",
+    extent: int = DEFAULT_EXTENT,
+    layer: str = "polys",
+    max_features_per_tile: int = 2_000_000,
+) -> DataFrame:
+    """Geographic bboxes -> polygon MVT binaries, one row per covered
+    tile. Each rect lands UNCLIPPED in every tile its bbox covers
+    (cover_bbox_geographic — the reference's epsilon-inset cover), so a
+    tile's ring vertices may lie outside [0, extent): that is the MVT
+    clip-buffer convention renderers expect, and it keeps the local
+    quantization pure floor math a SQL oracle can replay with no clamp.
+    Rings wind (w,n)->(e,n)->(e,s)->(w,s): clockwise in the y-down tile
+    frame = exterior per spec. Same one-exchange shape as
+    encode_point_tiles: quantize with native Columns, shuffle only
+    (tile, id, 4 ints), build bytes where the rows land."""
+    p = tms.zoom_params(zoom)
+    srid = tms.crs().as_srid()
+    if srid == 3857:
+        to_x = lambda c: mercator_x(c)  # noqa: E731
+        to_y = lambda c: mercator_y(c)  # noqa: E731
+    elif srid == 4326:
+        to_x = to_y = F.col  # noqa: E731
+    else:
+        raise ValueError(
+            f"encode_bbox_poly_tiles supports EPSG:3857/4326, got {tms.crs()}"
+        )
+    span_x = p.resolution * float(p.tile_width)
+    span_y = p.resolution * float(p.tile_height)
+
+    def local_x(col):
+        frac = (to_x(col) - F.lit(p.origin_x)) / F.lit(span_x)
+        return F.floor((frac - F.col("tile_x")) * F.lit(float(extent))).cast("int")
+
+    def local_y(col):
+        frac = (F.lit(p.origin_y) - to_y(col)) / F.lit(span_y)
+        return F.floor((frac - F.col("tile_y")) * F.lit(float(extent))).cast("int")
+
+    covered = cover_bbox_geographic(rects, tms, zoom, west, south, east, north)
+    rows = covered.select(
+        "tile_x",
+        "tile_y",
+        F.col(id_col).alias("fid"),
+        local_x(west).alias("pxw"),
+        local_x(east).alias("pxe"),
+        local_y(north).alias("pyn"),
+        local_y(south).alias("pys"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_features_per_tile:
+            raise ValueError(
+                f"tile ({pdf.tile_x.iloc[0]},{pdf.tile_y.iloc[0]}) has "
+                f"{len(pdf)} features > max_features_per_tile="
+                f"{max_features_per_tile} — roll up before encoding"
+            )
+        pdf = pdf.sort_values("fid")
+        feats = [
+            (
+                int(f),
+                [[(int(xw), int(yn)), (int(xe), int(yn)),
+                  (int(xe), int(ys)), (int(xw), int(ys))]],
+            )
+            for f, xw, xe, yn, ys in zip(pdf.fid, pdf.pxw, pdf.pxe, pdf.pyn, pdf.pys)
+        ]
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_features": [len(feats)],
+                "mvt": [encode_poly_tile(feats, layer, extent)],
+            }
+        )
+
+    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "tile_x BIGINT, tile_y BIGINT, n_features INT, min_id BIGINT, "
     "max_id BIGINT, sum_px BIGINT, sum_py BIGINT, extent INT"
@@ -133,3 +224,42 @@ def decode_tile_stats(tiles: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(run, DECODED_SCHEMA)
+
+
+POLY_DECODED_SCHEMA = (
+    "tile_x BIGINT, tile_y BIGINT, n_features INT, n_vertices INT, "
+    "min_id BIGINT, max_id BIGINT, sum_px BIGINT, sum_py BIGINT, extent INT"
+)
+
+
+def decode_poly_stats(tiles: DataFrame) -> DataFrame:
+    """Polygon twin of decode_tile_stats: re-parse the command streams
+    (cumulative deltas and all) and aggregate the absolute ring vertices
+    the bytes encode — the oracle re-derives the same quantities from
+    the quantization formula, so a delta/winding/wire bug mismatches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in (
+                "tile_x", "tile_y", "n_features", "n_vertices", "min_id",
+                "max_id", "sum_px", "sum_py", "extent",
+            )}
+            for tx, ty, payload in zip(b["tile_x"], b["tile_y"], b["mvt"]):
+                d = decode_poly_tile(bytes(payload))
+                (layer,) = d["layers"]
+                fs = layer["features"]
+                verts = [v for _, rings in fs for ring in rings for v in ring]
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["n_features"].append(len(fs))
+                out["n_vertices"].append(len(verts))
+                out["min_id"].append(min(f[0] for f in fs))
+                out["max_id"].append(max(f[0] for f in fs))
+                out["sum_px"].append(sum(v[0] for v in verts))
+                out["sum_py"].append(sum(v[1] for v in verts))
+                out["extent"].append(int(layer["extent"]))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
+        run, POLY_DECODED_SCHEMA
+    )
