@@ -801,6 +801,46 @@ def q_vector_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_tile_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+def q_vector_tiles_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon MVT production (operators/vector_tiles.encode_bbox_poly_tiles):
+    nation-derived bboxes land unclipped in every z6 tile their cover
+    touches (clip-buffer semantics — local coords may be negative or
+    > extent), encoded as REAL MVT 2.1 polygon command streams
+    (MoveTo/LineTo/ClosePath, cumulative zigzag deltas), then re-PARSED;
+    the per-tile vertex stats the bytes contain are hash-compared
+    against the oracle's pure-SQL replay of cover + quantization."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_poly_stats,
+        encode_bbox_poly_tiles,
+    )
+
+    rects = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        (F.lit(-170.0) + F.col("n_nationkey") * F.lit(11.0) + F.lit(1.0 / 7.0)).alias("minx"),
+        (F.lit(-75.0) + F.col("n_nationkey") * F.lit(4.0) + F.lit(1.0 / 7.0)).alias("miny"),
+    )
+    rects = rects.withColumns(
+        {"maxx": F.col("minx") + F.lit(9.0), "maxy": F.col("miny") + F.lit(6.0)}
+    )
+    tiles = encode_bbox_poly_tiles(rects, WM, zoom=6, id_col="n_nationkey")
+    return decode_poly_stats(tiles).orderBy("tile_x", "tile_y")
+
+
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (functions/lm): add-k
+    bigram model counted over the documents table itself, every doc
+    scored by average bigram log-probability. Count aggs are map-side
+    partial; the (doc, w1, w2) stream joins count tables on short
+    string keys (shuffle joins — a web-scale vocab is past broadcast);
+    vocab size rides as a broadcast 1-row frame, no driver collect.
+    Full per-doc output hash-compared (avg_logp round 6 absorbs
+    double-sum order)."""
+    from tile_grid_spark.functions.lm import bigram_lm_scores
+
+    d = read_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).orderBy("doc_id")
+
+
 def q_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style corpus maintenance (sources/io.upsert_latest): a batch
     of revisions (every 7th doc re-texted at rev 2) plus inserts (every
@@ -1620,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "corpus_upsert": q_corpus_upsert,
         "vector_tiles": q_vector_tiles,
+        "vector_tiles_poly": q_vector_tiles_poly,
+        "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
         "zonal_stats": q_zonal_stats,
@@ -3054,6 +3096,108 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(py) AS BIGINT) AS sum_py,
                CAST(4096 AS INT) AS extent
         FROM l GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # polygon vector tiles: replay the epsilon-inset cover (z6) and the
+    # UNCLAMPED tile-local corner quantization; the engine side derives
+    # the same numbers by re-parsing its own MVT polygon command streams
+    p6y = _zp(6)
+    unit6y = p6y.resolution * 256.0
+    bbox6 = WM.bbox()
+    eps6 = "1e-11"
+
+    def _cov6(coord: str, origin: str, flip: bool, max_index: int) -> str:
+        inner = f"({origin}) - ({coord})" if flip else f"({coord}) - ({origin})"
+        return (
+            f"LEAST(GREATEST(CAST(floor(({inner}) / {_d(unit6y)}) AS BIGINT), 0), "
+            f"{max_index})"
+        )
+
+    w6 = f"GREATEST(minx, {_d(bbox6.left)}) + {eps6}"
+    s6 = f"GREATEST(miny, {_d(bbox6.bottom)}) + {eps6}"
+    e6 = f"LEAST(maxx, {_d(bbox6.right)}) - {eps6}"
+    n6 = f"LEAST(maxy, {_d(bbox6.top)}) - {eps6}"
+
+    def _loc6(merc: str, origin: float, tile: str, flip: bool = False) -> str:
+        inner = (
+            f"{_d(origin)} - ({merc})" if flip else f"({merc}) - {_d(origin)}"
+        )
+        return (
+            f"CAST(floor((({inner}) / {_d(unit6y)} - {tile})"
+            f" * 4096e0) AS INT)"
+        )
+
+    sql["vector_tiles_poly"] = f"""
+        WITH rects AS (
+          SELECT n_nationkey,
+                 -170.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} AS minx,
+                 -75.0 + n_nationkey * 4.0 + {_d(1.0 / 7.0)} AS miny,
+                 -170.0 + n_nationkey * 11.0 + {_d(1.0 / 7.0)} + 9.0 AS maxx,
+                 -75.0 + n_nationkey * 4.0 + {_d(1.0 / 7.0)} + 6.0 AS maxy
+          FROM nation
+        ),
+        lims AS (
+          SELECT *,
+                 {_cov6(_merc_x_sql(w6), _d(p6y.origin_x), False, p6y.matrix_width)} AS ul_x,
+                 {_cov6(_merc_x_sql(e6), _d(p6y.origin_x), False, p6y.matrix_width)} AS lr_x,
+                 {_cov6(_merc_y_sql(n6), _d(p6y.origin_y), True, p6y.matrix_height)} AS ul_y,
+                 {_cov6(_merc_y_sql(s6), _d(p6y.origin_y), True, p6y.matrix_height)} AS lr_y
+          FROM rects
+        ),
+        cov AS (
+          SELECT n_nationkey, minx, miny, maxx, maxy, tx.tile_x, ty.tile_y
+          FROM lims,
+               LATERAL (SELECT unnest(generate_series(ul_x, lr_x)) AS tile_x) tx,
+               LATERAL (SELECT unnest(generate_series(ul_y, lr_y)) AS tile_y) ty
+        ),
+        q AS (
+          SELECT n_nationkey, tile_x, tile_y,
+                 {_loc6(_merc_x_sql('minx'), p6y.origin_x, 'tile_x')} AS pxw,
+                 {_loc6(_merc_x_sql('maxx'), p6y.origin_x, 'tile_x')} AS pxe,
+                 {_loc6(_merc_y_sql('maxy'), p6y.origin_y, 'tile_y', flip=True)} AS pyn,
+                 {_loc6(_merc_y_sql('miny'), p6y.origin_y, 'tile_y', flip=True)} AS pys
+          FROM cov
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS INT) AS n_features,
+               CAST(4 * COUNT(*) AS INT) AS n_vertices,
+               CAST(MIN(n_nationkey) AS BIGINT) AS min_id,
+               CAST(MAX(n_nationkey) AS BIGINT) AS max_id,
+               CAST(SUM(2 * (pxw + pxe)) AS BIGINT) AS sum_px,
+               CAST(SUM(2 * (pyn + pys)) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM q GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # bigram LM: the whole train+score pipeline replayed relationally;
+    # DuckDB zips parallel unnests positionally, which IS arrays_zip
+    sql["lm_quality"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS toks
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2
+          FROM d WHERE len(toks) >= 2
+        ),
+        uni AS (
+          SELECT w, COUNT(*) AS c1
+          FROM (SELECT unnest(toks) AS w FROM d) GROUP BY w
+        ),
+        bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        v AS (SELECT COUNT(*) AS vv FROM uni)
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS INT) AS n_bigrams,
+               round(AVG(ln((c12 + 0.5) / (c1 + 0.5 * vv))), 6) + 0.0 AS avg_logp
+        FROM bg
+        JOIN bgc USING (w1, w2)
+        JOIN uni ON uni.w = bg.w1
+        CROSS JOIN v
+        GROUP BY bg.doc_id
+        ORDER BY bg.doc_id
     """
 
     # latest-wins MERGE replayed with the same union + window

@@ -725,3 +725,80 @@ class TestStreamingPhashDedup:
         got = spark.sql("SELECT phash, COUNT(*) AS n FROM phash_dedup_stream GROUP BY phash").collect()
         assert len(got) == 20
         assert all(r.n == 1 for r in got)
+
+
+class TestStreamingTileStoreRefresh:
+    def test_batch_refresh_latest_wins_and_idempotent(self, spark, tmp_path):
+        from tile_grid_spark.streaming.stream import refresh_tile_store
+
+        store = str(tmp_path / "store")
+        b1 = spark.createDataFrame(
+            [(8, 1, 1, 10, 100), (8, 1, 2, 20, 100)],
+            "zoom INT, tile_x BIGINT, tile_y BIGINT, n BIGINT, window_end BIGINT",
+        )
+        b2 = spark.createDataFrame(
+            [(8, 1, 1, 15, 200),   # newer window -> replaces
+             (8, 1, 2, 99, 50),    # STALE replay -> must lose
+             (8, 2, 2, 7, 200)],   # new tile
+            b1.schema,
+        )
+        keys = ("zoom", "tile_x", "tile_y")
+        refresh_tile_store(store, b1, keys, "window_end")
+        refresh_tile_store(store, b2, keys, "window_end")
+        want = {(8, 1, 1): (15, 200), (8, 1, 2): (20, 100), (8, 2, 2): (7, 200)}
+        got = {
+            (r.zoom, r.tile_x, r.tile_y): (r.n, r.window_end)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got == want
+        # at-least-once replay of the SAME batch is a content no-op
+        refresh_tile_store(store, b2, keys, "window_end")
+        got2 = {
+            (r.zoom, r.tile_x, r.tile_y): (r.n, r.window_end)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got2 == want
+
+    def test_streaming_view_maintenance(self, spark, tmp_path, wm):
+        """File-source micro-batches of per-tile aggregates maintained
+        into a live parquet store across two availableNow runs sharing a
+        checkpoint — the streaming materialized-view shape."""
+        import pandas as pd
+
+        from tile_grid_spark.streaming.stream import stream_tile_store_refresh
+
+        src = tmp_path / "src"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "zoom BIGINT, tile_x BIGINT, tile_y BIGINT, n BIGINT, window_end BIGINT"
+
+        pd.DataFrame(
+            {"zoom": [8, 8], "tile_x": [1, 1], "tile_y": [1, 2],
+             "n": [10, 20], "window_end": [100, 100]}
+        ).to_parquet(src / "b0.parquet")
+
+        def run():
+            updates = spark.readStream.schema(schema).parquet(str(src))
+            q = stream_tile_store_refresh(
+                updates, store, ckpt, version_col="window_end"
+            )
+            q.awaitTermination()
+
+        run()
+        assert spark.read.parquet(store).count() == 2
+
+        pd.DataFrame(
+            {"zoom": [8, 8], "tile_x": [1, 2], "tile_y": [1, 2],
+             "n": [15, 7], "window_end": [200, 200]}
+        ).to_parquet(src / "b1.parquet")
+        run()  # second availableNow pass picks up only the new file
+        got = {
+            (r.zoom, r.tile_x, r.tile_y): (r.n, r.window_end)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert got == {
+            (8, 1, 1): (15, 200),
+            (8, 1, 2): (20, 100),
+            (8, 2, 2): (7, 200),
+        }

@@ -289,6 +289,78 @@ def write_stream_exactly_once(
     return w.start()
 
 
+def refresh_tile_store(
+    store_path: str,
+    updates: DataFrame,
+    key_cols,
+    version_col: str,
+) -> None:
+    """Merge a batch of per-key updates latest-wins into a parquet
+    store (sources/io.upsert_latest — union + one key shuffle + top-1,
+    no join). The merged result is FULLY written to `<store>.tmp`
+    before the live directory is swapped, so a crash never leaves a
+    half-written store; the previous store survives as `<store>.old`
+    until the swap completes. At 100 TB this exact plan runs underneath
+    a table format's MERGE INTO with partition pruning bounding the
+    rewritten span — the full-rewrite swap here is the format-free
+    equivalent, correct at any size, optimal only when updates touch
+    most partitions."""
+    import shutil
+
+    from ..sources.io import upsert_latest
+
+    spark = updates.sparkSession
+    if os.path.isdir(store_path):
+        current = spark.read.parquet(store_path)
+        merged = upsert_latest(current, updates, key_cols, version_col)
+    else:
+        merged = upsert_latest(
+            spark.createDataFrame([], updates.schema), updates, key_cols, version_col
+        )
+    tmp = store_path + ".tmp"
+    old = store_path + ".old"
+    merged.write.mode("overwrite").parquet(tmp)  # materialized BEFORE swap
+    for p in (old,):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    if os.path.isdir(store_path):
+        os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def stream_tile_store_refresh(
+    updates: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_cols=("zoom", "tile_x", "tile_y"),
+    version_col: str = "window_end",
+    query_name: str = "tgs_tile_store",
+    available_now: bool = True,
+):
+    """Streaming materialized-view maintenance: each micro-batch of
+    per-tile aggregates (outputMode update — only CHANGED keys arrive)
+    merges latest-wins into the parquet tile store. Idempotent under
+    foreachBatch's at-least-once replay: re-merging the same batch
+    writes the same winners (upsert_latest ties resolve to the updates
+    side deterministically), so a crash-replayed batch is a no-op on
+    the store contents. Returns the started query handle."""
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        refresh_tile_store(store_path, bdf, key_cols, version_col)
+
+    w = (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_to_memory_sink(counts: DataFrame, query_name: str = "tile_counts"):
     """Test helper: run the streaming aggregate into an in-memory sink
     on a 1-second trigger. Returns the query handle (callers poll the
