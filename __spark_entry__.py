@@ -826,6 +826,53 @@ def q_vector_tiles_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_poly_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+# Deterministic per-user trajectory walk for the linestring MVT query:
+# a triangle wave + drift in closed form of (tid, seq), so Spark
+# (F.expr) and DuckDB evaluate the IDENTICAL SQL text — same doubles,
+# no sin/cos libm parity risk. At z6 (5.6 deg tiles) each ~67-step walk
+# crosses several tiles and re-enters some (multi-part features).
+_TRAJ_TRI_SQL = "(CASE WHEN CAST(floor(seq/8e0) AS BIGINT)%2=0 THEN seq%8 ELSE 8-(seq%8) END)"
+_TRAJ_LON_SQL = f"((tid*37)%300) - 150e0 + 0.45e0*{_TRAJ_TRI_SQL} + 0.07e0*seq"
+_TRAJ_LAT_SQL = "((tid*53)%120) - 60e0 + 0.05e0*seq + 0.15e0*(seq%5)"
+
+
+def q_vector_tiles_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINESTRING MVT production (operators/vector_tiles.encode_path_tiles):
+    per-user event trajectories (deterministic closed-form walk over the
+    events table) split into per-tile vertex runs at z6, re-entries
+    becoming multi-part MULTILINESTRING features, encoded as REAL MVT
+    2.1 line command streams (MoveTo/LineTo, cumulative zigzag deltas,
+    cursor persisting across parts), then re-PARSED; the per-tile
+    feature/part/vertex stats the bytes contain are hash-compared
+    against the oracle's pure-SQL replay of the same quantization and
+    run-split windows. Completes the MVT geometry triad
+    (point/line/polygon)."""
+    from pyspark.sql import Window
+
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_line_stats,
+        encode_path_tiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("tid"), "event_id"
+    )
+    ev = ev.withColumn(
+        "seq",
+        F.row_number()
+        .over(Window.partitionBy("tid").orderBy("event_id"))
+        .cast("bigint"),
+    )
+    pts = ev.select(
+        "tid",
+        "seq",
+        F.expr(_TRAJ_LON_SQL).alias("lon"),
+        F.expr(_TRAJ_LAT_SQL).alias("lat"),
+    )
+    tiles = encode_path_tiles(pts, WM, zoom=6, id_col="tid", order_col="seq")
+    return decode_line_stats(tiles).orderBy("tile_x", "tile_y")
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM fluency scoring (functions/lm): add-k
     bigram model counted over the documents table itself, every doc
@@ -1661,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_upsert": q_corpus_upsert,
         "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
+        "vector_tiles_line": q_vector_tiles_line,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3167,6 +3215,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(2 * (pyn + pys)) AS BIGINT) AS sum_py,
                CAST(4096 AS INT) AS extent
         FROM q GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # linestring vector tiles: replay the walk synthesis, tile + local
+    # quantization, and the run-split windows (lag + cumulative sum) in
+    # pure SQL; the engine side re-parses its own MVT line command
+    # streams. The walk SQL text is SHARED with the Spark query
+    # (_TRAJ_LON_SQL/_TRAJ_LAT_SQL via F.expr) — identical doubles.
+    p6l = _zp(6)
+    unit6l = f"{_d(p6l.resolution)} * 256.0"
+    tx6l = _tile_sql("mx", _d(p6l.origin_x), unit6l, flip=False, max_index=p6l.matrix_width)
+    ty6l = _tile_sql("my", _d(p6l.origin_y), unit6l, flip=True, max_index=p6l.matrix_height)
+    sql["vector_tiles_line"] = f"""
+        WITH e AS (
+          SELECT CAST(user_id AS BIGINT) AS tid,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+          FROM events
+        ),
+        pts AS (
+          SELECT tid, seq, {_TRAJ_LON_SQL} AS lon, {_TRAJ_LAT_SQL} AS lat
+          FROM e
+        ),
+        t AS (
+          SELECT tid, seq,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        ti AS (
+          SELECT tid, seq, mx, my, {tx6l} AS tile_x, {ty6l} AS tile_y FROM t
+        ),
+        l AS (
+          SELECT tid, seq, tile_x, tile_y,
+                 CAST(LEAST(GREATEST(floor(((mx - {_d(p6l.origin_x)}) / ({unit6l}) - tile_x) * 4096e0), 0), 4095) AS INT) AS px,
+                 CAST(LEAST(GREATEST(floor((({_d(p6l.origin_y)} - my) / ({unit6l}) - tile_y) * 4096e0), 0), 4095) AS INT) AS py
+          FROM ti
+        ),
+        r AS (
+          SELECT *, CASE WHEN lag(tile_x) OVER w IS DISTINCT FROM tile_x
+                           OR lag(tile_y) OVER w IS DISTINCT FROM tile_y
+                         THEN 1 ELSE 0 END AS chg
+          FROM l WINDOW w AS (PARTITION BY tid ORDER BY seq)
+        ),
+        runs AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY tid ORDER BY seq) AS run_id FROM r
+        ),
+        k AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY tid, run_id) AS rl FROM runs
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(DISTINCT tid) AS INT) AS n_features,
+               CAST(COUNT(DISTINCT tid * 1000000 + run_id) AS INT) AS n_parts,
+               CAST(COUNT(*) AS INT) AS n_vertices,
+               MIN(tid) AS min_id, MAX(tid) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM k WHERE rl >= 2
+        GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 
     # bigram LM: the whole train+score pipeline replayed relationally;

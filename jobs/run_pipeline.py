@@ -263,7 +263,27 @@ def run_pipeline(
         return rasterize_points(images, wm, rz)
 
     r = run_stage(spark, log, "raster", [f"z{rz}", f"fp-z{rz}"], build_raster)
-    report("raster", r)
+    if report("raster", r):
+        return results
+
+    # ---- mvt (vector-tile payload export: the served artifact) ----
+    def build_mvt(unit: str):
+        from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+        # MVT feature ids are u64 in the spec; image_id is "img-%012d"
+        # (datagen.py:113), so the numeric suffix is the natural fid.
+        return encode_point_tiles(
+            images.select(
+                F.substring("image_id", 5, 12).cast("bigint").alias("pid"),
+                F.col("lon"),
+                F.col("lat"),
+            ),
+            wm,
+            rz,
+        )
+
+    r = run_stage(spark, log, "mvt", [f"z{rz}"], build_mvt)
+    report("mvt", r)
     results["_log"] = log
     return results
 

@@ -125,6 +125,71 @@ class TestMvtPolyCodec:
             encode_poly_tile([(1, [[(0, 0), (1, 1)]])], "a")
 
 
+class TestMvtLineCodec:
+    def test_wire_golden(self):
+        # id=1, one part (0,0)->(10,0)->(10,10), layer "a" — same hand
+        # derivation as the polygon golden minus ClosePath, type=2
+        from tile_grid_spark.functions.mvt import decode_line_tile, encode_line_tile
+
+        b = encode_line_tile([(1, [[(0, 0), (10, 0), (10, 10)]])], "a", 4096)
+        expect = bytes(
+            [0x1A, 0x18]            # tile field 3, len 24
+            + [0x78, 0x02]          # version=2
+            + [0x0A, 0x01, 0x61]    # name "a"
+            + [0x28, 0x80, 0x20]    # extent 4096
+            + [0x12, 0x0E]          # feature, len 14
+            + [0x08, 0x01]          # id 1
+            + [0x18, 0x02]          # type LINESTRING
+            + [0x22, 0x08]          # geometry, len 8
+            + [0x09, 0x00, 0x00]    # MoveTo (0,0)
+            + [0x12, 0x14, 0x00, 0x00, 0x14]  # LineTo d(10,0), d(0,10)
+        )
+        assert b == expect
+        (layer,) = decode_line_tile(b)["layers"]
+        assert layer["features"] == [(1, [[(0, 0), (10, 0), (10, 10)]])]
+
+    def test_multipart_roundtrip_negatives(self):
+        # a MULTILINESTRING feature (cursor persists across parts) plus
+        # a second feature continuing from a fresh feature's cursor=0;
+        # clip-buffer negatives must survive the zigzag round trip
+        from tile_grid_spark.functions.mvt import decode_line_tile, encode_line_tile
+
+        f1 = (7, [
+            [(-64, -32), (4200, -32)],
+            [(100, 100), (200, 250), (300, 50)],
+        ])
+        f2 = (1 << 33, [[(0, 4095), (4095, 0)]])
+        d = decode_line_tile(encode_line_tile([f1, f2], "lines"))
+        (layer,) = d["layers"]
+        assert layer["features"] == [f1, f2]
+        assert layer["version"] == 2 and layer["extent"] == 4096
+
+    def test_short_part_raises(self):
+        from tile_grid_spark.functions.mvt import encode_line_tile
+
+        with pytest.raises(ValueError, match="part"):
+            encode_line_tile([(1, [[(0, 0)]])], "a")
+
+    def test_line_decoder_rejects_other_types(self):
+        from tile_grid_spark.functions.mvt import decode_line_tile
+
+        with pytest.raises(NotImplementedError, match="LINESTRING only"):
+            decode_line_tile(encode_point_tile([(1, 3, 5)], "a"))
+        with pytest.raises(NotImplementedError, match="LINESTRING only"):
+            decode_line_tile(encode_poly_tile([(1, [[(0, 0), (1, 0), (1, 1)]])], "a"))
+
+    def test_closepath_in_line_stream_rejected(self):
+        from tile_grid_spark.functions.mvt import decode_line_tile, encode_poly_tile
+
+        # hand-build a LINESTRING-typed feature whose stream sneaks in a
+        # ClosePath: take the polygon bytes and flip the type field
+        b = bytearray(encode_poly_tile([(1, [[(0, 0), (10, 0), (10, 10)]])], "a"))
+        i = b.index(bytes([0x18, 0x03]))
+        b[i + 1] = 0x02
+        with pytest.raises(ValueError, match="ClosePath is illegal"):
+            decode_line_tile(bytes(b))
+
+
 class TestEncodeBboxPolyTiles:
     def test_matches_core_cover_and_quantization(self, spark, wm):
         from tile_grid_spark.operators.vector_tiles import (
@@ -275,3 +340,86 @@ class TestEncodePointTiles:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestEncodePathTiles:
+    def test_run_split_and_multipart_vs_python_oracle(self, spark, wm):
+        from tile_grid_spark.functions.mvt import decode_line_tile
+        from tile_grid_spark.operators.vector_tiles import encode_path_tiles
+
+        # random walks: steps big enough to cross z4 tiles repeatedly,
+        # including re-entries (direction flips)
+        rng = np.random.default_rng(23)
+        rows = []
+        for tid in range(12):
+            lon = rng.uniform(-150, 150)
+            lat = rng.uniform(-60, 60)
+            for seq in range(40):
+                rows.append((tid, seq, float(lon), float(lat)))
+                lon = float(np.clip(lon + rng.uniform(-9, 11), -179.9, 179.9))
+                lat = float(np.clip(lat + rng.uniform(-5, 5), -80, 80))
+        pts = spark.createDataFrame(rows, "tid BIGINT, seq BIGINT, lon DOUBLE, lat DOUBLE")
+        zoom, extent = 4, 4096
+        got = {
+            (r.tile_x, r.tile_y): r
+            for r in encode_path_tiles(pts, wm, zoom, extent=extent).collect()
+        }
+
+        # python oracle: per-vertex tile+local quantization, then the
+        # run split done imperatively
+        p = wm.zoom_params(zoom)
+        span = p.resolution * 256.0
+        R = 6378137.0
+        expect: dict = {}
+        for tid in range(12):
+            vs = [r for r in rows if r[0] == tid]
+            vs.sort(key=lambda r: r[1])
+            run = []
+            prev_tile = None
+            runs = []
+            for _, _, lo, la in vs:
+                mx = R * np.radians(lo)
+                my = R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(la)))
+                fx = (mx - p.origin_x) / span
+                fy = (p.origin_y - my) / span
+                tx = int(np.clip(np.floor(fx), 0, p.matrix_width - 1))
+                ty = int(np.clip(np.floor(fy), 0, p.matrix_height - 1))
+                px = int(np.clip(np.floor((fx - tx) * extent), 0, extent - 1))
+                py = int(np.clip(np.floor((fy - ty) * extent), 0, extent - 1))
+                if prev_tile != (tx, ty):
+                    run = []
+                    runs.append(((tx, ty), run))
+                    prev_tile = (tx, ty)
+                run.append((px, py))
+            for tile, run in runs:
+                if len(run) >= 2:
+                    expect.setdefault(tile, {}).setdefault(tid, []).append(run)
+
+        assert set(got) == set(expect)
+        for tile, feats in expect.items():
+            (layer,) = decode_line_tile(bytes(got[tile].mvt))["layers"]
+            assert layer["features"] == [
+                (tid, parts) for tid, parts in sorted(feats.items())
+            ]
+            assert got[tile].n_features == len(feats)
+        # the walk must actually produce at least one multi-part feature
+        assert any(
+            len(parts) > 1 for feats in expect.values() for parts in feats.values()
+        )
+
+    def test_decode_line_stats_roundtrip(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            decode_line_stats,
+            encode_path_tiles,
+        )
+
+        pts = spark.createDataFrame(
+            [(i % 3, i // 3, -60.0 + i * 2.5, 15.0 + (i % 7)) for i in range(60)],
+            "tid BIGINT, seq BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        enc = encode_path_tiles(pts, wm, 3)
+        got = decode_line_stats(enc).collect()
+        assert all(r.extent == 4096 for r in got)
+        assert all(r.n_parts >= r.n_features for r in got)
+        # every kept vertex is inside its tile: run-split semantics
+        assert all(r.n_vertices >= 2 * r.n_parts for r in got)

@@ -7,18 +7,21 @@ is the VECTOR side: real MVT binaries per the public Mapbox Vector Tile
 spec 2.1 (protobuf wire format hand-rolled — varint/zigzag/len-delimited,
 same stdlib-only philosophy as the PNG/JPEG/WAV codecs).
 
-Scope: POINT and POLYGON layers (feature id + geometry command stream,
-tags elided), one layer per tile. The decoder is a tolerant minimal
-protobuf walker (unknown fields skipped by wire type) so tests can feed
-it foreign streams. LineString command streams and tag dictionaries
-raise NotImplementedError at the seam.
+Scope: POINT, LINESTRING and POLYGON layers (feature id + geometry
+command stream, tags elided), one layer per tile. The decoder is a
+tolerant minimal protobuf walker (unknown fields skipped by wire type)
+so tests can feed it foreign streams. Tag dictionaries raise
+NotImplementedError at the seam.
 
 Wire layout (MVT 2.1):
   Tile:    field 3 = repeated Layer (len-delimited)
   Layer:   15=version(=2) 1=name 5=extent 2=repeated Feature
-  Feature: 1=id 3=geom_type(1=POINT,3=POLYGON) 4=packed geometry commands
+  Feature: 1=id 3=geom_type(1=POINT,2=LINESTRING,3=POLYGON)
+  4=packed geometry commands.
   Command integer: (id & 0x7) | (count << 3); MoveTo=1 LineTo=2
   ClosePath=7. Point geometry: MoveTo(1), zigzag(dx), zigzag(dy).
+  LineString part: MoveTo(1) + LineTo(n-1), NO ClosePath; a feature may
+  carry several parts (MULTILINESTRING is the same stream repeated).
   Polygon ring: MoveTo(1) + LineTo(n-1) + ClosePath(1); deltas are
   CUMULATIVE — the cursor persists across rings and features. Vertices
   may lie outside [0, extent) (clip-buffer semantics renderers rely on);
@@ -129,6 +132,48 @@ def encode_poly_tile(
     return _len_delim(3, layer)
 
 
+def encode_line_tile(
+    features: list[tuple[int, list[list[tuple[int, int]]]]],
+    layer_name: str = "lines",
+    extent: int = DEFAULT_EXTENT,
+) -> bytes:
+    """One MVT tile binary from [(feature_id, parts)] where each part is
+    a polyline [(x, y), ...] with >= 2 vertices. Coords are tile-local
+    ints and MAY lie outside [0, extent) (clip-buffer case). A feature
+    with several parts is a MULTILINESTRING: the spec encodes it as the
+    same MoveTo/LineTo stream repeated, cursor persisting across parts
+    (MVT 2.1 §4.3.5.3). Emitted in the given order — sort upstream for
+    deterministic bytes."""
+    feats = bytearray()
+    for fid, parts in features:
+        geom = bytearray()
+        cx = cy = 0  # cursor persists across parts within a feature
+        for part in parts:
+            if len(part) < 2:
+                raise ValueError(f"linestring part needs >= 2 vertices, got {len(part)}")
+            x0, y0 = part[0]
+            geom += _varint(9)  # MoveTo(1)
+            geom += _varint(_zigzag(x0 - cx)) + _varint(_zigzag(y0 - cy))
+            cx, cy = x0, y0
+            geom += _varint(2 | ((len(part) - 1) << 3))  # LineTo(n-1)
+            for x, y in part[1:]:
+                geom += _varint(_zigzag(x - cx)) + _varint(_zigzag(y - cy))
+                cx, cy = x, y
+        body = (
+            _key(1, 0) + _varint(fid)
+            + _key(3, 0) + _varint(2)  # LINESTRING
+            + _len_delim(4, bytes(geom))
+        )
+        feats += _len_delim(2, body)
+    layer = (
+        _key(15, 0) + _varint(2)
+        + _len_delim(1, layer_name.encode())
+        + _key(5, 0) + _varint(extent)
+        + bytes(feats)
+    )
+    return _len_delim(3, layer)
+
+
 def _walk(buf: bytes, pos: int, end: int):
     """Yield (field, wire, value_or_span) over one message body."""
     while pos < end:
@@ -220,6 +265,37 @@ def _parse_rings(ints: list[int]) -> list[list[tuple[int, int]]]:
     return rings
 
 
+def _parse_parts(ints: list[int]) -> list[list[tuple[int, int]]]:
+    """LineString command stream -> parts of absolute (x, y). Identical
+    to the polygon walk minus ClosePath (which is illegal here)."""
+    parts: list[list[tuple[int, int]]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(ints):
+        cmd, count = ints[i] & 0x7, ints[i] >> 3
+        i += 1
+        if cmd == 1:  # MoveTo(1) starts a part
+            if count != 1:
+                raise ValueError(f"linestring MoveTo count {count} != 1")
+            cx += _unzigzag(ints[i])
+            cy += _unzigzag(ints[i + 1])
+            i += 2
+            parts.append([(cx, cy)])
+        elif cmd == 2:  # LineTo(n)
+            if count < 1:
+                raise ValueError("linestring LineTo count must be >= 1")
+            for _ in range(count):
+                cx += _unzigzag(ints[i])
+                cy += _unzigzag(ints[i + 1])
+                i += 2
+                parts[-1].append((cx, cy))
+        elif cmd == 7:
+            raise ValueError("ClosePath is illegal in a LINESTRING stream")
+        else:
+            raise ValueError(f"unknown geometry command {cmd}")
+    return parts
+
+
 def _decode_layers(buf: bytes) -> list[dict]:
     """Shared layer/feature walk; features kept raw as
     (fid, gtype, geometry varint list)."""
@@ -268,6 +344,23 @@ def decode_point_tile(buf: bytes) -> dict:
             if not ints or ints[0] != 9:
                 raise ValueError("expected single MoveTo point geometry")
             feats.append((fid, _unzigzag(ints[1]), _unzigzag(ints[2])))
+        layer["features"] = feats
+    return {"layers": layers}
+
+
+def decode_line_tile(buf: bytes) -> dict:
+    """Parse one MVT tile (linestring layers only). Returns
+    {"layers": [{"name", "extent", "version", "features":
+    [(id, parts)]}]} with parts of absolute (x, y) vertices."""
+    layers = _decode_layers(buf)
+    for layer in layers:
+        feats = []
+        for fid, gtype, ints in layer["features"]:
+            if gtype != 2:
+                raise NotImplementedError(
+                    f"geometry type {gtype} in a linestring layer (LINESTRING only)"
+                )
+            feats.append((fid, _parse_parts(ints)))
         layer["features"] = feats
     return {"layers": layers}
 

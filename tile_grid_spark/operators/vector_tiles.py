@@ -28,8 +28,10 @@ from ..core.tms import Tms
 from ..functions.grid_cols import mercator_x, mercator_y, xy_tile_x, xy_tile_y
 from ..functions.mvt import (
     DEFAULT_EXTENT,
+    decode_line_tile,
     decode_point_tile,
     decode_poly_tile,
+    encode_line_tile,
     encode_point_tile,
     encode_poly_tile,
 )
@@ -192,6 +194,120 @@ def encode_bbox_poly_tiles(
     return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
 
 
+def encode_path_tiles(
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "tid",
+    order_col: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+    extent: int = DEFAULT_EXTENT,
+    layer: str = "lines",
+    max_features_per_tile: int = 2_000_000,
+) -> DataFrame:
+    """Ordered trajectories -> LINESTRING MVT binaries, one row per tile
+    a path visits. Semantics are VERTEX-RUN tiling, not geometric
+    clipping: a trajectory is split into maximal runs of consecutive
+    vertices that land in the same tile, each surviving run (>= 2
+    vertices) becomes one part of that tile's feature for the
+    trajectory, and the segment that crosses a tile border is drawn in
+    neither tile. That keeps every step pure column math + two window
+    functions a SQL oracle replays verbatim (no line/edge intersection),
+    and is the standard cheap trajectory-tiling trade renderers accept
+    at high zooms. A path that re-enters a tile yields a multi-part
+    (MULTILINESTRING) feature — the spec's repeated MoveTo/LineTo stream
+    (functions/mvt.encode_line_tile).
+
+    Scale shape: one exchange for the per-trajectory windows (hash by
+    `id_col` — trajectories are the natural partition key and fit
+    executors by construction), then the same groupBy-tile exchange any
+    per-tile sink needs; only (tile, id, run, seq, px, py) ints ever
+    shuffle. Runs shorter than 2 vertices are dropped inside the tile
+    build (no extra window pass). Reference addressing: tile/local
+    coords re-derive /root/reference/src/tms.rs xy_tile + xy_bounds
+    semantics, as in encode_point_tiles."""
+    from pyspark.sql import Window
+
+    p = tms.zoom_params(zoom)
+    srid = tms.crs().as_srid()
+    if srid == 3857:
+        gx, gy = mercator_x(lon), mercator_y(lat)
+    elif srid == 4326:
+        gx, gy = F.col(lon), F.col(lat)
+    else:
+        raise ValueError(f"encode_path_tiles supports EPSG:3857/4326, got {tms.crs()}")
+    span_x = p.resolution * float(p.tile_width)
+    span_y = p.resolution * float(p.tile_height)
+
+    def local(g, origin, span, tile, flip):
+        frac = (F.lit(origin) - g) / F.lit(span) if flip else (g - F.lit(origin)) / F.lit(span)
+        raw = F.floor((frac - tile) * F.lit(float(extent)))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(extent - 1)).cast("int")
+
+    staged = points.withColumns({"_gx": gx, "_gy": gy})
+    staged = staged.withColumns(
+        {
+            "tile_x": xy_tile_x(F.col("_gx"), p),
+            "tile_y": xy_tile_y(F.col("_gy"), p),
+        }
+    )
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    # first row of a trajectory (lag null) starts run 1, as does every
+    # tile change; the cumulative sum is the run index
+    chg = (
+        F.coalesce(
+            (F.lag("tile_x").over(w) != F.col("tile_x"))
+            | (F.lag("tile_y").over(w) != F.col("tile_y")),
+            F.lit(True),
+        )
+    ).cast("int")
+    staged = staged.withColumn("_chg", chg).withColumn(
+        "run_id", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    rows = staged.select(
+        "tile_x",
+        "tile_y",
+        F.col(id_col).alias("fid"),
+        "run_id",
+        F.col(order_col).alias("vseq"),
+        local(F.col("_gx"), p.origin_x, span_x, F.col("tile_x"), False).alias("px"),
+        local(F.col("_gy"), p.origin_y, span_y, F.col("tile_y"), True).alias("py"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_features_per_tile:
+            raise ValueError(
+                f"tile ({pdf.tile_x.iloc[0]},{pdf.tile_y.iloc[0]}) has "
+                f"{len(pdf)} vertices > max_features_per_tile="
+                f"{max_features_per_tile} — roll up before encoding"
+            )
+        pdf = pdf.sort_values(["fid", "run_id", "vseq"])
+        feats = []
+        for fid, g in pdf.groupby("fid", sort=True):
+            parts = [
+                [(int(x), int(y)) for x, y in zip(r.px, r.py)]
+                for _, r in g.groupby("run_id", sort=True)
+                if len(r) >= 2
+            ]
+            if parts:
+                feats.append((int(fid), parts))
+        if not feats:
+            return pd.DataFrame(
+                {"tile_x": [], "tile_y": [], "n_features": [], "mvt": []}
+            ).astype({"tile_x": "int64", "tile_y": "int64", "n_features": "int32"})
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_features": [len(feats)],
+                "mvt": [encode_line_tile(feats, layer, extent)],
+            }
+        )
+
+    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+
+
 DECODED_SCHEMA = (
     "tile_x BIGINT, tile_y BIGINT, n_features INT, min_id BIGINT, "
     "max_id BIGINT, sum_px BIGINT, sum_py BIGINT, extent INT"
@@ -262,4 +378,46 @@ def decode_poly_stats(tiles: DataFrame) -> DataFrame:
 
     return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
         run, POLY_DECODED_SCHEMA
+    )
+
+
+LINE_DECODED_SCHEMA = (
+    "tile_x BIGINT, tile_y BIGINT, n_features INT, n_parts INT, "
+    "n_vertices INT, min_id BIGINT, max_id BIGINT, sum_px BIGINT, "
+    "sum_py BIGINT, extent INT"
+)
+
+
+def decode_line_stats(tiles: DataFrame) -> DataFrame:
+    """Linestring twin of decode_poly_stats: re-parse the MoveTo/LineTo
+    command streams (cumulative deltas across parts) and aggregate the
+    absolute vertices the bytes encode — the oracle re-derives the same
+    quantities from the quantization + run-split windows, so a delta,
+    part-boundary, or wire bug mismatches on values."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in (
+                "tile_x", "tile_y", "n_features", "n_parts", "n_vertices",
+                "min_id", "max_id", "sum_px", "sum_py", "extent",
+            )}
+            for tx, ty, payload in zip(b["tile_x"], b["tile_y"], b["mvt"]):
+                d = decode_line_tile(bytes(payload))
+                (layer,) = d["layers"]
+                fs = layer["features"]
+                verts = [v for _, parts in fs for part in parts for v in part]
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["n_features"].append(len(fs))
+                out["n_parts"].append(sum(len(parts) for _, parts in fs))
+                out["n_vertices"].append(len(verts))
+                out["min_id"].append(min(f[0] for f in fs))
+                out["max_id"].append(max(f[0] for f in fs))
+                out["sum_px"].append(sum(v[0] for v in verts))
+                out["sum_py"].append(sum(v[1] for v in verts))
+                out["extent"].append(int(layer["extent"]))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
+        run, LINE_DECODED_SCHEMA
     )
