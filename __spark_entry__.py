@@ -873,6 +873,44 @@ def q_vector_tiles_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_line_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker trajectory simplification (operators/simplify):
+    the same closed-form per-user walks as vector_tiles_line, simplified
+    at 0.5 deg tolerance in lon/lat space — one hash exchange on the
+    trajectory key, iterative-stack RDP kernel per trajectory. The
+    oracle replays RDP itself as a recursive CTE (segment splitting at
+    the argmax-distance vertex, strict > tol, ties to the lowest seq),
+    with the distance formula in the identical operand order, so the
+    kept-vertex SETS are compared bit-for-bit — a full-value oracle for
+    an iterative geometry algorithm."""
+    from pyspark.sql import Window
+
+    from tile_grid_spark.operators.simplify import simplify_paths
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("tid"), "event_id"
+    )
+    ev = ev.withColumn(
+        "seq",
+        F.row_number()
+        .over(Window.partitionBy("tid").orderBy("event_id"))
+        .cast("bigint"),
+    )
+    pts = ev.select(
+        "tid",
+        "seq",
+        F.expr(_TRAJ_LON_SQL).alias("lon"),
+        F.expr(_TRAJ_LAT_SQL).alias("lat"),
+    )
+    kept = simplify_paths(pts, 0.5, x="lon", y="lat")
+    return kept.select(
+        "tid",
+        "seq",
+        (F.round("lon", 6) + F.lit(0.0)).alias("lon_r"),
+        (F.round("lat", 6) + F.lit(0.0)).alias("lat_r"),
+    ).orderBy("tid", "seq")
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM fluency scoring (functions/lm): add-k
     bigram model counted over the documents table itself, every doc
@@ -1709,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
         "vector_tiles_line": q_vector_tiles_line,
+        "path_simplify": q_path_simplify,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3273,6 +3312,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(4096 AS INT) AS extent
         FROM k WHERE rl >= 2
         GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # Douglas-Peucker replayed as a recursive CTE: seed one segment per
+    # trajectory (first, last), each iteration a LATERAL picks the
+    # farthest interior vertex from the chord (d DESC, seq ASC — the
+    # kernel's np.argmax first-max tie-break) and splits iff d > tol
+    # (strict). Kept vertices = every segment endpoint ever produced.
+    # Distance formula operand order matches operators/simplify.py
+    # exactly, so the doubles — and therefore the kept SET — agree
+    # bit-for-bit with the Spark side.
+    sql["path_simplify"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT CAST(user_id AS BIGINT) AS tid,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+          FROM events
+        ),
+        v AS (
+          SELECT tid, seq, {_TRAJ_LON_SQL} AS x, {_TRAJ_LAT_SQL} AS y
+          FROM e
+        ),
+        seg(tid, i0, i1) AS (
+          SELECT tid, MIN(seq), MAX(seq) FROM v GROUP BY tid
+          UNION ALL
+          SELECT s.tid, u.i0, u.i1
+          FROM (
+            SELECT s.tid, s.i0, s.i1, m.seq AS sp
+            FROM seg s
+            JOIN LATERAL (
+              SELECT p.seq,
+                CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0
+                     THEN sqrt((p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y))
+                     ELSE abs((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+                          / sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+                END AS d
+              FROM v p, v a, v b
+              WHERE p.tid = s.tid AND a.tid = s.tid AND b.tid = s.tid
+                AND a.seq = s.i0 AND b.seq = s.i1
+                AND p.seq > s.i0 AND p.seq < s.i1
+              ORDER BY d DESC, p.seq ASC LIMIT 1
+            ) m ON m.d > {_d(0.5)}
+          ) s, LATERAL (VALUES (s.i0, s.sp), (s.sp, s.i1)) u(i0, i1)
+        ),
+        kept AS (
+          -- explicit DISTINCT: inside a WITH RECURSIVE block DuckDB
+          -- treats this UNION as bag union, so dedup must be separate
+          SELECT DISTINCT tid, seq FROM (
+            SELECT tid, i0 AS seq FROM seg
+            UNION ALL
+            SELECT tid, i1 FROM seg
+          )
+        )
+        SELECT v.tid, v.seq,
+               round(v.x, 6) + 0.0 AS lon_r,
+               round(v.y, 6) + 0.0 AS lat_r
+        FROM v JOIN kept USING (tid, seq)
+        ORDER BY v.tid, v.seq
     """
 
     # bigram LM: the whole train+score pipeline replayed relationally;
