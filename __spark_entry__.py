@@ -873,6 +873,26 @@ def q_vector_tiles_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_line_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+def q_vector_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile pyramid rollup (operators/vector_tiles.rollup_point_tiles):
+    z5 point MVT binaries rolled up one level to z4 FROM THE CHILD
+    BINARIES ALONE (decode -> integer-halve into the parent frame ->
+    re-encode; one groupBy-parent exchange), then decoded back. The
+    oracle replays the z5 quantization and the same halving arithmetic
+    ((tile & 1) * extent/2 + p // 2) in pure SQL — a full-value check
+    through decode+re-encode+decode."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_tile_stats,
+        encode_point_tiles,
+        rollup_point_tiles,
+    )
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    tiles = encode_point_tiles(pts, WM, zoom=5, id_col="pid")
+    up = rollup_point_tiles(tiles, levels=1)
+    return decode_tile_stats(up).orderBy("tile_x", "tile_y")
+
+
 def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker trajectory simplification (operators/simplify):
     the same closed-form per-user walks as vector_tiles_line, simplified
@@ -1747,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
         "vector_tiles_line": q_vector_tiles_line,
+        "vector_tiles_pyramid": q_vector_tiles_pyramid,
         "path_simplify": q_path_simplify,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
@@ -3312,6 +3333,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(4096 AS INT) AS extent
         FROM k WHERE rl >= 2
         GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # pyramid rollup: replay the z5 quantization, then the identical
+    # integer-halving into the parent frame; aggregates group by the
+    # parent tile. `//` is DuckDB integer division (exact, like the
+    # python ints in the rollup kernel).
+    sql["vector_tiles_pyramid"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        t AS (
+          SELECT pid,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        ti AS (
+          SELECT pid, mx, my, {tx5v} AS tile_x, {ty5v} AS tile_y FROM t
+        ),
+        l AS (
+          SELECT pid, tile_x, tile_y,
+                 CAST(LEAST(GREATEST(floor(((mx - {_d(p5v.origin_x)}) / ({unit5v}) - tile_x) * 4096e0), 0), 4095) AS INT) AS px,
+                 CAST(LEAST(GREATEST(floor((({_d(p5v.origin_y)} - my) / ({unit5v}) - tile_y) * 4096e0), 0), 4095) AS INT) AS py
+          FROM ti
+        ),
+        up AS (
+          SELECT pid,
+                 tile_x // 2 AS tile_x, tile_y // 2 AS tile_y,
+                 (tile_x % 2) * 2048 + px // 2 AS px,
+                 (tile_y % 2) * 2048 + py // 2 AS py
+          FROM l
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS INT) AS n_features,
+               MIN(pid) AS min_id, MAX(pid) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM up GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 
     # Douglas-Peucker replayed as a recursive CTE: seed one segment per

@@ -423,3 +423,77 @@ class TestEncodePathTiles:
         assert all(r.n_parts >= r.n_features for r in got)
         # every kept vertex is inside its tile: run-split semantics
         assert all(r.n_vertices >= 2 * r.n_parts for r in got)
+
+
+class TestRollupPointTiles:
+    def test_matches_halving_oracle(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            encode_point_tiles,
+            rollup_point_tiles,
+        )
+
+        rng = np.random.default_rng(31)
+        n = 300
+        lon = rng.uniform(-170, 170, n)
+        lat = rng.uniform(-80, 80, n)
+        pts = spark.createDataFrame(
+            list(zip(range(n), lon.tolist(), lat.tolist())),
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        zoom, extent = 4, 4096
+        base = encode_point_tiles(pts, wm, zoom, extent=extent)
+        up = {
+            (r.tile_x, r.tile_y): r
+            for r in rollup_point_tiles(base, levels=1).collect()
+        }
+
+        # python oracle: z4 quantization (independent numpy derivation,
+        # as in TestEncodePointTiles) then the documented halving
+        p = wm.zoom_params(zoom)
+        span = p.resolution * 256.0
+        R = 6378137.0
+        mx = R * np.radians(lon)
+        my = R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(lat)))
+        fx = (mx - p.origin_x) / span
+        fy = (p.origin_y - my) / span
+        tx = np.clip(np.floor(fx), 0, p.matrix_width - 1).astype(int)
+        ty = np.clip(np.floor(fy), 0, p.matrix_height - 1).astype(int)
+        px = np.clip(np.floor((fx - tx) * extent), 0, extent - 1).astype(int)
+        py = np.clip(np.floor((fy - ty) * extent), 0, extent - 1).astype(int)
+        expect: dict = {}
+        for i in range(n):
+            key = (tx[i] >> 1, ty[i] >> 1)
+            expect.setdefault(key, []).append(
+                (i, (tx[i] & 1) * 2048 + px[i] // 2, (ty[i] & 1) * 2048 + py[i] // 2)
+            )
+        assert set(up) == set(expect)
+        for key, rows in expect.items():
+            d = decode_point_tile(bytes(up[key].mvt))
+            assert d["layers"][0]["features"] == sorted(rows)
+
+    def test_two_levels_composes(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            encode_point_tiles,
+            rollup_point_tiles,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, -150.0 + i * 11.0, -60.0 + i * 4.5) for i in range(25)],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        base = encode_point_tiles(pts, wm, 5)
+        once_twice = {
+            (r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in rollup_point_tiles(rollup_point_tiles(base), levels=1).collect()
+        }
+        direct = {
+            (r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in rollup_point_tiles(base, levels=2).collect()
+        }
+        assert once_twice == direct
+
+    def test_bad_levels_raises(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import rollup_point_tiles
+
+        with pytest.raises(ValueError, match="levels"):
+            rollup_point_tiles(spark.range(1).toDF("x"), levels=0)

@@ -421,3 +421,62 @@ def decode_line_stats(tiles: DataFrame) -> DataFrame:
     return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
         run, LINE_DECODED_SCHEMA
     )
+
+
+def rollup_point_tiles(tiles: DataFrame, levels: int = 1, layer: str = "points") -> DataFrame:
+    """One pyramid step (applied `levels` times): z -> z-1 POINT MVT
+    tiles built purely from the CHILD BINARIES — decode each child's
+    features, re-quantize into the parent's pixel frame, merge the <= 4
+    children, re-encode. Tile-store maintenance without re-reading base
+    data: the shape a serving pyramid refresh needs (children are
+    already materialized; the base table may be 100 TB away).
+
+    The parent-local coordinate is exact integer halving:
+      px' = (child_x & 1) * (extent/2) + px // 2
+    which equals floor(frac_parent * extent) whenever the TMS halves
+    resolutions exactly between zooms (computed custom TMS; for
+    JSON-loaded WebMercatorQuad the decimal-rounded denominators can be
+    1 ulp off the direct z-1 quantization — same caveat as the
+    multizoom quadtree fast path, see functions/grid_cols). Duplicate
+    feature ids across children are kept (same id may appear once per
+    child); features sort by (id, px, py) for deterministic bytes.
+
+    Scale shape: ONE exchange per level (groupBy parent tile, <= 4 rows
+    per group); decode/encode run where the rows land via applyInPandas.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        extent = DEFAULT_EXTENT
+        for tx, ty, payload in zip(pdf.tile_x, pdf.tile_y, pdf.mvt):
+            (lyr,) = decode_point_tile(bytes(payload))["layers"]
+            extent = lyr["extent"]
+            half = extent // 2
+            ox = (int(tx) & 1) * half
+            oy = (int(ty) & 1) * half
+            feats += [
+                (fid, ox + px // 2, oy + py // 2) for fid, px, py in lyr["features"]
+            ]
+        feats.sort()
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.ptx.iloc[0])],
+                "tile_y": [int(pdf.pty.iloc[0])],
+                "n_features": [len(feats)],
+                "mvt": [encode_point_tile(feats, layer, extent)],
+            }
+        )
+
+    out = tiles
+    for _ in range(levels):
+        parented = out.select(
+            "tile_x",
+            "tile_y",
+            "mvt",
+            F.shiftright("tile_x", 1).alias("ptx"),
+            F.shiftright("tile_y", 1).alias("pty"),
+        )
+        out = parented.groupBy("ptx", "pty").applyInPandas(build, TILES_SCHEMA)
+    return out
