@@ -873,6 +873,37 @@ def q_vector_tiles_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_line_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+# shared Spark/DuckDB attribute synthesis for the tag-dictionary query
+# (identical SQL text both sides; DuckDB accepts STRING as VARCHAR)
+_SEG_SQL = "concat('s', CAST(c_custkey % 5 AS STRING))"
+_WGT_SQL = "CAST(c_custkey % 97 AS BIGINT)"
+
+
+def q_vector_tiles_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT tag dictionaries (functions/mvt + encode_point_tiles
+    attr_cols): customer points encoded at z5 WITH attributes — a string
+    category and an int64 weight carried as the spec's layer-level
+    key/value dictionaries + per-feature packed index pairs — then
+    re-PARSED; per-tile aggregates OF THE TAGS the bytes contain
+    (attribute sum, distinct categories, lexicographic max) are
+    hash-compared against the oracle's relational re-derivation, so a
+    dictionary-index, value-typing, or tag-pair bug mismatches."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_attr_stats,
+        encode_point_tiles,
+    )
+
+    pts = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        F.expr(_lon_sql("c_custkey")).alias("lon"),
+        F.expr(_lat_sql("c_custkey")).alias("lat"),
+        F.expr(_SEG_SQL).alias("seg"),
+        F.expr(_WGT_SQL).alias("wgt"),
+    )
+    tiles = encode_point_tiles(pts, WM, zoom=5, id_col="pid", attr_cols=("seg", "wgt"))
+    return decode_attr_stats(tiles, "wgt", "seg").orderBy("tile_x", "tile_y")
+
+
 def q_vector_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-tile pyramid rollup (operators/vector_tiles.rollup_point_tiles):
     z5 point MVT binaries rolled up one level to z4 FROM THE CHILD
@@ -1768,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles_poly": q_vector_tiles_poly,
         "vector_tiles_line": q_vector_tiles_line,
         "vector_tiles_pyramid": q_vector_tiles_pyramid,
+        "vector_tiles_attrs": q_vector_tiles_attrs,
         "path_simplify": q_path_simplify,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
@@ -3333,6 +3365,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(4096 AS INT) AS extent
         FROM k WHERE rl >= 2
         GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # tag dictionaries: per-tile aggregates of what the TAGS contain,
+    # re-derived relationally (tile assignment only — the stats don't
+    # touch local coords); attribute synthesis text is shared with the
+    # Spark query (_SEG_SQL/_WGT_SQL)
+    sql["vector_tiles_attrs"] = f"""
+        WITH pts AS (
+          SELECT c_custkey AS pid,
+                 {_lon_sql('c_custkey')} AS lon,
+                 {_lat_sql('c_custkey')} AS lat,
+                 {_SEG_SQL} AS seg,
+                 {_WGT_SQL} AS wgt
+          FROM customer
+        ),
+        t AS (
+          SELECT pid, seg, wgt,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        ti AS (
+          SELECT pid, seg, wgt, {tx5v} AS tile_x, {ty5v} AS tile_y FROM t
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS INT) AS n_features,
+               MIN(pid) AS min_id, MAX(pid) AS max_id,
+               CAST(SUM(wgt) AS BIGINT) AS sum_attr,
+               CAST(COUNT(DISTINCT seg) AS INT) AS n_cats,
+               MAX(seg) AS max_cat,
+               CAST(4096 AS INT) AS extent
+        FROM ti GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 
     # pyramid rollup: replay the z5 quantization, then the identical

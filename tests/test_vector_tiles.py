@@ -497,3 +497,66 @@ class TestRollupPointTiles:
 
         with pytest.raises(ValueError, match="levels"):
             rollup_point_tiles(spark.range(1).toDF("x"), levels=0)
+
+
+class TestMvtTags:
+    def test_codec_roundtrip_and_dictionary_dedup(self):
+        from tile_grid_spark.functions.mvt import decode_point_tile, encode_point_tile
+
+        feats = [(1, 10, 20), (2, 30, 40), (3, 50, 60)]
+        attrs = [
+            {"cat": "web", "n": 5},
+            {"cat": "web", "n": -7, "score": 0.25},
+            {"ok": True},
+        ]
+        b = encode_point_tile(feats, "pts", 4096, attrs=attrs)
+        (layer,) = decode_point_tile(b, with_attrs=True)["layers"]
+        assert layer["features"] == [f + (a,) for f, a in zip(feats, attrs)]
+        # dictionaries: keys first-seen (sorted within a feature),
+        # values deduped ("web" once); bool is not conflated with int 1
+        assert layer["keys"] == ["cat", "n", "score", "ok"]
+        assert layer["values"] == ["web", 5, -7, 0.25, True]
+        # default decode keeps the legacy 3-tuple contract
+        assert decode_point_tile(b)["layers"][0]["features"] == feats
+        # attr-less encode is byte-identical to the pre-tags encoder
+        assert encode_point_tile(feats, "pts", 4096) == encode_point_tile(
+            feats, "pts", 4096, attrs=None
+        )
+
+    def test_value_types_and_int64_negatives(self):
+        from tile_grid_spark.functions.mvt import decode_point_tile, encode_point_tile
+
+        attrs = [{"i": -(1 << 40), "f": -2.5, "s": "", "b": False}]
+        b = encode_point_tile([(9, 0, 0)], "a", attrs=attrs)
+        (layer,) = decode_point_tile(b, with_attrs=True)["layers"]
+        got = layer["features"][0][3]
+        assert got == attrs[0]
+        assert isinstance(got["b"], bool) and isinstance(got["i"], int)
+
+    def test_attrs_length_mismatch_raises(self):
+        from tile_grid_spark.functions.mvt import encode_point_tile
+
+        with pytest.raises(ValueError, match="parallel"):
+            encode_point_tile([(1, 0, 0)], "a", attrs=[{}, {}])
+
+    def test_operator_attr_cols(self, spark, wm):
+        from tile_grid_spark.functions.mvt import decode_point_tile
+        from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+        pts = spark.createDataFrame(
+            [
+                (1, 10.0, 10.0, "a", 5),
+                (2, 10.2, 10.2, "b", None),   # null int attr elided
+                (3, 120.0, -40.0, None, 7),   # null str attr elided
+            ],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE, seg STRING, wgt BIGINT",
+        )
+        tiles = encode_point_tiles(pts, wm, 2, attr_cols=("seg", "wgt"))
+        feats = {}
+        for r in tiles.collect():
+            (layer,) = decode_point_tile(bytes(r.mvt), with_attrs=True)["layers"]
+            for fid, _px, _py, a in layer["features"]:
+                feats[fid] = a
+        assert feats[1] == {"seg": "a", "wgt": 5}
+        assert feats[2] == {"seg": "b"}
+        assert feats[3] == {"wgt": 7}

@@ -8,10 +8,11 @@ spec 2.1 (protobuf wire format hand-rolled — varint/zigzag/len-delimited,
 same stdlib-only philosophy as the PNG/JPEG/WAV codecs).
 
 Scope: POINT, LINESTRING and POLYGON layers (feature id + geometry
-command stream, tags elided), one layer per tile. The decoder is a
-tolerant minimal protobuf walker (unknown fields skipped by wire type)
-so tests can feed it foreign streams. Tag dictionaries raise
-NotImplementedError at the seam.
+command stream), one layer per tile, plus the spec's TAG dictionaries
+on point layers (layer-level key/value tables + per-feature packed
+(key_idx, value_idx) pairs; string/int64/double/bool values). The
+decoder is a tolerant minimal protobuf walker (unknown fields skipped
+by wire type) so tests can feed it foreign streams.
 
 Wire layout (MVT 2.1):
   Tile:    field 3 = repeated Layer (len-delimited)
@@ -63,29 +64,123 @@ def _len_delim(field: int, payload: bytes) -> bytes:
     return _key(field, 2) + _varint(len(payload)) + payload
 
 
+def _encode_value(v) -> bytes:
+    """One MVT Value message (layer value-dictionary entry). Types per
+    spec 2.1 §4.1: string=1, double=3, int64=4 (plain varint, two's
+    complement for negatives — protobuf int64), bool=7."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return _key(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _key(4, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
+    if isinstance(v, float):
+        import struct
+
+        return _key(3, 1) + struct.pack("<d", v)
+    if isinstance(v, str):
+        return _len_delim(1, v.encode())
+    raise TypeError(f"unsupported MVT value type {type(v).__name__}")
+
+
+def _decode_value(buf: bytes, lo: int, hi: int):
+    """One MVT Value message -> python value. The generic _walk skips
+    fixed64 spans, so doubles (field 3, wire 1) need a manual scan."""
+    import struct
+
+    pos = lo
+    while pos < hi:
+        k = 0
+        shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            k |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = k >> 3, k & 7
+        if wire == 1:  # fixed64
+            if field == 3:
+                return struct.unpack("<d", buf[pos : pos + 8])[0]
+            pos += 8
+        elif wire == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            if field == 4:  # int64 (two's complement)
+                return v - (1 << 64) if v >= 1 << 63 else v
+            if field == 7:
+                return bool(v)
+        elif wire == 2:  # len-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            if field == 1:
+                return buf[pos : pos + ln].decode()
+            pos += ln
+        else:
+            raise ValueError(f"unsupported wire type {wire} in Value")
+    raise ValueError("empty or unsupported MVT Value message")
+
+
 def encode_point_tile(
     features: list[tuple[int, int, int]],
     layer_name: str = "points",
     extent: int = DEFAULT_EXTENT,
+    attrs: list[dict] | None = None,
 ) -> bytes:
     """One MVT tile binary from [(feature_id, px, py)] with px/py in
     tile-local integer coordinates [0, extent). Features are emitted in
-    the given order (sort upstream for deterministic bytes)."""
+    the given order (sort upstream for deterministic bytes).
+
+    `attrs`, if given, is a parallel list of {key: value} dicts emitted
+    as the spec's layer-level dictionaries (field 3 keys, field 4
+    values) + per-feature packed (key_idx, value_idx) tag pairs (feature
+    field 2). Dictionary order is first-seen over the emitted feature
+    order with keys iterated sorted — deterministic for sorted input."""
+    if attrs is not None and len(attrs) != len(features):
+        raise ValueError("attrs must parallel features")
+    keys: dict[str, int] = {}
+    vals: dict[tuple, int] = {}  # (type_tag, value) -> idx; bool != int
     feats = bytearray()
-    for fid, px, py in features:
+    for i, (fid, px, py) in enumerate(features):
         if not (0 <= px < extent and 0 <= py < extent):
             raise ValueError(f"point ({px},{py}) outside extent {extent}")
         geom = _varint(9) + _varint(_zigzag(px)) + _varint(_zigzag(py))
-        body = (
-            _key(1, 0) + _varint(fid)
-            + _key(3, 0) + _varint(1)  # POINT
-            + _len_delim(4, geom)
-        )
-        feats += _len_delim(2, body)
+        tags = bytearray()
+        if attrs is not None and attrs[i]:
+            for k in sorted(attrs[i]):
+                v = attrs[i][k]
+                ki = keys.setdefault(k, len(keys))
+                vi = vals.setdefault((type(v).__name__, v), len(vals))
+                tags += _varint(ki) + _varint(vi)
+        body = bytearray(_key(1, 0) + _varint(fid))
+        if tags:
+            body += _len_delim(2, bytes(tags))
+        body += _key(3, 0) + _varint(1)  # POINT
+        body += _len_delim(4, geom)
+        feats += _len_delim(2, bytes(body))
+    dicts = bytearray()
+    for k in keys:
+        dicts += _len_delim(3, k.encode())
+    for (_t, v) in vals:
+        dicts += _len_delim(4, _encode_value(v))
     layer = (
         _key(15, 0) + _varint(2)
         + _len_delim(1, layer_name.encode())
         + _key(5, 0) + _varint(extent)
+        + bytes(dicts)
         + bytes(feats)
     )
     return _len_delim(3, layer)
@@ -298,7 +393,8 @@ def _parse_parts(ints: list[int]) -> list[list[tuple[int, int]]]:
 
 def _decode_layers(buf: bytes) -> list[dict]:
     """Shared layer/feature walk; features kept raw as
-    (fid, gtype, geometry varint list)."""
+    (fid, gtype, geometry varint list, tag varint list); layer key and
+    value dictionaries decoded into "keys"/"values" lists."""
     layers = []
     for field, wire, span in _walk(buf, 0, len(buf)):
         if field != 3 or wire != 2:
@@ -306,44 +402,73 @@ def _decode_layers(buf: bytes) -> list[dict]:
         ls, le = span
         name, extent, version = "", DEFAULT_EXTENT, None
         feats = []
+        keys: list[str] = []
+        values: list = []
         for lf, lw, lv in _walk(buf, ls, le):
             if lf == 1 and lw == 2:
                 name = buf[lv[0] : lv[1]].decode()
+            elif lf == 3 and lw == 2:
+                keys.append(buf[lv[0] : lv[1]].decode())
+            elif lf == 4 and lw == 2:
+                values.append(_decode_value(buf, lv[0], lv[1]))
             elif lf == 5 and lw == 0:
                 extent = lv
             elif lf == 15 and lw == 0:
                 version = lv
             elif lf == 2 and lw == 2:
-                fid, gtype, geom = None, None, []
+                fid, gtype, geom, tags = None, None, [], []
                 for ff, fw, fv in _walk(buf, lv[0], lv[1]):
                     if ff == 1 and fw == 0:
                         fid = fv
+                    elif ff == 2 and fw == 2:
+                        tags = _varints(buf, fv[0], fv[1])
                     elif ff == 3 and fw == 0:
                         gtype = fv
                     elif ff == 4 and fw == 2:
                         geom = _varints(buf, fv[0], fv[1])
-                feats.append((fid, gtype, geom))
+                feats.append((fid, gtype, geom, tags))
         layers.append(
-            {"name": name, "extent": extent, "version": version, "features": feats}
+            {
+                "name": name,
+                "extent": extent,
+                "version": version,
+                "keys": keys,
+                "values": values,
+                "features": feats,
+            }
         )
     return layers
 
 
-def decode_point_tile(buf: bytes) -> dict:
+def _tags_to_attrs(layer: dict, tags: list[int]) -> dict:
+    """Packed (key_idx, value_idx) pairs -> {key: value} via the layer
+    dictionaries."""
+    if len(tags) % 2:
+        raise ValueError("feature tags must be (key, value) index pairs")
+    keys, values = layer["keys"], layer["values"]
+    return {keys[tags[i]]: values[tags[i + 1]] for i in range(0, len(tags), 2)}
+
+
+def decode_point_tile(buf: bytes, with_attrs: bool = False) -> dict:
     """Parse one MVT tile (point layers only). Returns
-    {"layers": [{"name", "extent", "version", "features":
-    [(id, px, py)]}]}. Non-point geometry types raise."""
+    {"layers": [{"name", "extent", "version", "keys", "values",
+    "features": [(id, px, py)]}]}. With `with_attrs`, features are
+    (id, px, py, {key: value}) resolved through the layer dictionaries.
+    Non-point geometry types raise."""
     layers = _decode_layers(buf)
     for layer in layers:
         feats = []
-        for fid, gtype, ints in layer["features"]:
+        for fid, gtype, ints, tags in layer["features"]:
             if gtype != 1:
                 raise NotImplementedError(
                     f"geometry type {gtype} unavailable in-sandbox (POINT only)"
                 )
             if not ints or ints[0] != 9:
                 raise ValueError("expected single MoveTo point geometry")
-            feats.append((fid, _unzigzag(ints[1]), _unzigzag(ints[2])))
+            row = (fid, _unzigzag(ints[1]), _unzigzag(ints[2]))
+            if with_attrs:
+                row += (_tags_to_attrs(layer, tags),)
+            feats.append(row)
         layer["features"] = feats
     return {"layers": layers}
 
@@ -355,7 +480,7 @@ def decode_line_tile(buf: bytes) -> dict:
     layers = _decode_layers(buf)
     for layer in layers:
         feats = []
-        for fid, gtype, ints in layer["features"]:
+        for fid, gtype, ints, _tags in layer["features"]:
             if gtype != 2:
                 raise NotImplementedError(
                     f"geometry type {gtype} in a linestring layer (LINESTRING only)"
@@ -373,7 +498,7 @@ def decode_poly_tile(buf: bytes) -> dict:
     layers = _decode_layers(buf)
     for layer in layers:
         feats = []
-        for fid, gtype, ints in layer["features"]:
+        for fid, gtype, ints, _tags in layer["features"]:
             if gtype != 3:
                 raise NotImplementedError(
                     f"geometry type {gtype} in a polygon layer (POLYGON only)"

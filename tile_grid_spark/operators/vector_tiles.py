@@ -50,12 +50,18 @@ def encode_point_tiles(
     extent: int = DEFAULT_EXTENT,
     layer: str = "points",
     max_features_per_tile: int = 2_000_000,
+    attr_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, lon, lat) -> one row per non-empty tile at `zoom`:
     (tile_x, tile_y, n_features, mvt). Features are sorted by id inside
     each tile, so the binaries are deterministic. Local coordinates are
     floor((frac_within_tile) * extent) clamped to [0, extent-1] — the
-    formula a SQL oracle replays verbatim."""
+    formula a SQL oracle replays verbatim.
+
+    `attr_cols` columns ride the shuffle and land in the payload as the
+    spec's tag dictionaries (per-layer key/value tables, per-feature
+    index pairs; string/int64/double/bool). Null attribute values are
+    elided from that feature's tags."""
     p = tms.zoom_params(zoom)
     srid = tms.crs().as_srid()
     if srid == 3857:
@@ -81,12 +87,30 @@ def encode_point_tiles(
             "tile_y": xy_tile_y(F.col("_gy"), p),
         }
     )
+    from pyspark.sql import types as T
+
+    attr_casts = {
+        c: (
+            int
+            if isinstance(
+                points.schema[c].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
+            else bool
+            if isinstance(points.schema[c].dataType, T.BooleanType)
+            else float
+            if isinstance(points.schema[c].dataType, (T.FloatType, T.DoubleType))
+            else None
+        )
+        for c in attr_cols
+    }
     rows = staged.select(
         "tile_x",
         "tile_y",
         F.col(id_col).alias("fid"),
         local(F.col("_gx"), p.origin_x, span_x, F.col("tile_x"), False).alias("px"),
         local(F.col("_gy"), p.origin_y, span_y, F.col("tile_y"), True).alias("py"),
+        *[F.col(c) for c in attr_cols],
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -98,12 +122,35 @@ def encode_point_tiles(
             )
         pdf = pdf.sort_values("fid")
         feats = [(int(f), int(x), int(y)) for f, x, y in zip(pdf.fid, pdf.px, pdf.py)]
+        attrs = None
+        if attr_cols:
+            # nullable integral/bool columns arrive in pandas as float64
+            # (NaN for null) — restore the declared Spark type so the
+            # codec's int/bool/float/str switch sees python natives;
+            # null and NaN are both elided from the feature's tags
+            import math as _math
+
+            def _clean(c: str) -> list:
+                cast = attr_casts[c]
+                out = []
+                for v in pdf[c].tolist():
+                    if v is None or (isinstance(v, float) and _math.isnan(v)):
+                        out.append(None)
+                    else:
+                        out.append(cast(v) if cast else v)
+                return out
+
+            cols = {c: _clean(c) for c in attr_cols}
+            attrs = [
+                {c: cols[c][i] for c in attr_cols if cols[c][i] is not None}
+                for i in range(len(pdf))
+            ]
         return pd.DataFrame(
             {
                 "tile_x": [int(pdf.tile_x.iloc[0])],
                 "tile_y": [int(pdf.tile_y.iloc[0])],
                 "n_features": [len(feats)],
-                "mvt": [encode_point_tile(feats, layer, extent)],
+                "mvt": [encode_point_tile(feats, layer, extent, attrs=attrs)],
             }
         )
 
@@ -480,3 +527,43 @@ def rollup_point_tiles(tiles: DataFrame, levels: int = 1, layer: str = "points")
         )
         out = parented.groupBy("ptx", "pty").applyInPandas(build, TILES_SCHEMA)
     return out
+
+
+ATTR_DECODED_SCHEMA = (
+    "tile_x BIGINT, tile_y BIGINT, n_features INT, min_id BIGINT, "
+    "max_id BIGINT, sum_attr BIGINT, n_cats INT, max_cat STRING, extent INT"
+)
+
+
+def decode_attr_stats(tiles: DataFrame, int_key: str, str_key: str) -> DataFrame:
+    """Attribute twin of decode_tile_stats: re-parse the binaries WITH
+    the tag dictionaries and aggregate what the tags contain — the sum
+    of an int64 attribute, the distinct count and lexicographic max of a
+    string attribute — so a dictionary-index, value-typing, or tag-pair
+    bug mismatches against the oracle's relational re-derivation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in (
+                "tile_x", "tile_y", "n_features", "min_id", "max_id",
+                "sum_attr", "n_cats", "max_cat", "extent",
+            )}
+            for tx, ty, payload in zip(b["tile_x"], b["tile_y"], b["mvt"]):
+                d = decode_point_tile(bytes(payload), with_attrs=True)
+                (layer,) = d["layers"]
+                fs = layer["features"]
+                cats = sorted({f[3][str_key] for f in fs if str_key in f[3]})
+                out["tile_x"].append(int(tx))
+                out["tile_y"].append(int(ty))
+                out["n_features"].append(len(fs))
+                out["min_id"].append(min(f[0] for f in fs))
+                out["max_id"].append(max(f[0] for f in fs))
+                out["sum_attr"].append(sum(f[3].get(int_key, 0) for f in fs))
+                out["n_cats"].append(len(cats))
+                out["max_cat"].append(cats[-1] if cats else None)
+                out["extent"].append(int(layer["extent"]))
+            yield pd.DataFrame(out)
+
+    return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
+        run, ATTR_DECODED_SCHEMA
+    )
