@@ -878,6 +878,54 @@ def q_vector_tiles_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG_SQL = "concat('s', CAST(c_custkey % 5 AS STRING))"
 _WGT_SQL = "CAST(c_custkey % 97 AS BIGINT)"
 
+# deterministic PII injection for the scrubbing query (every 3rd doc
+# gains one email, one IPv4, one phone) — shared SQL text both sides
+_PII_DOC_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS STRING) || '@mail.example.com via 10.0.' || "
+    "CAST(doc_id % 256 AS STRING) || '.7 or +1 555 010 ' || "
+    "CAST(1000 + doc_id % 9000 AS STRING) ELSE text END"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora (functions/text.with_pii_scrubbed):
+    emails/IPv4s/phone-ish digit runs replaced with typed placeholders,
+    counts taken on the original text — a zero-shuffle native-regexp
+    mapper. The oracle applies the SAME patterns with RE2 ('g' flag);
+    the full scrubbed text is value-hashed, so any dialect divergence
+    on these patterns would mismatch."""
+    from tile_grid_spark.functions.text import with_pii_scrubbed
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_DOC_SQL).alias("text")
+    )
+    return (
+        with_pii_scrubbed(d)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+        .orderBy("doc_id")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (operators/decontaminate): an eval
+    corpus synthesized as 12-token prefixes of every 7th document (new
+    ids), then every training doc sharing a distinct 5-gram with ANY
+    eval doc is reported with its collision counts. Both sides explode
+    to distinct (doc, shingle) pairs through staged token columns; the
+    join key is the shingle string, so the oracle replays the whole
+    pipeline relationally."""
+    from tile_grid_spark.operators.decontaminate import contamination_stats
+
+    train = read_table(spark, sf_dir, "documents")
+    test = train.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(trim(lower(text)), '\\\\s+'), 1, 12), ' ')"
+        ).alias("text"),
+    )
+    return contamination_stats(train, test, n=5).orderBy("train_id")
+
 
 def q_vector_tiles_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVT tag dictionaries (functions/mvt + encode_point_tiles
@@ -1801,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_tiles_pyramid": q_vector_tiles_pyramid,
         "vector_tiles_attrs": q_vector_tiles_attrs,
         "path_simplify": q_path_simplify,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3365,6 +3415,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(4096 AS INT) AS extent
         FROM k WHERE rl >= 2
         GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # PII scrubbing: identical patterns, RE2 with 'g'; the scrubbed
+    # text itself is hashed
+    from tile_grid_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    sql["pii_scrub"] = f"""
+        WITH d AS (SELECT doc_id, {_PII_DOC_SQL} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_RE}', '<IP>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+        FROM d ORDER BY doc_id
+    """
+
+    # decontamination: both corpora exploded to distinct (doc, 5-gram)
+    # pairs with the word_shingles tokenization (lower/trim/\s+ split;
+    # < n tokens -> the whole text as one shingle), joined on the
+    # shingle string
+    sql["decontaminate"] = """
+        WITH tr_toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ),
+        te_base AS (
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(string_split_regex(trim(lower(text)), '\\s+')[1:12], ' ') AS text
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        te_toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM te_base
+        ),
+        tr_ng AS (
+          SELECT doc_id AS train_id, unnest(list_distinct(
+            CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+            END)) AS ng
+          FROM tr_toks
+        ),
+        te_ng AS (
+          SELECT doc_id AS test_id, unnest(list_distinct(
+            CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                 ELSE list_transform(range(1, len(t) - 3),
+                                     i -> array_to_string(t[i:i+4], ' '))
+            END)) AS ng
+          FROM te_toks
+        )
+        SELECT train_id,
+               CAST(COUNT(DISTINCT ng) AS BIGINT) AS n_shared_ngrams,
+               CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_test_docs
+        FROM tr_ng JOIN te_ng USING (ng)
+        GROUP BY train_id
+        HAVING COUNT(DISTINCT ng) >= 1
+        ORDER BY train_id
     """
 
     # tag dictionaries: per-tile aggregates of what the TAGS contain,

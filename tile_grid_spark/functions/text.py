@@ -447,3 +447,32 @@ def with_rolling_fingerprints(
     return staged.withColumn(
         out, _rolling_from_codes(F.col("_rk_codes"), F.col("_rk_len"), window)
     ).drop("_rk_codes", "_rk_len")
+
+
+# --- PII scrubbing -----------------------------------------------------
+# Training-corpus redaction: patterns are deliberately conservative and
+# dialect-portable (Java regex on the Spark side, RE2 in the DuckDB
+# oracle agree on \d, \b, bounded repeats, character classes).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def with_pii_scrubbed(df: DataFrame, text: str = "text", out: str = "scrubbed") -> DataFrame:
+    """Adds `out` (text with emails -> <EMAIL>, IPv4s -> <IP>, phone-ish
+    digit runs -> <PHONE>, applied in that order so earlier redactions
+    cannot re-match) plus n_emails / n_ips / n_phones counted on the
+    ORIGINAL text. Pure native regexp Columns — a zero-shuffle mapper
+    that fuses into whatever scan precedes it."""
+    c = F.col(text)
+    scrub = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    scrub = F.regexp_replace(scrub, PII_IPV4_RE, "<IP>")
+    scrub = F.regexp_replace(scrub, PII_PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))),
+            "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0))),
+            "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0))),
+            out: scrub,
+        }
+    )
