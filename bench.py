@@ -390,6 +390,59 @@ def bench_connected_components(spark: SparkSession) -> dict:
     return {"sec": dt, "cc_nodes": int(n[0]), "cc_components": int(n[1])}
 
 
+MVT_ROWS = int(os.environ.get("SPARK_GRAFT_MVT_ROWS", "2000000"))
+SIMPLIFY_TRAJS = int(os.environ.get("SPARK_GRAFT_SIMPLIFY_TRAJS", "2000"))
+SIMPLIFY_STEPS = int(os.environ.get("SPARK_GRAFT_SIMPLIFY_STEPS", "200"))
+
+
+def bench_mvt_encode(spark: SparkSession) -> dict:
+    """Vector-tile production throughput: MVT_ROWS generated points
+    quantized with native Columns, ONE groupBy-tile exchange, per-tile
+    MVT binaries built in applyInPandas (z6: ~4k tiles, ~500 pts/tile —
+    the serving-pyramid mid-zoom shape)."""
+    from tile_grid_spark.operators.vector_tiles import encode_point_tiles
+
+    pts = synth_points(spark, MVT_ROWS)
+    t0 = time.time()
+    tiles = encode_point_tiles(pts, E.WM, zoom=6)
+    row = tiles.agg(
+        F.count("*").alias("n_tiles"),
+        F.sum("n_features").alias("n_feats"),
+        F.sum(F.length("mvt")).alias("bytes"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert row["n_feats"] == MVT_ROWS
+    return {"sec": dt, "mvt_points": MVT_ROWS, "mvt_tiles": int(row["n_tiles"])}
+
+
+def bench_path_simplify(spark: SparkSession) -> dict:
+    """Douglas-Peucker throughput: SIMPLIFY_TRAJS trajectories x
+    SIMPLIFY_STEPS vertices (deterministic zig-zag walks), one hash
+    exchange on the trajectory key + the per-trajectory numpy kernel."""
+    from tile_grid_spark.operators.simplify import simplify_paths
+
+    n = SIMPLIFY_TRAJS * SIMPLIFY_STEPS
+    pts = spark.range(0, n, numPartitions=CPUS * 2).select(
+        (F.col("id") / SIMPLIFY_STEPS).cast("bigint").alias("tid"),
+        F.pmod("id", F.lit(SIMPLIFY_STEPS)).alias("seq"),
+    )
+    pts = pts.withColumns(
+        {
+            "x": (F.col("tid") % 360 - 180.0)
+            + F.col("seq") * 0.01
+            + F.when(F.pmod("seq", F.lit(9)) < 5, F.pmod("seq", F.lit(9)) * 0.21)
+            .otherwise((9 - F.pmod("seq", F.lit(9))) * 0.21),
+            "y": (F.col("tid") % 140 - 70.0) + F.pmod("seq", F.lit(5)) * 0.17,
+        }
+    )
+    t0 = time.time()
+    kept = simplify_paths(pts, 0.25)
+    k = kept.count()
+    dt = time.time() - t0
+    assert 2 * SIMPLIFY_TRAJS <= k <= n
+    return {"sec": dt, "simplify_vertices": n, "simplify_kept": int(k)}
+
+
 def main() -> None:
     spark = build_session(
         "tgs-bench",
@@ -454,6 +507,8 @@ def main() -> None:
         "doc_ops": bench_docs,
         "phash_band_join": bench_phash_band_join,
         "cc_star_rounds": bench_connected_components,
+        "mvt_encode_z6": bench_mvt_encode,
+        "path_simplify": bench_path_simplify,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -485,6 +540,10 @@ def main() -> None:
             extras["phash_rows_per_sec"] = round(r["phash_rows"] / r["sec"])
         if "cc_nodes" in r:
             extras["cc_nodes_per_sec"] = round(r["cc_nodes"] / r["sec"])
+        if "mvt_points" in r:
+            extras["mvt_points_per_sec"] = round(r["mvt_points"] / r["sec"])
+        if "simplify_vertices" in r:
+            extras["simplify_vertices_per_sec"] = round(r["simplify_vertices"] / r["sec"])
     queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
