@@ -560,3 +560,36 @@ class TestMvtTags:
         assert feats[1] == {"seg": "a", "wgt": 5}
         assert feats[2] == {"seg": "b"}
         assert feats[3] == {"wgt": 7}
+
+
+class TestNewOperatorPlanShapes:
+    def test_path_tiles_two_exchanges(self, spark, wm):
+        # one hash exchange for the per-trajectory windows + the
+        # groupBy-tile exchange any per-tile sink needs — nothing else
+        from tile_grid_spark.operators.vector_tiles import encode_path_tiles
+
+        pts = spark.createDataFrame(
+            [(1, 0, 10.0, 10.0)], "tid BIGINT, seq BIGINT, lon DOUBLE, lat DOUBLE"
+        )
+        plan = (
+            encode_path_tiles(pts, wm, 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 2
+
+    def test_rollup_one_exchange_per_level(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import (
+            encode_point_tiles,
+            rollup_point_tiles,
+        )
+
+        pts = spark.createDataFrame(
+            [(1, 10.0, 10.0)], "pid BIGINT, lon DOUBLE, lat DOUBLE"
+        )
+        base = encode_point_tiles(pts, wm, 4)  # 1 exchange
+        for levels in (1, 2):
+            plan = (
+                rollup_point_tiles(base, levels)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange hashpartitioning") == 1 + levels
