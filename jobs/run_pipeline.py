@@ -272,14 +272,18 @@ def run_pipeline(
 
         # MVT feature ids are u64 in the spec; image_id is "img-%012d"
         # (datagen.py:113), so the numeric suffix is the natural fid.
+        # Format + caption length ride along as tag-dictionary attrs.
         return encode_point_tiles(
             images.select(
                 F.substring("image_id", 5, 12).cast("bigint").alias("pid"),
                 F.col("lon"),
                 F.col("lat"),
+                F.col("fmt"),
+                F.length("caption").cast("bigint").alias("caption_len"),
             ),
             wm,
             rz,
+            attr_cols=("fmt", "caption_len"),
         )
 
     r = run_stage(spark, log, "mvt", [f"z{rz}"], build_mvt)
