@@ -972,6 +972,49 @@ def q_vector_tiles_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_tile_stats(up).orderBy("tile_x", "tile_y")
 
 
+# octagon exterior (ring 0, clockwise in the y-down tile frame) + square
+# hole (ring 1) — integer offsets scaled by 1.5, so every vertex double
+# is exact and Spark/DuckDB agree bit-for-bit
+_RING_OFFSETS = [
+    (0, 0, 2.0, 1.0), (0, 1, 2.0, -1.0), (0, 2, 1.0, -2.0), (0, 3, -1.0, -2.0),
+    (0, 4, -2.0, -1.0), (0, 5, -2.0, 1.0), (0, 6, -1.0, 2.0), (0, 7, 1.0, 2.0),
+    (1, 0, 1.0, 0.0), (1, 1, 0.0, 1.0), (1, 2, -1.0, 0.0), (1, 3, 0.0, -1.0),
+]
+_RING_LON_SQL = "-160.0 + n_nationkey * 11.0 + {c7} + 1.5 * CAST(dx AS DOUBLE)"
+_RING_LAT_SQL = "-60.0 + n_nationkey * 4.0 + {c7} + 1.5 * CAST(dy AS DOUBLE)"
+
+
+def q_vector_tiles_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-ring polygon MVT production
+    (operators/vector_tiles.encode_ring_poly_tiles): nation-derived
+    octagons WITH square holes (12 vertices, 2 rings) land unclipped in
+    every z6 tile their bbox covers, encoded as REAL MVT 2.1 polygon
+    command streams (exterior + interior ring per feature, cumulative
+    deltas across rings), then re-PARSED; per-tile vertex stats are
+    hash-compared against the oracle's replay of groupBy-bbox + cover +
+    per-vertex quantization. Exercises the multi-ring encode the bbox
+    tiler cannot."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_poly_stats,
+        encode_ring_poly_tiles,
+    )
+
+    offs = spark.createDataFrame(
+        _RING_OFFSETS, "ring_idx INT, vert_idx INT, dx DOUBLE, dy DOUBLE"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    c7 = _d(1.0 / 7.0)
+    v = nat.crossJoin(F.broadcast(offs)).select(
+        F.col("n_nationkey").alias("rid"),
+        "ring_idx",
+        "vert_idx",
+        F.expr(_RING_LON_SQL.format(c7=c7)).alias("lon"),
+        F.expr(_RING_LAT_SQL.format(c7=c7)).alias("lat"),
+    )
+    tiles = encode_ring_poly_tiles(v, WM, zoom=6)
+    return decode_poly_stats(tiles).orderBy("tile_x", "tile_y")
+
+
 def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker trajectory simplification (operators/simplify):
     the same closed-form per-user walks as vector_tiles_line, simplified
@@ -1851,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_simplify": q_path_simplify,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "vector_tiles_rings": q_vector_tiles_rings,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3355,6 +3399,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n_nationkey) AS BIGINT) AS max_id,
                CAST(SUM(2 * (pxw + pxe)) AS BIGINT) AS sum_px,
                CAST(SUM(2 * (pyn + pys)) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM q GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # ring polygons: replay vertex synthesis (exact 1.5x integer
+    # offsets), per-polygon bbox, the epsilon-inset cover, and the
+    # per-vertex unclamped quantization; reuses the z6 helpers above
+    _offs_vals = ", ".join(
+        f"({r}, {v}, {dx}, {dy})" for r, v, dx, dy in _RING_OFFSETS
+    )
+    c7r = _d(1.0 / 7.0)
+    sql["vector_tiles_rings"] = f"""
+        WITH offs(ring_idx, vert_idx, dx, dy) AS (VALUES {_offs_vals}),
+        v AS (
+          SELECT n_nationkey AS rid, ring_idx, vert_idx,
+                 {_RING_LON_SQL.format(c7=c7r)} AS lon,
+                 {_RING_LAT_SQL.format(c7=c7r)} AS lat
+          FROM nation CROSS JOIN offs
+        ),
+        boxes AS (
+          SELECT rid, MIN(lon) AS minx, MIN(lat) AS miny,
+                 MAX(lon) AS maxx, MAX(lat) AS maxy
+          FROM v GROUP BY rid
+        ),
+        lims AS (
+          SELECT rid,
+                 {_cov6(_merc_x_sql(w6), _d(p6y.origin_x), False, p6y.matrix_width)} AS ul_x,
+                 {_cov6(_merc_x_sql(e6), _d(p6y.origin_x), False, p6y.matrix_width)} AS lr_x,
+                 {_cov6(_merc_y_sql(n6), _d(p6y.origin_y), True, p6y.matrix_height)} AS ul_y,
+                 {_cov6(_merc_y_sql(s6), _d(p6y.origin_y), True, p6y.matrix_height)} AS lr_y
+          FROM boxes
+        ),
+        cov AS (
+          SELECT rid, tx.tile_x, ty.tile_y
+          FROM lims,
+               LATERAL (SELECT unnest(generate_series(ul_x, lr_x)) AS tile_x) tx,
+               LATERAL (SELECT unnest(generate_series(ul_y, lr_y)) AS tile_y) ty
+        ),
+        q AS (
+          SELECT cov.rid, tile_x, tile_y,
+                 {_loc6(_merc_x_sql('v.lon'), p6y.origin_x, 'tile_x')} AS px,
+                 {_loc6(_merc_y_sql('v.lat'), p6y.origin_y, 'tile_y', flip=True)} AS py
+          FROM cov JOIN v ON v.rid = cov.rid
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(DISTINCT rid) AS INT) AS n_features,
+               CAST(COUNT(*) AS INT) AS n_vertices,
+               CAST(MIN(rid) AS BIGINT) AS min_id,
+               CAST(MAX(rid) AS BIGINT) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
                CAST(4096 AS INT) AS extent
         FROM q GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """

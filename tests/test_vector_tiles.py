@@ -593,3 +593,69 @@ class TestNewOperatorPlanShapes:
                 ._jdf.queryExecution().executedPlan().toString()
             )
             assert plan.count("Exchange hashpartitioning") == 1 + levels
+
+
+class TestEncodeRingPolyTiles:
+    def test_rings_and_holes_vs_python_oracle(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import encode_ring_poly_tiles
+
+        # two polygons: a big diamond with a square hole spanning
+        # several z3 tiles, and a small triangle inside one tile
+        polys = {
+            1: [
+                [(-40.0, 0.0), (0.0, 35.0), (40.0, 0.0), (0.0, -35.0)],
+                [(-5.0, 0.0), (0.0, 5.0), (5.0, 0.0), (0.0, -5.0)],
+            ],
+            2: [[(100.0, 10.0), (110.0, 10.0), (105.0, 20.0)]],
+        }
+        rows = [
+            (pid, ri, vi, x, y)
+            for pid, rings in polys.items()
+            for ri, ring in enumerate(rings)
+            for vi, (x, y) in enumerate(ring)
+        ]
+        v = spark.createDataFrame(
+            rows, "rid BIGINT, ring_idx INT, vert_idx INT, lon DOUBLE, lat DOUBLE"
+        )
+        zoom, extent = 3, 4096
+        got = {
+            (r.tile_x, r.tile_y): r
+            for r in encode_ring_poly_tiles(v, wm, zoom).collect()
+        }
+
+        # python oracle: epsilon-inset cover of the bbox (core library)
+        # + unclamped per-vertex quantization
+        p = wm.zoom_params(zoom)
+        span = p.resolution * 256.0
+        R = 6378137.0
+
+        def merc(lo, la):
+            return (
+                R * np.radians(lo),
+                R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(la))),
+            )
+
+        expect: dict = {}
+        for pid, rings in polys.items():
+            xs = [x for ring in rings for x, _ in ring]
+            ys = [y for ring in rings for _, y in ring]
+            cover = list(wm.tiles(min(xs), min(ys), max(xs), max(ys), [zoom], False))
+            for t in cover:
+                q_rings = []
+                for ring in rings:
+                    q = []
+                    for lo, la in ring:
+                        mx, my = merc(lo, la)
+                        px = int(np.floor(((mx - p.origin_x) / span - t.x) * extent))
+                        py = int(np.floor(((p.origin_y - my) / span - t.y) * extent))
+                        q.append((px, py))
+                    q_rings.append(q)
+                expect.setdefault((t.x, t.y), {})[pid] = q_rings
+        assert set(got) == set(expect)
+        for key, feats in expect.items():
+            d = decode_poly_tile(bytes(got[key].mvt))
+            assert d["layers"][0]["features"] == sorted(feats.items())
+        # the diamond must actually span multiple tiles and keep its hole
+        multi = [k for k, f in expect.items() if 1 in f]
+        assert len(multi) > 1
+        assert all(len(expect[k][1]) == 2 for k in multi)

@@ -567,3 +567,104 @@ def decode_attr_stats(tiles: DataFrame, int_key: str, str_key: str) -> DataFrame
     return tiles.select("tile_x", "tile_y", "mvt").mapInPandas(
         run, ATTR_DECODED_SCHEMA
     )
+
+
+def encode_ring_poly_tiles(
+    vertices: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "rid",
+    ring_col: str = "ring_idx",
+    order_col: str = "vert_idx",
+    lon: str = "lon",
+    lat: str = "lat",
+    extent: int = DEFAULT_EXTENT,
+    layer: str = "polys",
+    max_vertices_per_tile: int = 2_000_000,
+) -> DataFrame:
+    """Arbitrary-ring polygons (exploded vertex rows: one row per
+    (polygon, ring, vertex), ring 0 = exterior, later rings = holes) ->
+    polygon MVT binaries, one row per tile the polygon's BBOX covers
+    (the reference epsilon-inset cover). Rings land UNCLIPPED in every
+    covered tile — the clip-buffer convention, same as
+    encode_bbox_poly_tiles — so local coords are pure unclamped floor
+    math a SQL oracle replays. Every ring must have >= 3 vertices (the
+    codec raises otherwise).
+
+    Scale shape: per-polygon bbox via groupBy(id) min/max (exchange 1);
+    the bbox rows explode through the cover and join back to the vertex
+    rows on the SAME id key (both sides arrive hash-partitioned by id,
+    so the join adds no exchange); then the per-tile groupBy any tile
+    sink needs (exchange 2). The real cost is the honest one — each
+    polygon's vertex list replicates into each covered tile — which is
+    exactly what clip-buffer payloads require; producers simplify rings
+    first (operators/simplify) to bound it."""
+    p = tms.zoom_params(zoom)
+    srid = tms.crs().as_srid()
+    if srid == 3857:
+        to_x = lambda c: mercator_x(c)  # noqa: E731
+        to_y = lambda c: mercator_y(c)  # noqa: E731
+    elif srid == 4326:
+        to_x = to_y = F.col  # noqa: E731
+    else:
+        raise ValueError(
+            f"encode_ring_poly_tiles supports EPSG:3857/4326, got {tms.crs()}"
+        )
+    span_x = p.resolution * float(p.tile_width)
+    span_y = p.resolution * float(p.tile_height)
+
+    v = vertices.select(
+        F.col(id_col).alias("fid"),
+        F.col(ring_col).alias("ring"),
+        F.col(order_col).alias("vert"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+    )
+    boxes = v.groupBy("fid").agg(
+        F.min("_lon").alias("minx"),
+        F.min("_lat").alias("miny"),
+        F.max("_lon").alias("maxx"),
+        F.max("_lat").alias("maxy"),
+    )
+    covered = cover_bbox_geographic(boxes, tms, zoom).select("fid", "tile_x", "tile_y")
+    rows = covered.join(v, "fid").select(
+        "tile_x",
+        "tile_y",
+        "fid",
+        "ring",
+        "vert",
+        F.floor(
+            ((to_x(F.col("_lon")) - F.lit(p.origin_x)) / F.lit(span_x) - F.col("tile_x"))
+            * F.lit(float(extent))
+        ).cast("int").alias("px"),
+        F.floor(
+            ((F.lit(p.origin_y) - to_y(F.col("_lat"))) / F.lit(span_y) - F.col("tile_y"))
+            * F.lit(float(extent))
+        ).cast("int").alias("py"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_vertices_per_tile:
+            raise ValueError(
+                f"tile ({pdf.tile_x.iloc[0]},{pdf.tile_y.iloc[0]}) has "
+                f"{len(pdf)} vertices > max_vertices_per_tile="
+                f"{max_vertices_per_tile} — simplify rings before encoding"
+            )
+        pdf = pdf.sort_values(["fid", "ring", "vert"])
+        feats = []
+        for fid, g in pdf.groupby("fid", sort=True):
+            rings = [
+                [(int(x), int(y)) for x, y in zip(r.px, r.py)]
+                for _, r in g.groupby("ring", sort=True)
+            ]
+            feats.append((int(fid), rings))
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_features": [len(feats)],
+                "mvt": [encode_poly_tile(feats, layer, extent)],
+            }
+        )
+
+    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
