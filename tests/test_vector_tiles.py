@@ -659,3 +659,87 @@ class TestEncodeRingPolyTiles:
         multi = [k for k, f in expect.items() if 1 in f]
         assert len(multi) > 1
         assert all(len(expect[k][1]) == 2 for k in multi)
+
+
+class TestMvtProperties:
+    """Hypothesis round-trip properties: whatever goes in comes out —
+    ids, geometry (incl. clip-buffer negatives), typed attributes."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _coord = st.integers(min_value=-(1 << 20), max_value=(1 << 20) - 1)
+    _fid = st.integers(min_value=0, max_value=(1 << 63) - 1)
+    _val = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62)),
+        st.text(max_size=12),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    _attrs = st.dictionaries(st.text(min_size=1, max_size=8), _val, max_size=4)
+
+    @given(
+        st.lists(
+            st.tuples(
+                _fid,
+                st.integers(min_value=0, max_value=4095),
+                st.integers(min_value=0, max_value=4095),
+                _attrs,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_point_roundtrip(self, rows):
+        from tile_grid_spark.functions.mvt import decode_point_tile, encode_point_tile
+
+        feats = [(f, x, y) for f, x, y, _ in rows]
+        attrs = [a for *_, a in rows]
+        b = encode_point_tile(feats, "l", 4096, attrs=attrs)
+        (layer,) = decode_point_tile(b, with_attrs=True)["layers"]
+        assert layer["features"] == [f + (a,) for f, a in zip(feats, attrs)]
+
+    @given(
+        st.lists(
+            st.tuples(
+                _fid,
+                st.lists(
+                    st.lists(st.tuples(_coord, _coord), min_size=2, max_size=8),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_line_roundtrip(self, feats):
+        from tile_grid_spark.functions.mvt import decode_line_tile, encode_line_tile
+
+        b = encode_line_tile(feats, "l")
+        (layer,) = decode_line_tile(b)["layers"]
+        assert layer["features"] == feats
+
+    @given(
+        st.lists(
+            st.tuples(
+                _fid,
+                st.lists(
+                    st.lists(st.tuples(_coord, _coord), min_size=3, max_size=8),
+                    min_size=1,
+                    max_size=3,
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_poly_roundtrip(self, feats):
+        from tile_grid_spark.functions.mvt import decode_poly_tile, encode_poly_tile
+
+        b = encode_poly_tile(feats, "l")
+        (layer,) = decode_poly_tile(b)["layers"]
+        assert layer["features"] == feats
