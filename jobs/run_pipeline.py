@@ -287,7 +287,21 @@ def run_pipeline(
         )
 
     r = run_stage(spark, log, "mvt", [f"z{rz}"], build_mvt)
-    report("mvt", r)
+    if report("mvt", r):
+        return results
+
+    # ---- mvt_pyramid (serve the upper zooms from the child binaries) ----
+    def build_mvt_pyramid(unit: str):
+        from tile_grid_spark.operators.vector_tiles import rollup_point_tiles
+
+        levels = rz - int(unit[1:])
+        base = spark.read.parquet(os.path.join(out, "mvt", f"unit=z{rz}"))
+        return rollup_point_tiles(base, levels=levels)
+
+    up_units = [f"z{z}" for z in range(max(rz - 3, 0), rz)]
+    if up_units:
+        r = run_stage(spark, log, "mvt_pyramid", up_units, build_mvt_pyramid)
+        report("mvt_pyramid", r)
     results["_log"] = log
     return results
 

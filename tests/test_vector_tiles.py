@@ -743,3 +743,25 @@ class TestMvtProperties:
         b = encode_poly_tile(feats, "l")
         (layer,) = decode_poly_tile(b)["layers"]
         assert layer["features"] == feats
+
+
+class TestRollupPreservesAttrs:
+    def test_attrs_survive_rollup(self, spark, wm):
+        from tile_grid_spark.functions.mvt import decode_point_tile
+        from tile_grid_spark.operators.vector_tiles import (
+            encode_point_tiles,
+            rollup_point_tiles,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, -150.0 + i * 11.0, -60.0 + i * 4.5, f"s{i % 3}") for i in range(20)],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE, seg STRING",
+        )
+        base = encode_point_tiles(pts, wm, 5, attr_cols=("seg",))
+        up = rollup_point_tiles(base, levels=2)
+        got = {}
+        for r in up.collect():
+            (layer,) = decode_point_tile(bytes(r.mvt), with_attrs=True)["layers"]
+            for fid, _x, _y, a in layer["features"]:
+                got[fid] = a
+        assert got == {i: {"seg": f"s{i % 3}"} for i in range(20)}

@@ -486,7 +486,10 @@ def rollup_point_tiles(tiles: DataFrame, levels: int = 1, layer: str = "points")
     1 ulp off the direct z-1 quantization — same caveat as the
     multizoom quadtree fast path, see functions/grid_cols). Duplicate
     feature ids across children are kept (same id may appear once per
-    child); features sort by (id, px, py) for deterministic bytes.
+    child); features sort by (id, px, py) for deterministic bytes. Tag
+    attributes survive the rollup (decoded with the dictionaries and
+    re-encoded); attr-less children produce byte-identical attr-less
+    parents.
 
     Scale shape: ONE exchange per level (groupBy parent tile, <= 4 rows
     per group); decode/encode run where the rows land via applyInPandas.
@@ -495,24 +498,32 @@ def rollup_point_tiles(tiles: DataFrame, levels: int = 1, layer: str = "points")
         raise ValueError(f"levels must be >= 1, got {levels}")
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        feats = []
+        rows = []
         extent = DEFAULT_EXTENT
         for tx, ty, payload in zip(pdf.tile_x, pdf.tile_y, pdf.mvt):
-            (lyr,) = decode_point_tile(bytes(payload))["layers"]
+            (lyr,) = decode_point_tile(bytes(payload), with_attrs=True)["layers"]
             extent = lyr["extent"]
             half = extent // 2
             ox = (int(tx) & 1) * half
             oy = (int(ty) & 1) * half
-            feats += [
-                (fid, ox + px // 2, oy + py // 2) for fid, px, py in lyr["features"]
+            rows += [
+                (fid, ox + px // 2, oy + py // 2, a)
+                for fid, px, py, a in lyr["features"]
             ]
-        feats.sort()
+        rows.sort(key=lambda r: r[:3])
+        feats = [(f, x, y) for f, x, y, _ in rows]
+        attrs = [a for *_, a in rows]
         return pd.DataFrame(
             {
                 "tile_x": [int(pdf.ptx.iloc[0])],
                 "tile_y": [int(pdf.pty.iloc[0])],
                 "n_features": [len(feats)],
-                "mvt": [encode_point_tile(feats, layer, extent)],
+                "mvt": [
+                    encode_point_tile(
+                        feats, layer, extent,
+                        attrs=attrs if any(attrs) else None,
+                    )
+                ],
             }
         )
 
