@@ -802,3 +802,85 @@ class TestStreamingTileStoreRefresh:
             (8, 1, 2): (20, 100),
             (8, 2, 2): (7, 200),
         }
+
+
+class TestMvtStoreRefresh:
+    def test_batchwise_upsert_and_replay(self, spark, tmp_path, wm):
+        """Three sequential batch merges: new tiles appear, a re-sent
+        point UPDATES its feature in place, and replaying a batch leaves
+        the store bytes unchanged (foreachBatch at-least-once safety)."""
+        from tile_grid_spark.functions.mvt import decode_point_tile
+        from tile_grid_spark.streaming.stream import refresh_mvt_store
+
+        store = str(tmp_path / "mvt_store")
+        schema = "pid BIGINT, lon DOUBLE, lat DOUBLE, seg STRING"
+        b1 = spark.createDataFrame(
+            [(1, 10.0, 10.0, "a"), (2, 100.0, -40.0, "b")], schema
+        )
+        # pid 1 MOVES within its tile + changes seg; pid 3 is new
+        b2 = spark.createDataFrame(
+            [(1, 10.4, 10.4, "z"), (3, 10.1, 10.1, "c")], schema
+        )
+        refresh_mvt_store(store, b1, wm, 4, attr_cols=("seg",))
+        refresh_mvt_store(store, b2, wm, 4, attr_cols=("seg",))
+
+        def snapshot():
+            out = {}
+            for r in spark.read.parquet(store).collect():
+                (layer,) = decode_point_tile(bytes(r.mvt), with_attrs=True)["layers"]
+                for fid, px, py, a in layer["features"]:
+                    out[fid] = ((r.tile_x, r.tile_y), (px, py), a)
+            return out
+
+        got = snapshot()
+        assert set(got) == {1, 2, 3}
+        assert got[1][2] == {"seg": "z"}          # updated, not duplicated
+        assert got[3][2] == {"seg": "c"}
+        assert got[1][0] == got[3][0]             # same tile, merged
+
+        bytes_before = {
+            (r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in spark.read.parquet(store).collect()
+        }
+        refresh_mvt_store(store, b2, wm, 4, attr_cols=("seg",))  # replay
+        bytes_after = {
+            (r.tile_x, r.tile_y): bytes(r.mvt)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert bytes_before == bytes_after
+
+    def test_streaming_maintains_served_tiles(self, spark, tmp_path, wm):
+        """File-source micro-batches of points maintained into a live
+        MVT tile store across two availableNow runs on one checkpoint."""
+        import pandas as pd
+
+        from tile_grid_spark.functions.mvt import decode_point_tile
+        from tile_grid_spark.streaming.stream import stream_mvt_store_refresh
+
+        src = tmp_path / "pts"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "pid BIGINT, lon DOUBLE, lat DOUBLE"
+
+        pd.DataFrame({"pid": [1, 2], "lon": [10.0, 100.0], "lat": [10.0, -40.0]}).to_parquet(
+            src / "b0.parquet"
+        )
+
+        def run():
+            pts = spark.readStream.schema(schema).parquet(str(src))
+            q = stream_mvt_store_refresh(pts, store, ckpt, wm, 4)
+            q.awaitTermination()
+
+        run()
+        assert spark.read.parquet(store).count() == 2  # two tiles
+
+        pd.DataFrame({"pid": [3], "lon": [10.2], "lat": [10.2]}).to_parquet(
+            src / "b1.parquet"
+        )
+        run()  # picks up only the new file
+        feats = set()
+        for r in spark.read.parquet(store).collect():
+            (layer,) = decode_point_tile(bytes(r.mvt))["layers"]
+            feats |= {f[0] for f in layer["features"]}
+        assert feats == {1, 2, 3}

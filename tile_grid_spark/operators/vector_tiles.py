@@ -679,3 +679,41 @@ def encode_ring_poly_tiles(
         )
 
     return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+
+
+def merge_point_tiles(old: DataFrame, new: DataFrame, layer: str = "points") -> DataFrame:
+    """Upsert-merge two point-MVT tile sets BY FEATURE ID: for each
+    tile, decode both binaries (tags included), let the `new` side win
+    on fid collisions, re-encode sorted by fid. Union + one groupBy-tile
+    exchange (2-row groups); idempotent — re-merging the same `new` set
+    reproduces identical bytes, which is what makes the streaming
+    foreachBatch store refresh safe under at-least-once replay."""
+    tagged = old.select(
+        "tile_x", "tile_y", "mvt", F.lit(0).alias("_side")
+    ).unionByName(new.select("tile_x", "tile_y", "mvt", F.lit(1).alias("_side")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats: dict = {}
+        extent = DEFAULT_EXTENT
+        for _, r in pdf.sort_values("_side").iterrows():
+            (lyr,) = decode_point_tile(bytes(r.mvt), with_attrs=True)["layers"]
+            extent = lyr["extent"]
+            for fid, px, py, a in lyr["features"]:
+                feats[fid] = (px, py, a)
+        fids = sorted(feats)
+        rows = [(f, feats[f][0], feats[f][1]) for f in fids]
+        attrs = [feats[f][2] for f in fids]
+        return pd.DataFrame(
+            {
+                "tile_x": [int(pdf.tile_x.iloc[0])],
+                "tile_y": [int(pdf.tile_y.iloc[0])],
+                "n_features": [len(rows)],
+                "mvt": [
+                    encode_point_tile(
+                        rows, layer, extent, attrs=attrs if any(attrs) else None
+                    )
+                ],
+            }
+        )
+
+    return tagged.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)

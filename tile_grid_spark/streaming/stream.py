@@ -361,6 +361,82 @@ def stream_tile_store_refresh(
     return w.start()
 
 
+def refresh_mvt_store(
+    store_path: str,
+    points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "pid",
+    attr_cols: tuple = (),
+) -> None:
+    """Merge a batch of points into a parquet store of point-MVT tile
+    binaries: encode the batch (operators/vector_tiles.encode_point_tiles,
+    tags included), upsert-merge BY FEATURE ID into the existing tiles
+    (merge_point_tiles — the new side wins fid collisions, so a point
+    update re-renders its tile), and atomically swap the store like
+    refresh_tile_store. Replaying the same batch reproduces identical
+    bytes — the idempotence the streaming wrapper relies on. Same
+    full-rewrite caveat: a table format bounds the rewritten span with
+    partition pruning at 100 TB; the swap here is the format-free
+    equivalent."""
+    import shutil
+
+    from ..operators.vector_tiles import encode_point_tiles, merge_point_tiles
+
+    spark = points.sparkSession
+    new_tiles = encode_point_tiles(
+        points, tms, zoom, id_col=id_col, attr_cols=tuple(attr_cols)
+    )
+    if os.path.isdir(store_path):
+        merged = merge_point_tiles(spark.read.parquet(store_path), new_tiles)
+    else:
+        merged = new_tiles
+    tmp = store_path + ".tmp"
+    old = store_path + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(store_path):
+        os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def stream_mvt_store_refresh(
+    points: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "pid",
+    attr_cols: tuple = (),
+    query_name: str = "tgs_mvt_store",
+    available_now: bool = True,
+):
+    """Streaming maintenance of the SERVED artifact itself: each
+    micro-batch of (id, lon, lat[, attrs]) points re-renders exactly
+    the vector tiles it touches and swaps them into the live store.
+    Append-mode source, foreachBatch sink; idempotent under
+    at-least-once replay because the tile merge is keyed by feature id.
+    Returns the started query handle."""
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        refresh_mvt_store(
+            store_path, bdf, tms, zoom, id_col=id_col, attr_cols=attr_cols
+        )
+
+    w = (
+        points.writeStream.outputMode("append")
+        .foreachBatch(commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_to_memory_sink(counts: DataFrame, query_name: str = "tile_counts"):
     """Test helper: run the streaming aggregate into an in-memory sink
     on a 1-second trigger. Returns the query handle (callers poll the
