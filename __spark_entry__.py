@@ -1053,6 +1053,41 @@ def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tid", "seq")
 
 
+def q_simplified_line_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition: Douglas-Peucker simplification FEEDS
+    the linestring tiler (simplify_paths -> encode_path_tiles ->
+    decode_line_stats). The oracle chains both replays — the
+    recursive-CTE RDP kept-set joins back to coordinates and flows into
+    the tile/run-split windows — so the whole simplify-then-serve
+    pipeline is value-hash-gated end to end."""
+    from pyspark.sql import Window
+
+    from tile_grid_spark.operators.simplify import simplify_paths
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_line_stats,
+        encode_path_tiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("tid"), "event_id"
+    )
+    ev = ev.withColumn(
+        "seq",
+        F.row_number()
+        .over(Window.partitionBy("tid").orderBy("event_id"))
+        .cast("bigint"),
+    )
+    pts = ev.select(
+        "tid",
+        "seq",
+        F.expr(_TRAJ_LON_SQL).alias("lon"),
+        F.expr(_TRAJ_LAT_SQL).alias("lat"),
+    )
+    kept = simplify_paths(pts, 0.5, x="lon", y="lat")
+    tiles = encode_path_tiles(kept, WM, zoom=6, id_col="tid", order_col="seq")
+    return decode_line_stats(tiles).orderBy("tile_x", "tile_y")
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM fluency scoring (functions/lm): add-k
     bigram model counted over the documents table itself, every doc
@@ -1895,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "vector_tiles_rings": q_vector_tiles_rings,
+        "simplified_line_tiles": q_simplified_line_tiles,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3700,6 +3736,91 @@ def oracle_sql() -> dict[str, str]:
                round(v.y, 6) + 0.0 AS lat_r
         FROM v JOIN kept USING (tid, seq)
         ORDER BY v.tid, v.seq
+    """
+
+    # composed simplify -> tile: the RDP recursive CTE's kept set joins
+    # back to coordinates and flows straight into the z6 tile + run-split
+    # windows — both replays already proven separately, chained here
+    sql["simplified_line_tiles"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT CAST(user_id AS BIGINT) AS tid,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS seq
+          FROM events
+        ),
+        v AS (
+          SELECT tid, seq, {_TRAJ_LON_SQL} AS x, {_TRAJ_LAT_SQL} AS y
+          FROM e
+        ),
+        seg(tid, i0, i1) AS (
+          SELECT tid, MIN(seq), MAX(seq) FROM v GROUP BY tid
+          UNION ALL
+          SELECT s.tid, u.i0, u.i1
+          FROM (
+            SELECT s.tid, s.i0, s.i1, m.seq AS sp
+            FROM seg s
+            JOIN LATERAL (
+              SELECT p.seq,
+                CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0
+                     THEN sqrt((p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y))
+                     ELSE abs((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+                          / sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))
+                END AS d
+              FROM v p, v a, v b
+              WHERE p.tid = s.tid AND a.tid = s.tid AND b.tid = s.tid
+                AND a.seq = s.i0 AND b.seq = s.i1
+                AND p.seq > s.i0 AND p.seq < s.i1
+              ORDER BY d DESC, p.seq ASC LIMIT 1
+            ) m ON m.d > {_d(0.5)}
+          ) s, LATERAL (VALUES (s.i0, s.sp), (s.sp, s.i1)) u(i0, i1)
+        ),
+        kept AS (
+          SELECT DISTINCT tid, seq FROM (
+            SELECT tid, i0 AS seq FROM seg
+            UNION ALL
+            SELECT tid, i1 FROM seg
+          )
+        ),
+        kv AS (
+          SELECT v.tid, v.seq, v.x AS lon, v.y AS lat
+          FROM v JOIN kept USING (tid, seq)
+        ),
+        t AS (
+          SELECT tid, seq,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM kv
+        ),
+        ti AS (
+          SELECT tid, seq, mx, my, {tx6l} AS tile_x, {ty6l} AS tile_y FROM t
+        ),
+        l AS (
+          SELECT tid, seq, tile_x, tile_y,
+                 CAST(LEAST(GREATEST(floor(((mx - {_d(p6l.origin_x)}) / ({unit6l}) - tile_x) * 4096e0), 0), 4095) AS INT) AS px,
+                 CAST(LEAST(GREATEST(floor((({_d(p6l.origin_y)} - my) / ({unit6l}) - tile_y) * 4096e0), 0), 4095) AS INT) AS py
+          FROM ti
+        ),
+        r AS (
+          SELECT *, CASE WHEN lag(tile_x) OVER w IS DISTINCT FROM tile_x
+                           OR lag(tile_y) OVER w IS DISTINCT FROM tile_y
+                         THEN 1 ELSE 0 END AS chg
+          FROM l WINDOW w AS (PARTITION BY tid ORDER BY seq)
+        ),
+        runs AS (
+          SELECT *, SUM(chg) OVER (PARTITION BY tid ORDER BY seq) AS run_id FROM r
+        ),
+        k AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY tid, run_id) AS rl FROM runs
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(DISTINCT tid) AS INT) AS n_features,
+               CAST(COUNT(DISTINCT tid * 1000000 + run_id) AS INT) AS n_parts,
+               CAST(COUNT(*) AS INT) AS n_vertices,
+               MIN(tid) AS min_id, MAX(tid) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM k WHERE rl >= 2
+        GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 
     # bigram LM: the whole train+score pipeline replayed relationally;
