@@ -1053,6 +1053,26 @@ def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tid", "seq")
 
 
+def q_viewport_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving READ path (operators/vector_tiles.tiles_for_viewport):
+    fetch from a z6 point-MVT tile set exactly the tiles a geographic
+    viewport covers — driver-side core cover, applied as pushable
+    per-column IN prefilters plus the exact packed-key IN. The oracle
+    independently re-derives the epsilon-inset cover of the literal
+    viewport in SQL and joins it against the replayed quantization, so
+    an off-by-one in either the cover or the key packing mismatches."""
+    from tile_grid_spark.operators.vector_tiles import (
+        decode_tile_stats,
+        encode_point_tiles,
+        tiles_for_viewport,
+    )
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    tiles = encode_point_tiles(pts, WM, zoom=6)
+    fetched = tiles_for_viewport(tiles, WM, -30.0, -10.0, 40.0, 35.0, 6)
+    return decode_tile_stats(fetched).orderBy("tile_x", "tile_y")
+
+
 def q_simplified_line_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production composition: Douglas-Peucker simplification FEEDS
     the linestring tiler (simplify_paths -> encode_path_tiles ->
@@ -1931,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "vector_tiles_rings": q_vector_tiles_rings,
         "simplified_line_tiles": q_simplified_line_tiles,
+        "viewport_fetch": q_viewport_fetch,
         "lm_quality": q_lm_quality,
         "event_attribution": q_event_attribution,
         "stratified_sample": q_stratified_sample,
@@ -3820,6 +3841,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(py) AS BIGINT) AS sum_py,
                CAST(4096 AS INT) AS extent
         FROM k WHERE rl >= 2
+        GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+    """
+
+    # viewport fetch: re-derive the eps-inset cover of the LITERAL
+    # viewport in SQL (same corner formulas as the poly cover) and join
+    # it against the replayed z6 point quantization
+    vw, vs_, ve, vn = -30.0, -10.0, 40.0, 35.0
+    _vcorner = lambda lit, lo, hi, pad: f"GREATEST(LEAST({_d(lit)}, {_d(hi)}), {_d(lo)}) {pad} 1e-11"  # noqa: E731
+    sql["viewport_fetch"] = f"""
+        WITH pts AS ({_points_sql('customer', 'c_custkey')}),
+        t AS (
+          SELECT pid,
+                 {_merc_x_sql('lon')} AS mx,
+                 {_merc_y_sql('lat')} AS my
+          FROM pts
+        ),
+        ti AS (
+          SELECT pid, mx, my, {tx6l} AS tile_x, {ty6l} AS tile_y FROM t
+        ),
+        l AS (
+          SELECT pid, tile_x, tile_y,
+                 CAST(LEAST(GREATEST(floor(((mx - {_d(p6l.origin_x)}) / ({unit6l}) - tile_x) * 4096e0), 0), 4095) AS INT) AS px,
+                 CAST(LEAST(GREATEST(floor((({_d(p6l.origin_y)} - my) / ({unit6l}) - tile_y) * 4096e0), 0), 4095) AS INT) AS py
+          FROM ti
+        ),
+        lims AS (
+          SELECT
+            {_cov6(_merc_x_sql(_vcorner(vw, bbox6.left, bbox6.right, '+')), _d(p6y.origin_x), False, p6y.matrix_width)} AS ul_x,
+            {_cov6(_merc_x_sql(_vcorner(ve, bbox6.left, bbox6.right, '-')), _d(p6y.origin_x), False, p6y.matrix_width)} AS lr_x,
+            {_cov6(_merc_y_sql(_vcorner(vn, bbox6.bottom, bbox6.top, '-')), _d(p6y.origin_y), True, p6y.matrix_height)} AS ul_y,
+            {_cov6(_merc_y_sql(_vcorner(vs_, bbox6.bottom, bbox6.top, '+')), _d(p6y.origin_y), True, p6y.matrix_height)} AS lr_y
+        ),
+        cov AS (
+          SELECT tx.tile_x, ty.tile_y
+          FROM lims,
+               LATERAL (SELECT unnest(generate_series(ul_x, lr_x)) AS tile_x) tx,
+               LATERAL (SELECT unnest(generate_series(ul_y, lr_y)) AS tile_y) ty
+        )
+        SELECT tile_x, tile_y,
+               CAST(COUNT(*) AS INT) AS n_features,
+               MIN(pid) AS min_id, MAX(pid) AS max_id,
+               CAST(SUM(px) AS BIGINT) AS sum_px,
+               CAST(SUM(py) AS BIGINT) AS sum_py,
+               CAST(4096 AS INT) AS extent
+        FROM l JOIN cov USING (tile_x, tile_y)
         GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 

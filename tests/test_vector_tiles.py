@@ -765,3 +765,41 @@ class TestRollupPreservesAttrs:
             for fid, _x, _y, a in layer["features"]:
                 got[fid] = a
         assert got == {i: {"seg": f"s{i % 3}"} for i in range(20)}
+
+
+class TestViewportFetch:
+    def test_matches_core_cover_and_pushes_filters(self, spark, wm, tmp_path):
+        from tile_grid_spark.operators.vector_tiles import (
+            encode_point_tiles,
+            tiles_for_viewport,
+        )
+
+        pts = spark.createDataFrame(
+            [(i, -170.0 + i * 8.0, -70.0 + i * 3.0) for i in range(40)],
+            "pid BIGINT, lon DOUBLE, lat DOUBLE",
+        )
+        store = str(tmp_path / "tiles")
+        encode_point_tiles(pts, wm, 5).write.parquet(store)
+        stored = spark.read.parquet(store)
+
+        w, s, e, n, z = -60.0, -30.0, 50.0, 40.0, 5
+        got = {
+            (r.tile_x, r.tile_y) for r in tiles_for_viewport(stored, wm, w, s, e, n, z).collect()
+        }
+        cover = {(t.x, t.y) for t in wm.tiles(w, s, e, n, [z], False)}
+        have = {(r.tile_x, r.tile_y) for r in stored.collect()}
+        assert got == cover & have and got
+
+        # the raw-column IN prefilters must reach the parquet scan
+        plan = (
+            tiles_for_viewport(stored, wm, w, s, e, n, z)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PushedFilters: [In(tile_x" in plan
+
+    def test_oversized_viewport_raises(self, spark, wm):
+        from tile_grid_spark.operators.vector_tiles import tiles_for_viewport
+
+        df = spark.range(1).selectExpr("id as tile_x", "id as tile_y", "1 as n_features")
+        with pytest.raises(ValueError, match="lower zoom"):
+            tiles_for_viewport(df, wm, -180.0, -85.0, 180.0, 85.0, 12)

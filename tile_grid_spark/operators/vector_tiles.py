@@ -717,3 +717,46 @@ def merge_point_tiles(old: DataFrame, new: DataFrame, layer: str = "points") -> 
         )
 
     return tagged.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+
+
+def tiles_for_viewport(
+    tiles: DataFrame,
+    tms: Tms,
+    west: float,
+    south: float,
+    east: float,
+    north: float,
+    zoom: int,
+) -> DataFrame:
+    """Serving read path: the store rows for every tile a geographic
+    viewport covers at `zoom` (the reference epsilon-inset cover,
+    antimeridian split included). The cover is enumerated DRIVER-side
+    with the core library (viewports are a few hundred tiles by
+    construction — a renderer fetches one screen) and applied as TWO
+    filter layers: per-column IN-lists on raw tile_x/tile_y, which ARE
+    source-pushable (.explain shows them under PushedFilters, so a
+    parquet/Iceberg store prunes row groups on column statistics; the
+    rectangle-union over-selection is bounded by the cover's bbox), and
+    the exact packed-key IN (grid_cols.tile_key layout) that trims the
+    rows the pushable rectangle lets through. Raises if the viewport
+    covers more than 4096 tiles — that means the caller wants a lower
+    zoom, not a bigger scan."""
+    from ..functions.grid_cols import tile_key
+
+    cover = list(tms.tiles(west, south, east, north, [zoom], truncate=False))
+    if len(cover) > 4096:
+        raise ValueError(
+            f"viewport covers {len(cover)} tiles at z{zoom} — render a "
+            "lower zoom (serving reads are screen-sized by construction)"
+        )
+    if not cover:
+        return tiles.where(F.lit(False))
+    xs = sorted({int(t.x) for t in cover})
+    ys = sorted({int(t.y) for t in cover})
+    # mirror grid_cols.tile_key's no-zoom layout: tx * 2^28 + ty
+    keys = [(int(t.x) << 28) + int(t.y) for t in cover]
+    return tiles.where(
+        F.col("tile_x").isin(xs)
+        & F.col("tile_y").isin(ys)
+        & tile_key("tile_x", "tile_y").isin(keys)
+    )
