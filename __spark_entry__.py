@@ -1662,6 +1662,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _pq_fixed_codebook(m: int = 8, k: int = 16, s: int = 8, seed: int = 11):
+    """Deterministic PQ codebook (m subspaces x k centroids x s dims),
+    data-independent, scaled to the expected sub-vector norm of a unit
+    embedding (entry std 1/sqrt(m*s)) so centroids live where normalized
+    sub-vectors do. Shared by q_ann_pq and its oracle literals."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((m, k, s)) / np.sqrt(m * s)
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k cosine
+    (operators/similarity.pq_topk) with a FIXED deterministic codebook.
+    Embeddings are L2-normalized JVM-side first (HOF fold norm — the
+    same left-to-right add order DuckDB's list_sum uses), so the exact
+    rerank dot IS the cosine; encode/LUT accumulate sequentially inside
+    the pandas UDFs, making every double — ADC scores included —
+    bit-replayable by the oracle. The PRODUCTION path (per-subspace
+    k-means via fit_pq_codebook) is recall-gated in
+    tests/test_text_dedup_similarity.py."""
+    from tile_grid_spark.operators.similarity import norm_expr, pq_topk
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_e")
+    )
+    e = e.withColumn("_n", norm_expr("_e")).select(
+        "vec_id", F.transform("_e", lambda x: x / F.col("_n")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = e.filter(F.col("vec_id") >= 10).select(F.col("vec_id").alias("cand_id"), "embedding")
+    return (
+        pq_topk(q, c, codebook=_pq_fixed_codebook(), k=5, rerank=4, dim=64)
+        .withColumnRenamed("score", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: grouped partial
     aggregation (map-side combine via Catalyst hash agg). Sums are exact
@@ -1967,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "decode_psnr": q_decode_psnr,
         "audio_features": q_audio_features,
         "pricing_summary": q_pricing_summary,
@@ -2342,6 +2381,91 @@ def _ann_ivf_oracle_sql() -> str:
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY cosine DESC, cand_id) AS rank
           FROM pairs
+        )
+        SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
+               round(cosine, 6) AS cosine
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+def _ann_pq_oracle_sql() -> str:
+    """Replays q_ann_pq bit-for-bit: JVM-fold L2 normalization, per-
+    subspace argmin-d2 encode (ties to lowest code), flat ADC lookup
+    table, the j-ascending ADC fold, top-20 pool, exact-cosine rerank.
+    Every float accumulation in the Spark path is sequential (HOF folds
+    JVM-side, explicit element loops in the pandas UDFs), so DuckDB's
+    left-to-right list_sum reproduces identical doubles — the ADC pool
+    boundary and the final hashes agree exactly, no rounding tricks."""
+    C = _pq_fixed_codebook()
+    m, k, s = C.shape
+    cent_rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(_d(float(v)) for v in C[j, c]) + "])"
+        for j in range(m)
+        for c in range(k)
+    )
+    return f"""
+        WITH cent(j, c, cv) AS (VALUES {cent_rows}),
+        e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, emb,
+                 sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+          FROM e
+        ),
+        en AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS en FROM n),
+        cd2 AS (
+          SELECT vec_id, j, c,
+                 list_sum(list_transform(generate_series(1, {s}),
+                     i -> (en[j * {s} + i] - cv[i]) * (en[j * {s} + i] - cv[i]))) AS d2
+          FROM en, cent WHERE vec_id >= 10
+        ),
+        cr AS (
+          SELECT vec_id, j, c,
+                 row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c) AS rk
+          FROM cd2
+        ),
+        codes AS (
+          SELECT vec_id AS cand_id, list(c ORDER BY j) AS codes
+          FROM cr WHERE rk = 1 GROUP BY vec_id
+        ),
+        ql AS (
+          SELECT vec_id, j, c,
+                 list_sum(list_transform(generate_series(1, {s}),
+                     i -> en[j * {s} + i] * cv[i])) AS lv
+          FROM en, cent WHERE vec_id < 10
+        ),
+        qlut AS (
+          SELECT vec_id AS query_id, list(lv ORDER BY j, c) AS lut
+          FROM ql GROUP BY vec_id
+        ),
+        adc AS (
+          SELECT query_id, cand_id,
+                 list_sum(list_transform(generate_series(1, {m}),
+                     j -> lut[(j - 1) * {k} + codes[j] + 1])) AS a
+          FROM qlut, codes
+        ),
+        pool AS (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY a DESC, cand_id) AS r1
+          FROM adc
+        ),
+        qe AS (SELECT vec_id AS query_id, en AS qe FROM en WHERE vec_id < 10),
+        ce AS (SELECT vec_id AS cand_id, en AS ce FROM en WHERE vec_id >= 10),
+        exact AS (
+          SELECT p.query_id, p.cand_id,
+                 list_sum(list_transform(generate_series(1, {m * s}),
+                     i -> qe[i] * ce[i])) AS cosine
+          FROM pool p JOIN qe USING (query_id) JOIN ce USING (cand_id)
+          WHERE p.r1 <= 20
+        ),
+        ranked AS (
+          SELECT query_id, cand_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, cand_id) AS rank
+          FROM exact
         )
         SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
                round(cosine, 6) AS cosine
@@ -3164,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
     sql["s2_cells"] = _s2_cells_oracle_sql()
     sql["ann_lsh"] = _ann_lsh_oracle_sql()
     sql["ann_ivf"] = _ann_ivf_oracle_sql()
+    sql["ann_pq"] = _ann_pq_oracle_sql()
 
     # phash near-dup: replay the md5 phash derivation (group base hash xor
     # member flips), the 4x16-bit banding, and the bit_count(xor) verify.

@@ -525,6 +525,73 @@ class TestSimilarity:
         has_b = (C @ np.array([-1.0] + [0.0] * 7) > 0.9).any()
         assert has_a and has_b, C
 
+    def test_pq_recall(self, spark, emb):
+        # production path: per-subspace k-means codebook fit from the
+        # candidates, ADC scan + exact rerank. Isotropic gaussians are
+        # the PQ worst case (no cluster structure; 4 subspaces quantize
+        # hard); pool is rerank*k = 30 of 450 candidates (6.7%) and the
+        # gate requires the compressed-domain scan to beat that sampling
+        # rate ~10x on the true top-5.
+        from tile_grid_spark.operators.similarity import fit_pq_codebook, pq_topk
+
+        df, X = emb
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+        dn = df.select(
+            "vec_id",
+            F.transform(
+                F.transform("embedding", lambda x: x.cast("double")),
+                lambda x: x / nrm,
+            ).alias("embedding"),
+        )
+        q = dn.filter("vec_id < 20").withColumnRenamed("vec_id", "query_id")
+        c = dn.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        cb = fit_pq_codebook(c, m=4, k=16, seed=5)
+        got = pq_topk(q, c, codebook=cb, k=5, rerank=6).toPandas()
+        exp = self._numpy_topk(X, range(20), 5)
+        hits = total = 0
+        for qid in range(20):
+            mine = set(got[got.query_id == qid].cand_id.tolist())
+            hits += len(mine & set(exp[qid]))
+            total += 5
+        assert hits / total > 0.6, hits / total
+
+    def test_pq_tie_break_deterministic(self, spark):
+        # identical candidate embeddings -> identical codes -> equal ADC
+        # and equal exact score: both windows must fall back to cand_id
+        # ascending, and the codebook fit must reject a bad subspace split
+        from tile_grid_spark.operators.similarity import fit_pq_codebook, pq_topk
+
+        v = [1.0] + [0.0] * 7
+        u = [0.0] * 7 + [1.0]
+        q = spark.createDataFrame([(0, v)], "query_id BIGINT, embedding ARRAY<DOUBLE>")
+        c = spark.createDataFrame(
+            [(9, v), (5, v), (7, v), (3, u)], "cand_id BIGINT, embedding ARRAY<DOUBLE>"
+        )
+        cb = fit_pq_codebook(c, m=2, k=2, seed=1)
+        got = pq_topk(q, c, codebook=cb, k=2, rerank=2).orderBy("rank").collect()
+        assert [r.cand_id for r in got] == [5, 7]
+        assert got[0].score == 1.0
+
+        with pytest.raises(ValueError, match="not divisible"):
+            fit_pq_codebook(c, m=3, k=2)
+
+    def test_pq_dim_mismatch_raises(self, spark, emb):
+        import numpy as np
+
+        from tile_grid_spark.operators.similarity import pq_topk
+
+        df, _ = emb
+        q = df.filter("vec_id < 2").withColumnRenamed("vec_id", "query_id")
+        c = df.filter("vec_id >= 50").withColumnRenamed("vec_id", "cand_id")
+        with pytest.raises(ValueError, match="m\\*s"):
+            pq_topk(q, c, codebook=np.zeros((4, 8, 5)), dim=24)
+
     def test_ivf_recall(self, spark, emb):
         df, X = emb
         q = df.filter("vec_id < 20").withColumnRenamed("vec_id", "query_id")

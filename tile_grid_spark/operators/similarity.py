@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 
@@ -272,6 +272,168 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         return pd.Series([row.tolist() for row in top])
 
     return f
+
+
+def fit_pq_codebook(
+    df: DataFrame,
+    emb: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 20000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side product-quantization codebook fit: per-subspace
+    Lloyd k-means on an unbiased sample (same sampling contract as
+    fit_ivf_centroids — the FRACTION does the sizing, the limit is only
+    an OOM guard). Returns shape (m, k, dim//m). At 100 TB the sample
+    stays a sample; the codebook is m*k*(dim/m) doubles and rides to
+    executors as a UDF-closure literal."""
+    n_total = df.count()
+    frac = min(1.0, (1.2 * sample) / max(n_total, 1))
+    rows = (
+        df.select(F.transform(emb, lambda x: x.cast("double")).alias("e"))
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(4 * sample)
+        .collect()
+    )
+    X = np.array([r.e for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"fit_pq_codebook: dim {dim} not divisible by m={m}")
+    s = dim // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    C = np.empty((m, k, s), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * s : (j + 1) * s]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        C[j] = cents
+    return C
+
+
+def pq_encode_udf(codebook: np.ndarray):
+    """pandas UDF: embedding (array<double>, length m*s) -> array<int>
+    of m codes; code[j] = argmin_k ||sub_j - codebook[j][k]||^2, ties to
+    the LOWEST k (np.argmin first-occurrence).
+
+    The squared distance accumulates SEQUENTIALLY over the s elements
+    (an explicit python loop over vectorized row/k planes), matching a
+    SQL engine's left-to-right list_sum fold bit-for-bit — so a fixed
+    codebook makes the whole encode replayable by the DuckDB oracle."""
+    M, K, S = codebook.shape
+    C = codebook
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def f(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([])
+        X = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        codes = np.empty((len(X), M), dtype=np.int32)
+        for j in range(M):
+            sub = X[:, j * S : (j + 1) * S]
+            d2 = np.zeros((len(X), K))
+            for i in range(S):
+                diff = sub[:, i : i + 1] - C[j][None, :, i]
+                d2 = d2 + diff * diff
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return f
+
+
+def pq_lut_udf(codebook: np.ndarray):
+    """pandas UDF: embedding -> flat asymmetric-distance lookup table,
+    array<double> of length m*k with lut[j*k + c] = dot(sub_j,
+    codebook[j][c]); the dot accumulates sequentially over s (same
+    fold order as the oracle's list_sum)."""
+    M, K, S = codebook.shape
+    C = codebook
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def f(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([])
+        X = np.vstack([np.asarray(e, dtype=np.float64) for e in emb])
+        lut = np.zeros((len(X), M, K))
+        for j in range(M):
+            sub = X[:, j * S : (j + 1) * S]
+            for i in range(S):
+                lut[:, j, :] = lut[:, j, :] + sub[:, i : i + 1] * C[j][None, :, i]
+        flat = lut.reshape(len(X), M * K)
+        return pd.Series([row.tolist() for row in flat])
+
+    return f
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebook: np.ndarray,
+    k: int = 10,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    emb: str = "embedding",
+    rerank: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the compressed-domain full-scan
+    ANN path (Jégou et al., PQ for nearest neighbor search).
+
+    Candidates are encoded ONCE to m small codes (the 100-TB point: the
+    scan reads m ints per vector instead of 4·dim bytes, and at rest the
+    code table is ~16x smaller than the embedding column, so the hot
+    scan fits in a fraction of the I/O). Queries broadcast with a
+    per-query lookup table; the per-pair score is a JVM HOF fold over
+    element_at into the broadcast LUT — no Python in the per-pair path,
+    and the rank<=R filter compiles to WindowGroupLimit (per-partition
+    partial top-k before the shuffle). The top rerank*k by ADC are then
+    re-scored with the exact dot product (JVM fold) and re-ranked.
+
+    `score` is the exact DOT product of the input arrays — pass
+    L2-normalized embeddings to make it the cosine. Approximation error
+    lives only in which candidates reach the rerank pool; recall is
+    pytest-gated against the brute-force oracle."""
+    M, K, S = codebook.shape
+    if dim is not None and dim != M * S:
+        raise ValueError(f"pq_topk: dim {dim} != m*s = {M * S}")
+    enc = pq_encode_udf(codebook)
+    lut = pq_lut_udf(codebook)
+    c = candidates.select(
+        F.col(cand_id), F.transform(emb, lambda x: x.cast("double")).alias("_ce")
+    ).withColumn("_codes", enc("_ce"))
+    q = queries.select(
+        F.col(query_id), F.transform(emb, lambda x: x.cast("double")).alias("_qe")
+    ).withColumn("_lut", lut("_qe"))
+    pairs = c.crossJoin(F.broadcast(q))
+    adc = F.aggregate(
+        F.zip_with(
+            "_codes",
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda cd, j: F.element_at(F.col("_lut"), j * K + cd + 1),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w1 = Window.partitionBy(query_id).orderBy(F.col("_adc").desc(), F.col(cand_id))
+    short = (
+        pairs.withColumn("_adc", adc)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= rerank * k)
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(cand_id))
+    return (
+        short.withColumn("score", dot_expr("_qe", "_ce", dim))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, cand_id, "rank", F.round("score", 6).alias("score"))
+    )
 
 
 def ivf_topk(
