@@ -1700,6 +1700,60 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup profile (functions/url.py) over a synthetic
+    crawl: URLs are derived deterministically from documents rows (case
+    variants, userinfo, default/odd ports, empty paths, trailing
+    slashes, tracking params, fragments), canonicalized with the
+    zero-shuffle native-regexp mapper, then profiled per host
+    (operators-level: ONE hash-agg exchange). The oracle rebuilds the
+    identical URLs and replays every normalization step in SQL."""
+    from tile_grid_spark.functions.url import domain_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m4, m3, m5, m2, m3q = i % 4, i % 3, i % 5, i % 2, (i + 1) % 3
+    scheme_part = (
+        F.when(m4 == 0, F.lit("HTTPS://WWW."))
+        .when(m4 == 1, F.lit("http://"))
+        .when(m4 == 2, F.lit("https://crawler:pw@"))
+        .otherwise(F.lit("HTTP://"))
+    )
+    host_part = F.concat(
+        F.col("source"),
+        F.when(m3 == 0, F.lit(".Example.COM:443"))
+        .when(m3 == 1, F.lit(".example.org:8080"))
+        .otherwise(F.lit(".EXAMPLE.com")),
+    )
+    path_part = F.when(m5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("/Docs/"),
+            (i % 7).cast("string"),
+            F.when(m2 == 0, F.lit("/")).otherwise(F.lit("")),
+        )
+    )
+    query_part = (
+        F.when(
+            m3q == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), (i % 13).cast("string"), F.lit("&b=2")
+            ),
+        )
+        .when(
+            m3q == 1,
+            F.concat(
+                F.lit("?z=9&a=1&gclid=g"),
+                (i % 7).cast("string"),
+                F.lit("&utm_campaign=Spring"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag_part = F.when(m2 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    url = F.concat(scheme_part, host_part, path_part, query_part, frag_part)
+    return domain_stats(d.select("doc_id", url.alias("url"))).orderBy("host")
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem: grouped partial
     aggregation (map-side combine via Catalyst hash agg). Sums are exact
@@ -2006,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "url_canonical": q_url_canonical,
         "decode_psnr": q_decode_psnr,
         "audio_features": q_audio_features,
         "pricing_summary": q_pricing_summary,
@@ -2470,6 +2525,80 @@ def _ann_pq_oracle_sql() -> str:
         SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
                round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+def _url_canonical_oracle_sql() -> str:
+    """Replays q_url_canonical end to end: the deterministic URL
+    synthesis (same integer mods and literals), then every
+    canonicalization step — scheme/host lowering, userinfo strip,
+    default-port removal, path normalization, tracking-param filter +
+    lexicographic sort — with DuckDB's RE2 on the same dialect-portable
+    patterns Spark's rlike/regexp_extract use."""
+    from tile_grid_spark.functions.url import TRACKING_PARAM_RE
+
+    return f"""
+        WITH syn AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+                  WHEN doc_id % 4 = 1 THEN 'http://'
+                  WHEN doc_id % 4 = 2 THEN 'https://crawler:pw@'
+                  ELSE 'HTTP://' END)
+            || source
+            || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443'
+                     WHEN doc_id % 3 = 1 THEN '.example.org:8080'
+                     ELSE '.EXAMPLE.com' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN ''
+                     ELSE '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
+                          || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) END)
+            || (CASE WHEN (doc_id + 1) % 3 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) || '&b=2'
+                     WHEN (doc_id + 1) % 3 = 1
+                       THEN '?z=9&a=1&gclid=g' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=Spring'
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+          FROM documents
+        ),
+        parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(
+              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+              '^[^@]*@', '') AS hostport,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM syn
+        ),
+        norm AS (
+          SELECT doc_id, scheme,
+            lower(regexp_replace(hostport, ':([0-9]+)$', '')) AS host,
+            CASE WHEN (scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                   OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+                 THEN '' ELSE regexp_extract(hostport, ':([0-9]+)$', 1) END AS port,
+            CASE WHEN path0 = '' THEN '/'
+                 WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/$', '') END AS path_norm,
+            list_sort(list_filter(string_split(q, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))) AS kept,
+            len(list_filter(string_split(q, '&'), x -> x <> '')) AS n_params
+          FROM parts
+        ),
+        canon AS (
+          SELECT doc_id, host,
+            scheme || '://' || host
+              || (CASE WHEN port = '' THEN '' ELSE ':' || port END)
+              || path_norm
+              || (CASE WHEN len(kept) > 0
+                       THEN '?' || array_to_string(kept, '&') ELSE '' END)
+              AS canonical_url,
+            n_params - len(kept) AS n_tracking_stripped
+          FROM norm
+        )
+        SELECT host, COUNT(*) AS n_docs,
+               COUNT(DISTINCT canonical_url) AS n_canonical,
+               SUM(n_tracking_stripped) AS n_tracking_stripped,
+               MIN(canonical_url) AS sample_canonical
+        FROM canon GROUP BY host ORDER BY host
     """
 
 
@@ -3289,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh"] = _ann_lsh_oracle_sql()
     sql["ann_ivf"] = _ann_ivf_oracle_sql()
     sql["ann_pq"] = _ann_pq_oracle_sql()
+    sql["url_canonical"] = _url_canonical_oracle_sql()
 
     # phash near-dup: replay the md5 phash derivation (group base hash xor
     # member flips), the 4x16-bit banding, and the bit_count(xor) verify.
