@@ -1574,6 +1574,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(clips).orderBy("clip_id")
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features (functions/audio.audio_frame_features)
+    over the integer-sawtooth WAV clips: STFT-style framing (512/256)
+    with per-frame peak / zero-cross / sum|x| / exact-sum rms, decoded
+    through the REAL RIFF parser inside the zero-shuffle mapper. The
+    per-frame energy profile is the VAD/silence-trim input of an audio
+    training pipeline. Oracle re-derives every frame from the sawtooth
+    closed form (range-joined frames, windowed lag for the in-frame
+    zero-cross). sf_dir-independent synthetic modality table."""
+    from tile_grid_spark.functions.audio import audio_frame_features
+    from tile_grid_spark.sources.datagen import synth_wav_clips
+
+    clips = synth_wav_clips(spark, 40)
+    return audio_frame_features(clips, frame=512, hop=256).orderBy(
+        "clip_id", "frame_idx"
+    )
+
+
 def q_decode_psnr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE input_hint invariant over the synthetic image table
     (raw / zlib / REAL PNG / REAL baseline JPEG payloads — functions/
@@ -2063,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "decode_psnr": q_decode_psnr,
         "audio_features": q_audio_features,
+        "audio_frames": q_audio_frames,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "bbox_overlap": q_bbox_overlap,
@@ -3512,6 +3531,57 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(CAST(a.ss AS DOUBLE) / p.n), 4) + 0.0 AS rms
         FROM p JOIN agg a USING (clip_id) LEFT JOIN zc z USING (clip_id)
         ORDER BY p.clip_id
+    """
+
+    sql["audio_frames"] = """
+        WITH p AS (
+          SELECT clip_id,
+                 2000 + (clip_id % 5) * 500 AS n,
+                 3 + (clip_id % 7) AS freq,
+                 500 + 100 * (clip_id % 4) AS amp
+          FROM (SELECT unnest(generate_series(0, 39)) AS clip_id)
+        ),
+        samp AS (
+          SELECT p.clip_id, i,
+                 ((i * p.freq + p.clip_id) % (2 * p.amp)) - p.amp AS x
+          FROM p, unnest(generate_series(0, p.n - 1)) AS g(i)
+        ),
+        frames AS (
+          SELECT p.clip_id, f
+          FROM p, unnest(generate_series(0, (p.n - 512) // 256)) AS g(f)
+          WHERE p.n >= 512
+        ),
+        fs AS (
+          SELECT fr.clip_id, fr.f, s.i, s.x
+          FROM frames fr JOIN samp s
+            ON s.clip_id = fr.clip_id
+           AND s.i >= fr.f * 256 AND s.i < fr.f * 256 + 512
+        ),
+        zc AS (
+          SELECT clip_id, f,
+                 COUNT(*) FILTER (WHERE prev IS NOT NULL AND sgn <> prev) AS nzc
+          FROM (
+            SELECT clip_id, f,
+                   CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn,
+                   lag(CASE WHEN x < 0 THEN -1 ELSE 1 END)
+                     OVER (PARTITION BY clip_id, f ORDER BY i) AS prev
+            FROM fs WHERE x <> 0
+          ) GROUP BY clip_id, f
+        ),
+        agg AS (
+          SELECT clip_id, f, MAX(abs(x)) AS peak, SUM(abs(x)) AS sum_abs,
+                 SUM(x * x) AS ss
+          FROM fs GROUP BY clip_id, f
+        )
+        SELECT a.clip_id,
+               CAST(a.f AS INT) AS frame_idx,
+               CAST(a.f * 256 AS INT) AS start_i,
+               CAST(a.peak AS INT) AS peak,
+               CAST(COALESCE(z.nzc, 0) AS INT) AS n_zero_cross,
+               CAST(a.sum_abs AS BIGINT) AS sum_abs,
+               round(sqrt(CAST(a.ss AS DOUBLE) / 512), 4) + 0.0 AS rms
+        FROM agg a LEFT JOIN zc z USING (clip_id, f)
+        ORDER BY a.clip_id, frame_idx
     """
 
     # deterministic md5 split + per-split stats

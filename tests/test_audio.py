@@ -131,3 +131,72 @@ class TestAudioFeatures:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestAudioFrames:
+    def test_frames_match_python_recompute(self, spark):
+        from tile_grid_spark.functions.audio import audio_frame_features, encode_wav
+        from tile_grid_spark.sources.datagen import synth_wav_clips
+
+        frame, hop = 512, 256
+        got = {}
+        for r in audio_frame_features(
+            synth_wav_clips(spark, 6), frame=frame, hop=hop
+        ).collect():
+            got[(r.clip_id, r.frame_idx)] = r
+        n_rows = 0
+        for cid in range(6):
+            ns = 2000 + (cid % 5) * 500
+            freq = 3 + cid % 7
+            amp = 500 + 100 * (cid % 4)
+            i = np.arange(ns, dtype=np.int64)
+            x = (i * freq + cid) % (2 * amp) - amp
+            nf = 1 + (ns - frame) // hop
+            for f in range(nf):
+                w = x[f * hop : f * hop + frame]
+                nz = w[w != 0]
+                flips = int(np.count_nonzero(np.signbit(nz[1:]) != np.signbit(nz[:-1])))
+                r = got[(cid, f)]
+                n_rows += 1
+                assert r.start_i == f * hop
+                assert r.peak == int(np.abs(w).max())
+                assert r.n_zero_cross == flips
+                assert r.sum_abs == int(np.abs(w).sum())
+                assert r.rms == round(float(np.sqrt(int((w * w).sum()) / frame)), 4)
+        assert n_rows == len(got)
+
+    def test_short_clip_yields_no_frames(self, spark):
+        from tile_grid_spark.functions.audio import audio_frame_features, encode_wav
+
+        s = np.arange(100, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_wav(s, 8000)), "wav")],
+            "clip_id BIGINT, bytes BINARY, fmt STRING",
+        )
+        assert audio_frame_features(df, frame=512, hop=256).count() == 0
+        # exactly one full frame when n == frame
+        s2 = np.arange(512, dtype=np.int16)
+        df2 = spark.createDataFrame(
+            [(1, bytearray(encode_wav(s2, 8000)), "wav")],
+            "clip_id BIGINT, bytes BINARY, fmt STRING",
+        )
+        assert audio_frame_features(df2, frame=512, hop=256).count() == 1
+
+    def test_bad_params_raise(self, spark):
+        from tile_grid_spark.functions.audio import audio_frame_features
+        from tile_grid_spark.sources.datagen import synth_wav_clips
+
+        with pytest.raises(ValueError, match="positive"):
+            audio_frame_features(synth_wav_clips(spark, 1), frame=0)
+
+    def test_zero_shuffle_plan(self, spark):
+        from tile_grid_spark.functions.audio import audio_frame_features
+        from tile_grid_spark.sources.datagen import synth_wav_clips
+
+        plan = (
+            audio_frame_features(synth_wav_clips(spark, 2))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

@@ -122,6 +122,63 @@ def decode_audio_samples(payload: bytes, fmt: str) -> tuple[np.ndarray, int | No
     )
 
 
+AUDIO_FRAMES_SCHEMA = (
+    "clip_id BIGINT, frame_idx INT, start_i INT, peak INT, "
+    "n_zero_cross INT, sum_abs BIGINT, rms DOUBLE"
+)
+
+
+def audio_frame_features(
+    clips: DataFrame, frame: int = 512, hop: int = 256
+) -> DataFrame:
+    """(clip_id, bytes, fmt) -> per-FRAME features: standard STFT-style
+    framing (frame f covers samples [f*hop, f*hop+frame); trailing
+    partial frames dropped), features mirror audio_features but within
+    the frame — peak, strict nonzero sign flips, sum|x|, exact-sum rms
+    rounded to 4.
+
+    Framing happens INSIDE the decode mapper (rows fan out python-side,
+    one task per input partition): like audio_features this is a
+    zero-shuffle mapper — at 100 TB the payload bytes never cross the
+    network, only ~frame-count feature rows do. The per-frame energy/zc
+    profile is the input to VAD-style clip filtering and silence
+    trimming in a training-data pipeline.
+    """
+    if frame <= 0 or hop <= 0:
+        raise ValueError("audio_frame_features: frame and hop must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols: dict = {k: [] for k in (
+                "clip_id", "frame_idx", "start_i", "peak",
+                "n_zero_cross", "sum_abs", "rms",
+            )}
+            for cid, payload, fmt in zip(b["clip_id"], b["bytes"], b["fmt"]):
+                s, _rate = decode_audio_samples(bytes(payload), str(fmt))
+                x = s[:, 0].astype(np.int64)
+                n = int(x.size)
+                nf = 0 if n < frame else 1 + (n - frame) // hop
+                for f in range(nf):
+                    w = x[f * hop : f * hop + frame]
+                    nz = w[w != 0]
+                    flips = int(
+                        np.count_nonzero(np.signbit(nz[1:]) != np.signbit(nz[:-1]))
+                    )
+                    ss = int((w * w).sum())
+                    cols["clip_id"].append(int(cid))
+                    cols["frame_idx"].append(f)
+                    cols["start_i"].append(f * hop)
+                    cols["peak"].append(int(np.abs(w).max()))
+                    cols["n_zero_cross"].append(flips)
+                    cols["sum_abs"].append(int(np.abs(w).sum()))
+                    cols["rms"].append(round(float(np.sqrt(ss / frame)), 4))
+            yield pd.DataFrame(cols)
+
+    return clips.select("clip_id", "bytes", "fmt").mapInPandas(
+        run, AUDIO_FRAMES_SCHEMA
+    )
+
+
 def audio_features(clips: DataFrame) -> DataFrame:
     """(clip_id, bytes, fmt) -> per-clip integer-exact features, decoded
     with the real codec, Arrow-batched (one python task per input
