@@ -1532,6 +1532,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric substring-containment pairs
+    (operators/dedup.containment_pairs): excerpt/quote detection that
+    symmetric Jaccard misses. Distinct rolling-hash windows, inverted
+    index with a document-frequency hub cap (max_df=50), fingerprint
+    equi-join, per-ordered-pair shared count / |fps(A)|. All-integer
+    polynomial hashes -> the oracle replays the whole pipeline
+    relationally, hash-for-hash."""
+    from tile_grid_spark.operators.dedup import containment_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, threshold=0.65, max_df=50
+    ).orderBy("id_a", "id_b")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     (id_a < id_b, cosine >= 0.4 — the synthetic embeddings have no true
@@ -2075,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_containment": q_doc_containment,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3147,6 +3164,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(fps) AS INTEGER) AS n_windows,
                CAST(len(list_distinct(fps)) AS INTEGER) AS n_unique
         FROM fp ORDER BY doc_id
+    """
+
+    sql["doc_containment"] = f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, length(text) - {_win - 2}),
+                                i -> {_terms})) AS fps
+          FROM documents
+        ),
+        inv0 AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        rare AS (SELECT fp FROM inv0 GROUP BY fp HAVING COUNT(*) <= 50),
+        inv AS (SELECT i.doc_id, i.fp FROM inv0 i JOIN rare USING (fp)),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+          FROM inv a JOIN inv b USING (fp)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        ),
+        na AS (SELECT doc_id AS id_a, len(fps) AS n_a FROM fp)
+        SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_a AS INTEGER) AS n_a,
+               round(CAST(n_shared AS DOUBLE) / n_a, 6) AS containment
+        FROM shared JOIN na USING (id_a)
+        WHERE round(CAST(n_shared AS DOUBLE) / n_a, 6) >= 0.65
+        ORDER BY id_a, id_b
     """
 
     sql["embed_neardup"] = """

@@ -421,6 +421,78 @@ class TestDedup:
             assert sims[ia, ib] >= thr - 0.005, (a, b, sims[ia, ib])
 
 
+class TestContainment:
+    def test_matches_python_oracle(self, spark):
+        """containment(A->B) vs a from-scratch python set oracle on a
+        crafted corpus: an excerpt (A strictly inside B) must score ~1
+        in the A->B direction only; unrelated docs score ~0."""
+        from tile_grid_spark.functions.text import ROLLING_BASE, ROLLING_WINDOW
+        from tile_grid_spark.operators.dedup import containment_pairs
+
+        body = "the quick brown fox jumps over the lazy dog while rain falls on the plain"
+        docs = [
+            (0, body),  # container
+            (1, body[10:45]),  # contained excerpt
+            (2, "completely different words about spark plans and shuffles here"),
+            (3, "the quick brown fox jumps over the lazy dog while rain falls on the plain and more tail text"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+        got = {
+            (r.id_a, r.id_b): r
+            for r in containment_pairs(df, threshold=0.5, max_df=10).collect()
+        }
+
+        w, B = ROLLING_WINDOW, ROLLING_BASE
+
+        def fps(t):
+            return {
+                sum(ord(t[s + j]) * B ** (w - 1 - j) for j in range(w))
+                for s in range(len(t) - w + 1)
+            }
+
+        allf = [fps(t) for _, t in docs]
+        # df cap: drop fps appearing in > 2 docs? max_df=10 keeps all here
+        for (ia, ib), r in got.items():
+            inter = len(allf[ia] & allf[ib])
+            assert r.n_shared == inter, (ia, ib)
+            assert r.n_a == len(allf[ia])
+            assert r.containment == round(inter / len(allf[ia]), 6)
+        # the excerpt is contained in both long docs; the containers
+        # score only ~0.42 in the reverse direction (asymmetry) and are
+        # cut by the 0.5 threshold; doc 0 IS a prefix-substring of 3
+        assert (1, 0) in got and got[(1, 0)].containment == 1.0
+        assert (1, 3) in got and got[(1, 3)].containment == 1.0
+        assert (0, 3) in got and got[(0, 3)].containment == 1.0
+        assert (0, 1) not in got and (3, 1) not in got
+        assert (2, 0) not in got and (0, 2) not in got
+
+    def test_max_df_hub_cap(self, spark):
+        """a window shared by every doc (boilerplate) is dropped from
+        the inverted index when its document frequency exceeds max_df —
+        pairs supported ONLY by that window disappear."""
+        from tile_grid_spark.operators.dedup import containment_pairs
+
+        boiler = "SHAREDBOILER"  # 12 chars -> 5 windows, in every doc
+        docs = [(i, boiler + f" unique tail number {i} with words") for i in range(6)]
+        df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+        capped = containment_pairs(df, threshold=0.1, max_df=3).collect()
+        assert capped == []
+        uncapped = containment_pairs(df, threshold=0.1, max_df=10).collect()
+        assert len(uncapped) > 0
+
+    def test_no_persisted_rdds_leak(self, spark):
+        from tile_grid_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "alpha beta gamma")],
+            "doc_id BIGINT, text STRING",
+        )
+        containment_pairs(df, threshold=0.5).collect()
+        # the plan cut is localCheckpoint (ContextCleaner-managed), not
+        # .persist(): no Dataset CacheManager entry may remain
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):

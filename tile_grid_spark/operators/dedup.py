@@ -589,3 +589,84 @@ def embedding_near_pairs(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# substring containment (asymmetric near-dup: excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    threshold: float = 0.65,
+    window: int | None = None,
+    max_df: int = 50,
+) -> DataFrame:
+    """Asymmetric containment detection over rolling-hash character
+    windows: doc A is (mostly) CONTAINED in doc B when most of A's
+    distinct window fingerprints also occur in B —
+    containment(A→B) = |fps(A) ∩ fps(B)| / |fps(A)| over DISTINCT
+    fingerprints. Jaccard-style symmetric dedup misses exactly this
+    shape (a short quote inside a long page has tiny Jaccard but
+    containment ≈ 1), and excerpt/quote collapse is a standard corpus
+    pass alongside MinHash (the direction LLM dedup papers call
+    "substring-level duplication").
+
+    Scale shape: explode distinct fps -> inverted index (fp, id); drop
+    fingerprints with document frequency > `max_df` BEFORE the
+    self-join (the standard inverted-index hub cap: a boilerplate
+    window shared by 10^6 docs would otherwise contribute 10^12 pairs;
+    cost of the cap is recall only on windows that frequent, which are
+    boilerplate, not containment evidence). The self-join is an
+    equi-join on the 64-bit fingerprint; per ordered pair a count-agg,
+    then one broadcast-friendly join back to A's distinct count.
+    Everything shuffles short (bigint, bigint) rows — document text
+    never enters an exchange.
+
+    Returns (id_a, id_b, n_shared, n_a, containment) for ordered pairs
+    with containment >= threshold, id_a != id_b; containment is rounded
+    to 6 (exact-integer ratio otherwise).
+    """
+    from tile_grid_spark.functions.text import ROLLING_WINDOW, with_rolling_fingerprints
+
+    w = window or ROLLING_WINDOW
+    fp = with_rolling_fingerprints(
+        df.select(F.col(id_col).alias("_cid"), F.col(text).alias("_ctxt")),
+        "_ctxt",
+        "_fps",
+        window=w,
+    ).select("_cid", F.array_distinct("_fps").alias("_fps"))
+    # Cut the plan HERE: fp fans out three ways (inverted index, the
+    # df-cap aggregate's semi-join, |fps(A)|), and Catalyst's projection
+    # collapse would re-inline the O(len·window) hash lambda under the
+    # explode — re-evaluating it per OUTPUT row, the measured O(len^2)
+    # HOF trap (CLAUDE.md). localCheckpoint (never .persist(): session
+    # CacheManager pins leak) computes the fingerprint arrays once;
+    # the checkpointed frame is (id, array<bigint>) — text stays out.
+    fp = fp.localCheckpoint()
+    inv = fp.select("_cid", F.explode("_fps").alias("_fp"))
+    rare = inv.groupBy("_fp").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    # LEFT SEMI against the rare-fp set keeps the inverted index lean
+    # before the pair-generating self-join
+    inv = inv.join(rare.select("_fp"), "_fp", "left_semi")
+    a = inv.select(F.col("_cid").alias("id_a"), "_fp")
+    b = inv.select(F.col("_cid").alias("id_b"), "_fp")
+    shared = (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = fp.select(F.col("_cid").alias("id_a"), F.size("_fps").alias("n_a"))
+    return (
+        shared.join(na, "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.col("n_a").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_shared", "n_a", "containment")
+    )
