@@ -1548,6 +1548,60 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection (operators/staypoint.staypoints)
+    over a deterministic synthetic trajectory: each user's time-ordered
+    events sit in clusters of 8 fixes (~±89 m integer jitter on an
+    8e-5-degree grid) that jump ~1.1 km every cluster, so the 500 m
+    radius segments exactly at the jumps. One shuffle total (window +
+    reusing agg). The jitter grid is chosen so segment centroids are
+    NEVER exactly halfway at 6 decimals (for n in 5..8 the exact
+    average k*8e-5/n provably cannot end in 5e-7), keeping the
+    round-6 hash stable across engines despite avg()'s engine-specific
+    summation order. The oracle replays synthesis, lag-break,
+    running-sum segmentation and the dwell aggregate relationally."""
+    from pyspark.sql.window import Window as W
+
+    from tile_grid_spark.operators.staypoint import staypoints
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cl = F.floor((F.row_number().over(w) - 1) / 8).cast("long")
+    t = e.withColumn("_cl", cl).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.lit(-100.0)
+            + (F.col("user_id") % 100) * 0.5
+            + F.col("_cl") * 0.01
+            + ((F.col("event_id") * 7) % 21 - 10) * 0.00008
+        ).alias("lon"),
+        (
+            F.lit(10.0)
+            + (F.col("user_id") % 50) * 0.3
+            + F.col("_cl") * 0.01
+            + ((F.col("event_id") * 11) % 21 - 10) * 0.00008
+        ).alias("lat"),
+    )
+    return (
+        staypoints(
+            t, radius_m=500.0, min_points=5, tiebreak="event_id"
+        )
+        .select(
+            "user_id",
+            F.col("seg_id").cast("long").alias("seg_id"),
+            "n_points",
+            "t_start_s",
+            "t_end_s",
+            "duration_s",
+            "ctr_lon",
+            "ctr_lat",
+        )
+        .orderBy("user_id", "seg_id")
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
     (id_a < id_b, cosine >= 0.4 — the synthetic embeddings have no true
@@ -2092,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_containment": q_doc_containment,
+        "staypoints": q_staypoints,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3164,6 +3219,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(fps) AS INTEGER) AS n_windows,
                CAST(len(list_distinct(fps)) AS INTEGER) AS n_unique
         FROM fp ORDER BY doc_id
+    """
+
+    sql["staypoints"] = """
+        WITH r AS (
+          SELECT event_id, user_id, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        p AS (
+          SELECT user_id, event_id, ts,
+            CAST(-100 AS DOUBLE) + (user_id % 100) * 0.5e0
+              + ((rn - 1) // 8) * 0.01e0
+              + ((event_id * 7) % 21 - 10) * 0.00008e0 AS lon,
+            CAST(10 AS DOUBLE) + (user_id % 50) * 0.3e0
+              + ((rn - 1) // 8) * 0.01e0
+              + ((event_id * 11) % 21 - 10) * 0.00008e0 AS lat
+          FROM r
+        ),
+        l AS (
+          SELECT user_id, event_id, ts, lon, lat,
+                 lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b AS (
+          SELECT user_id, event_id, ts, lon, lat,
+                 CASE WHEN plon IS NULL THEN 1
+                      WHEN sqrt(((lon - plon) * cos(radians((plat + lat) / 2.0e0)))
+                                 * ((lon - plon) * cos(radians((plat + lat) / 2.0e0)))
+                               + (lat - plat) * (lat - plat)) * 111320.0e0
+                           > 500.0e0 THEN 1
+                      ELSE 0 END AS brk
+          FROM l
+        ),
+        s AS (
+          SELECT user_id, ts, lon, lat,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg_id
+          FROM b
+        )
+        SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+               COUNT(*) AS n_points,
+               MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_start_s,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_end_s,
+               MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                 - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS duration_s,
+               round(AVG(lon), 6) + 0.0 AS ctr_lon,
+               round(AVG(lat), 6) + 0.0 AS ctr_lat
+        FROM s GROUP BY user_id, seg_id
+        HAVING COUNT(*) >= 5
+        ORDER BY user_id, seg_id
     """
 
     sql["doc_containment"] = f"""
