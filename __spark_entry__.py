@@ -1015,6 +1015,32 @@ def q_vector_tiles_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_poly_stats(tiles).orderBy("tile_x", "tile_y")
 
 
+def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon metrics (operators/geometry.polygon_metrics)
+    over the SAME nation-derived octagons-with-holes the ring tiler
+    uses: per-polygon area (exterior − hole), boundary perimeter,
+    exterior winding and centroid — sequential HOF folds over sorted
+    vertex arrays, two key-only exchanges. The oracle replays the
+    vertex synthesis and every fold left-to-right (DuckDB list_sum ==
+    Spark aggregate order), so areas/perimeters/centroids hash
+    bit-for-bit."""
+    from tile_grid_spark.operators.geometry import polygon_metrics
+
+    offs = spark.createDataFrame(
+        _RING_OFFSETS, "ring_idx INT, vert_idx INT, dx DOUBLE, dy DOUBLE"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    c7 = _d(1.0 / 7.0)
+    v = nat.crossJoin(F.broadcast(offs)).select(
+        F.col("n_nationkey").alias("poly_id"),
+        "ring_idx",
+        "vert_idx",
+        F.expr(_RING_LON_SQL.format(c7=c7)).alias("lon"),
+        F.expr(_RING_LAT_SQL.format(c7=c7)).alias("lat"),
+    )
+    return polygon_metrics(v).orderBy("poly_id")
+
+
 def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker trajectory simplification (operators/simplify):
     the same closed-form per-user walks as vector_tiles_line, simplified
@@ -2147,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_containment": q_doc_containment,
         "staypoints": q_staypoints,
+        "polygon_metrics": q_polygon_metrics,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3219,6 +3246,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(fps) AS INTEGER) AS n_windows,
                CAST(len(list_distinct(fps)) AS INTEGER) AS n_unique
         FROM fp ORDER BY doc_id
+    """
+
+    _ring_vals = ", ".join(
+        f"({r}, {v}, {dx}, {dy})" for r, v, dx, dy in _RING_OFFSETS
+    )
+    _c7r = _d(1.0 / 7.0)
+    sql["polygon_metrics"] = f"""
+        WITH offs(ring_idx, vert_idx, dx, dy) AS (VALUES {_ring_vals}),
+        v AS (
+          SELECT n_nationkey AS poly_id, ring_idx, vert_idx,
+                 {_RING_LON_SQL.format(c7=_c7r)} AS lon,
+                 {_RING_LAT_SQL.format(c7=_c7r)} AS lat
+          FROM nation, offs
+        ),
+        rings AS (
+          SELECT poly_id, ring_idx,
+                 list(lon ORDER BY vert_idx) AS lx,
+                 list(lat ORDER BY vert_idx) AS ly
+          FROM v GROUP BY poly_id, ring_idx
+        ),
+        rm AS (
+          SELECT poly_id, ring_idx, len(lx) AS n_vertices,
+            list_sum(list_transform(generate_series(1, len(lx)), i ->
+              lx[i] * ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END]
+              - lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] * ly[i])) AS area2,
+            list_sum(list_transform(generate_series(1, len(lx)), i ->
+              (lx[i] + lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END])
+              * (lx[i] * ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END]
+                 - lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] * ly[i]))) AS cx2,
+            list_sum(list_transform(generate_series(1, len(lx)), i ->
+              (ly[i] + ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END])
+              * (lx[i] * ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END]
+                 - lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] * ly[i]))) AS cy2,
+            list_sum(list_transform(generate_series(1, len(lx)), i ->
+              sqrt((lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] - lx[i])
+                   * (lx[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] - lx[i])
+                 + (ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] - ly[i])
+                   * (ly[CASE WHEN i = len(lx) THEN 1 ELSE i + 1 END] - ly[i])))) AS perimeter
+          FROM rings
+        )
+        SELECT poly_id,
+               round(SUM(CASE WHEN ring_idx = 0 THEN abs(area2) / 2.0e0
+                              ELSE -abs(area2) / 2.0e0 END), 9) + 0.0 AS area,
+               round(SUM(perimeter), 9) + 0.0 AS perimeter,
+               MAX(CASE WHEN ring_idx = 0 THEN
+                     CASE WHEN area2 > 0 THEN 'ccw' ELSE 'cw' END END) AS winding,
+               round(MAX(CASE WHEN ring_idx = 0 AND area2 <> 0
+                              THEN cx2 / (3.0e0 * area2) END), 6) + 0.0 AS ctr_lon,
+               round(MAX(CASE WHEN ring_idx = 0 AND area2 <> 0
+                              THEN cy2 / (3.0e0 * area2) END), 6) + 0.0 AS ctr_lat,
+               COUNT(*) AS n_rings,
+               CAST(SUM(n_vertices) AS BIGINT) AS n_vertices
+        FROM rm GROUP BY poly_id ORDER BY poly_id
     """
 
     sql["staypoints"] = """
