@@ -1574,18 +1574,9 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stay-point (dwell) detection (operators/staypoint.staypoints)
-    over a deterministic synthetic trajectory: each user's time-ordered
-    events sit in clusters of 8 fixes (~±89 m integer jitter on an
-    8e-5-degree grid) that jump ~1.1 km every cluster, so the 500 m
-    radius segments exactly at the jumps. One shuffle total (window +
-    reusing agg). The jitter grid is chosen so segment centroids are
-    NEVER exactly halfway at 6 decimals (for n in 5..8 the exact
-    average k*8e-5/n provably cannot end in 5e-7), keeping the
-    round-6 hash stable across engines despite avg()'s engine-specific
-    summation order. The oracle replays synthesis, lag-break,
-    running-sum segmentation and the dwell aggregate relationally."""
+def _staypoint_frame(spark: SparkSession, sf_dir: str):
+    """Shared by q_staypoints and q_od_flows: synthetic trajectory +
+    stay-point detection (see q_staypoints docstring)."""
     from pyspark.sql.window import Window as W
 
     from tile_grid_spark.operators.staypoint import staypoints
@@ -1610,10 +1601,23 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ((F.col("event_id") * 11) % 21 - 10) * 0.00008
         ).alias("lat"),
     )
+    return staypoints(t, radius_m=500.0, min_points=5, tiebreak="event_id")
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection (operators/staypoint.staypoints)
+    over a deterministic synthetic trajectory: each user's time-ordered
+    events sit in clusters of 8 fixes (~±89 m integer jitter on an
+    8e-5-degree grid) that jump ~1.1 km every cluster, so the 500 m
+    radius segments exactly at the jumps. One shuffle total (window +
+    reusing agg). The jitter grid is chosen so segment centroids are
+    NEVER exactly halfway at 6 decimals (for n in 5..8 the exact
+    average k*8e-5/n provably cannot end in 5e-7), keeping the
+    round-6 hash stable across engines despite avg()'s engine-specific
+    summation order. The oracle replays synthesis, lag-break,
+    running-sum segmentation and the dwell aggregate relationally."""
     return (
-        staypoints(
-            t, radius_m=500.0, min_points=5, tiebreak="event_id"
-        )
+        _staypoint_frame(spark, sf_dir)
         .select(
             "user_id",
             F.col("seg_id").cast("long").alias("seg_id"),
@@ -1625,6 +1629,24 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ctr_lat",
         )
         .orderBy("user_id", "seg_id")
+    )
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/staypoint.od_flows)
+    composed on the stay-point pipeline: consecutive dwells per user
+    become trips, endpoints snap to z15 engine tiles (~1.2 km — the
+    cluster jumps are ~1.1 km so flows mix self-loops and cross-tile
+    moves), aggregated per tile pair with trip/traveler counts and
+    total travel seconds. Whole composed pipeline = two exchanges. The
+    oracle replays staypoints + lead + the z15 tile formula + the
+    flow aggregate relationally."""
+    from tile_grid_spark.operators.staypoint import od_flows
+
+    sp = _staypoint_frame(spark, sf_dir)
+    return (
+        od_flows(sp, WM, zoom=15, min_trips=1)
+        .orderBy("from_x", "from_y", "to_x", "to_y")
     )
 
 
@@ -2173,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_containment": q_doc_containment,
         "staypoints": q_staypoints,
+        "od_flows": q_od_flows,
         "polygon_metrics": q_polygon_metrics,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
@@ -3301,8 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         FROM rm GROUP BY poly_id ORDER BY poly_id
     """
 
-    sql["staypoints"] = """
-        WITH r AS (
+    _sp_ctes = """r AS (
           SELECT event_id, user_id, ts,
                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
@@ -3338,7 +3360,8 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS seg_id
           FROM b
-        )
+        ),
+        sp AS (
         SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
                COUNT(*) AS n_points,
                MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_start_s,
@@ -3349,7 +3372,40 @@ def oracle_sql() -> dict[str, str]:
                round(AVG(lat), 6) + 0.0 AS ctr_lat
         FROM s GROUP BY user_id, seg_id
         HAVING COUNT(*) >= 5
-        ORDER BY user_id, seg_id
+        )
+    """
+
+    sql["staypoints"] = f"""
+        WITH {_sp_ctes}
+        SELECT user_id, seg_id, n_points, t_start_s, t_end_s, duration_s,
+               ctr_lon, ctr_lat
+        FROM sp ORDER BY user_id, seg_id
+    """
+
+    _fx15, _fy15 = _tile_xy_sql(15, "ctr_lon", "ctr_lat")
+    _tx15, _ty15 = _tile_xy_sql(15, "nlon", "nlat")
+    sql["od_flows"] = f"""
+        WITH {_sp_ctes},
+        tr AS (
+          SELECT user_id, ctr_lon, ctr_lat,
+                 lead(ctr_lon) OVER w AS nlon,
+                 lead(ctr_lat) OVER w AS nlat,
+                 lead(t_start_s) OVER w - t_end_s AS travel_s
+          FROM sp WINDOW w AS (PARTITION BY user_id ORDER BY t_start_s, seg_id)
+        ),
+        trips AS (SELECT * FROM tr WHERE nlon IS NOT NULL),
+        tiled AS (
+          SELECT user_id, travel_s,
+                 {_fx15} AS from_x, {_fy15} AS from_y,
+                 {_tx15} AS to_x, {_ty15} AS to_y
+          FROM trips
+        )
+        SELECT from_x, from_y, to_x, to_y,
+               COUNT(*) AS n_trips,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(travel_s) AS BIGINT) AS total_travel_s
+        FROM tiled GROUP BY from_x, from_y, to_x, to_y
+        ORDER BY from_x, from_y, to_x, to_y
     """
 
     sql["doc_containment"] = f"""

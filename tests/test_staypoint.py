@@ -113,3 +113,82 @@ class TestStaypoints:
         # the groupBy(user, seg) agg must reuse the window's
         # hashpartitioning(user) — one exchange total
         assert final.count("Exchange hashpartitioning") == 1, final
+
+
+class TestOdFlows:
+    def test_matches_hand_oracle(self, spark):
+        from tile_grid_spark.core import tms as registry
+        from tile_grid_spark.operators.staypoint import od_flows
+
+        wm = registry().lookup("WebMercatorQuad")
+        # user 1: A -> B -> A (tiles differ at z8: ~150 km apart)
+        # user 2: A -> B  (one trip on the same corridor)
+        rows = [
+            (1, 1, 100, 150, 10.0, 50.0),
+            (1, 2, 300, 350, 12.0, 50.0),
+            (1, 3, 500, 520, 10.0, 50.0),
+            (2, 1, 90, 100, 10.0, 50.0),
+            (2, 2, 400, 410, 12.0, 50.0),
+        ]
+        sp = spark.createDataFrame(
+            rows,
+            "user_id BIGINT, seg_id BIGINT, t_start_s BIGINT, t_end_s BIGINT, "
+            "ctr_lon DOUBLE, ctr_lat DOUBLE",
+        )
+        got = {
+            (r.from_x, r.to_x): r
+            for r in od_flows(sp, wm, zoom=8, min_trips=1).collect()
+        }
+        ax = wm.tile(10.0, 50.0, 8).x
+        bx = wm.tile(12.0, 50.0, 8).x
+        assert got[(ax, bx)].n_trips == 2  # users 1 and 2, A->B
+        assert got[(ax, bx)].n_users == 2
+        # travel: user1 300-150=150, user2 400-100=300
+        assert got[(ax, bx)].total_travel_s == 450
+        assert got[(bx, ax)].n_trips == 1 and got[(bx, ax)].n_users == 1
+        assert got[(bx, ax)].total_travel_s == 150
+
+    def test_min_trips_suppression(self, spark):
+        from tile_grid_spark.core import tms as registry
+        from tile_grid_spark.operators.staypoint import od_flows
+
+        wm = registry().lookup("WebMercatorQuad")
+        rows = [
+            (1, 1, 0, 10, 10.0, 50.0),
+            (1, 2, 20, 30, 12.0, 50.0),
+        ]
+        sp = spark.createDataFrame(
+            rows,
+            "user_id BIGINT, seg_id BIGINT, t_start_s BIGINT, t_end_s BIGINT, "
+            "ctr_lon DOUBLE, ctr_lat DOUBLE",
+        )
+        assert od_flows(sp, wm, zoom=8, min_trips=2).count() == 0
+        assert od_flows(sp, wm, zoom=8, min_trips=1).count() == 1
+
+    def test_composed_pipeline_two_exchanges(self, spark):
+        import datetime as dt
+
+        from tile_grid_spark.core import tms as registry
+        from tile_grid_spark.operators.staypoint import od_flows, staypoints
+
+        wm = registry().lookup("WebMercatorQuad")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, i, t0 + dt.timedelta(minutes=i), 10.0 + (i // 3) * 0.5, 50.0)
+            for i in range(9)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE"
+        )
+        sp = staypoints(df, radius_m=100.0, min_points=2, tiebreak="event_id")
+        out = od_flows(sp, wm, zoom=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # staypoint window + its agg + the lead window all share
+        # hashpartitioning(user); only the tile-pair agg reshuffles.
+        # countDistinct adds its expand-phase exchange on the pair key.
+        assert final.count("Exchange hashpartitioning") <= 3, final
+        # the 0.5-deg hops stay inside one z8 tile (1.40625 deg): both
+        # trips collapse into a single self-loop flow
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].n_trips == 2 and rows[0].n_users == 1

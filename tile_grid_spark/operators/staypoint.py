@@ -33,6 +33,57 @@ def planar_dist_m(lon1, lat1, lon2, lat2) -> F.Column:
     return F.sqrt(dx * dx + dy * dy) * F.lit(M_PER_DEG)
 
 
+def od_flows(
+    sp: DataFrame,
+    tms,
+    zoom: int,
+    user: str = "user_id",
+    seg: str = "seg_id",
+    t_start: str = "t_start_s",
+    t_end: str = "t_end_s",
+    lon: str = "ctr_lon",
+    lat: str = "ctr_lat",
+    min_trips: int = 1,
+) -> DataFrame:
+    """Origin→destination flow matrix from per-user stay-point
+    sequences: consecutive stay points (lead over the user's dwell
+    timeline) become trips; trip endpoints snap to engine grid tiles at
+    `zoom`; flows aggregate per (from_tile, to_tile) with trip count,
+    distinct travelers, and total travel seconds (gap between leaving
+    the origin and entering the destination).
+
+    Composed with staypoints() the whole mobility pipeline is TWO
+    exchanges: the stay-point agg leaves the frame hash-partitioned by
+    user, the lead window reuses that, and only the final tile-pair agg
+    reshuffles — short integer keys end to end. The privacy-style
+    `min_trips` floor (k-anonymity-ish suppression of thin flows) is a
+    standard release gate for OD matrices."""
+    from tile_grid_spark.functions import grid_cols as G
+
+    w = Window.partitionBy(user).orderBy(t_start, seg)
+    t = (
+        sp.withColumn("_nlon", F.lead(lon).over(w))
+        .withColumn("_nlat", F.lead(lat).over(w))
+        .withColumn(
+            "_travel_s", F.lead(t_start).over(w) - F.col(t_end)
+        )
+        .filter(F.col("_nlon").isNotNull())
+    )
+    t = G.with_tile(t, tms, zoom, lon=lon, lat=lat, out_x="from_x", out_y="from_y")
+    t = G.with_tile(
+        t, tms, zoom, lon="_nlon", lat="_nlat", out_x="to_x", out_y="to_y"
+    )
+    return (
+        t.groupBy("from_x", "from_y", "to_x", "to_y")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct(user).alias("n_users"),
+            F.sum("_travel_s").alias("total_travel_s"),
+        )
+        .filter(F.col("n_trips") >= min_trips)
+    )
+
+
 def staypoints(
     df: DataFrame,
     user: str = "user_id",
