@@ -49,6 +49,18 @@ class TestNoSessionCachePins:
         hamming_near_pairs(df, "image_id", "phash", max_hamming=6).collect()
         assert _cache_manager_empty(spark)
 
+    def test_containment_pairs(self, spark, clean_cache):
+        # the plan cut is localCheckpoint (ContextCleaner-managed), not
+        # .persist(): no Dataset CacheManager entry may remain
+        from tile_grid_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta"), (1, "alpha beta gamma")],
+            "doc_id BIGINT, text STRING",
+        )
+        containment_pairs(df, threshold=0.5).collect()
+        assert _cache_manager_empty(spark)
+
     def test_knn_join(self, spark, clean_cache):
         rng = np.random.default_rng(7)
         q = spark.createDataFrame(

@@ -480,18 +480,6 @@ class TestContainment:
         uncapped = containment_pairs(df, threshold=0.1, max_df=10).collect()
         assert len(uncapped) > 0
 
-    def test_no_persisted_rdds_leak(self, spark):
-        from tile_grid_spark.operators.dedup import containment_pairs
-
-        df = spark.createDataFrame(
-            [(0, "alpha beta gamma delta"), (1, "alpha beta gamma")],
-            "doc_id BIGINT, text STRING",
-        )
-        containment_pairs(df, threshold=0.5).collect()
-        # the plan cut is localCheckpoint (ContextCleaner-managed), not
-        # .persist(): no Dataset CacheManager entry may remain
-        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
-
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
