@@ -187,6 +187,56 @@ def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def q_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch with pyramid merge
+    (operators/sketches.tile_cm_sketch / cm_pyramid_level /
+    cm_estimate_expr): per-z5-tile CMS of event user_ids (depth 4,
+    width 64, md5 hash family), merged one quadtree level by elementwise
+    counter sum, then point-frequency estimates for 5 probe users per z4
+    tile joined against exact counts. The CMS guarantee (est >= exact,
+    est <= exact + e/width*N) is pytest-gated; the oracle replays
+    buckets, counts, merge and min-estimate relationally, hash-exact."""
+    from tile_grid_spark.operators.sketches import (
+        cm_estimate_expr,
+        cm_pyramid_level,
+        tile_cm_sketch,
+    )
+
+    depth, width = 4, 64
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(_lon_sql("user_id")).alias("lon"),
+        F.expr(_lat_sql("user_id")).alias("lat"),
+    )
+    t5 = G.with_tile(ev, WM, 5).select("tile_x", "tile_y", "user_id")
+    cms5 = tile_cm_sketch(t5, "user_id", depth=depth, width=width)
+    cms4 = cm_pyramid_level(cms5, depth=depth, width=width)
+    probes = spark.createDataFrame([(u,) for u in (1, 2, 3, 7, 11)], "user_id BIGINT")
+    est = cms4.crossJoin(F.broadcast(probes)).select(
+        "tile_x",
+        "tile_y",
+        "user_id",
+        cm_estimate_expr(F.col("cms"), "user_id", depth, width).alias("est"),
+    )
+    exact = (
+        t5.withColumn("tile_x", (F.col("tile_x") / 2).cast("bigint"))
+        .withColumn("tile_y", (F.col("tile_y") / 2).cast("bigint"))
+        .groupBy("tile_x", "tile_y", "user_id")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, ["tile_x", "tile_y", "user_id"], "left")
+        .select(
+            "tile_x",
+            "tile_y",
+            "user_id",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            "est",
+        )
+        .orderBy("tile_x", "tile_y", "user_id")
+    )
+
+
 def q_events_tile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: events bucketed by (tile z10, hour)."""
     ev = read_table(spark, sf_dir, "events")
@@ -2142,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "tile_bounds": q_tile_bounds,
         "quadkey_roundtrip": q_quadkey,
+        "cm_freq": q_cm_freq,
         "events_tile_hourly": q_events_tile_hourly,
         "pip_rect_join": q_pip_rect_join,
         "pip_antimeridian": q_pip_antimeridian,
@@ -3406,6 +3457,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(travel_s) AS BIGINT) AS total_travel_s
         FROM tiled GROUP BY from_x, from_y, to_x, to_y
         ORDER BY from_x, from_y, to_x, to_y
+    """
+
+    tx5o, ty5o = _tile_xy_sql(5)
+
+    def _cmb(r: int, width: int) -> str:
+        inner = _h60_sql("'cm" + str(r) + ":' || CAST(user_id AS VARCHAR)")
+        return f"({inner} % {width})"
+
+    _cm_counts = " UNION ALL ".join(
+        f"SELECT tile_x, tile_y, {r} AS r, {_cmb(r, 64)} AS b, COUNT(*) AS c "
+        f"FROM t4 GROUP BY tile_x, tile_y, {_cmb(r, 64)}"
+        for r in range(4)
+    )
+    _cm_est = "LEAST(" + ", ".join(
+        f"COALESCE((SELECT c FROM cnt WHERE cnt.tile_x = g.tile_x AND "
+        f"cnt.tile_y = g.tile_y AND cnt.r = {r} AND cnt.b = {_cmb(r, 64)}), 0)"
+        for r in range(4)
+    ) + ")"
+    sql["cm_freq"] = f"""
+        WITH pts AS (
+          SELECT user_id, {_lon_sql('user_id')} AS lon, {_lat_sql('user_id')} AS lat
+          FROM events
+        ),
+        t5 AS (SELECT user_id, {tx5o} AS tile_x, {ty5o} AS tile_y FROM pts),
+        t4 AS (SELECT user_id, tile_x // 2 AS tile_x, tile_y // 2 AS tile_y FROM t5),
+        cnt AS ({_cm_counts}),
+        g AS (SELECT DISTINCT tile_x, tile_y FROM t4),
+        probes(user_id) AS (VALUES (1), (2), (3), (7), (11)),
+        est AS (
+          SELECT g.tile_x, g.tile_y, probes.user_id, {_cm_est} AS est
+          FROM g, probes
+        ),
+        exact AS (
+          SELECT tile_x, tile_y, user_id, COUNT(*) AS exact
+          FROM t4 GROUP BY tile_x, tile_y, user_id
+        )
+        SELECT e.tile_x, e.tile_y, CAST(e.user_id AS BIGINT) AS user_id,
+               COALESCE(x.exact, 0) AS exact, CAST(e.est AS BIGINT) AS est
+        FROM est e LEFT JOIN exact x USING (tile_x, tile_y, user_id)
+        ORDER BY e.tile_x, e.tile_y, user_id
     """
 
     sql["doc_containment"] = f"""
