@@ -237,6 +237,25 @@ def q_cm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sample.weighted_sample, Efraimidis-Spirakis A-ES):
+    top-10 docs per language by exponential key -ln(u)/n_chars with u
+    drawn from the md5 family — longer docs proportionally likelier,
+    draw reproducible/partition-invariant. WindowGroupLimit pushes the
+    rank<=k filter below the stratum exchange (plan-tested). The oracle
+    replays hash, key and ranking; the float key never leaves the plan
+    (ordering only), so the output hash is float-free except n_chars."""
+    from tile_grid_spark.operators.sample import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return (
+        weighted_sample(d, "doc_id", "n_chars", k=10, strata_col="lang")
+        .select("lang", "doc_id", "n_chars", "ws_rank")
+        .orderBy("lang", "ws_rank")
+    )
+
+
 def q_events_tile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: events bucketed by (tile z10, hour)."""
     ev = read_table(spark, sf_dir, "events")
@@ -2193,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_bounds": q_tile_bounds,
         "quadkey_roundtrip": q_quadkey,
         "cm_freq": q_cm_freq,
+        "weighted_sample": q_weighted_sample,
         "events_tile_hourly": q_events_tile_hourly,
         "pip_rect_join": q_pip_rect_join,
         "pip_antimeridian": q_pip_antimeridian,
@@ -3498,6 +3518,24 @@ def oracle_sql() -> dict[str, str]:
         FROM est e LEFT JOIN exact x USING (tile_x, tile_y, user_id)
         ORDER BY e.tile_x, e.tile_y, user_id
     """
+
+    _ws_h = _h60_sql("'wsample:' || CAST(doc_id AS VARCHAR)")
+    sql["weighted_sample"] = f'''
+        WITH d AS (
+          SELECT lang, doc_id, n_chars,
+                 -ln((CAST({_ws_h} AS DOUBLE) + 1.0) / 1152921504606846976e0)
+                   / CAST(n_chars AS DOUBLE) AS key
+          FROM documents
+        ),
+        r AS (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY key ASC, doc_id) AS ws_rank
+          FROM d
+        )
+        SELECT lang, doc_id, n_chars, CAST(ws_rank AS INT) AS ws_rank
+        FROM r WHERE ws_rank <= 10 ORDER BY lang, ws_rank
+    '''
 
     sql["doc_containment"] = f"""
         WITH fp AS (

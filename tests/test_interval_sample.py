@@ -264,3 +264,74 @@ class TestUpsertLatest:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
+
+
+class TestWeightedSample:
+    def test_inclusion_proportional_to_weight(self, spark):
+        """A-ES property check: across many disjoint seeds, a row with
+        weight 9 must enter the k=1 sample ~9x as often as weight 1
+        (exact math: P = w_i / sum(w) for k=1)."""
+        from tile_grid_spark.operators.sample import weighted_sample
+
+        rows = [(1, 9.0), (2, 1.0), (3, 1.0), (4, 1.0)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, w DOUBLE")
+        wins = {i: 0 for i, _ in rows}
+        n_trials = 300
+        picked = weighted_sample(
+            df.crossJoin(
+                spark.range(n_trials).select(F.col("id").alias("trial"))
+            ).withColumn("doc_id2", F.col("doc_id") + F.col("trial") * 1000),
+            "doc_id2",
+            "w",
+            k=1,
+            strata_col="trial",
+        ).collect()
+        for r in picked:
+            wins[r.doc_id] += 1
+        assert sum(wins.values()) == n_trials
+        # expectation: 9/12 = 225, each light row 1/12 = 25
+        assert 190 < wins[1] < 260, wins
+        for i in (2, 3, 4):
+            assert 5 < wins[i] < 60, wins
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from tile_grid_spark.operators.sample import weighted_sample
+
+        rows = [(i, float(1 + i % 5)) for i in range(200)]
+        df1 = spark.createDataFrame(rows, "doc_id BIGint, w DOUBLE")
+        a = sorted(
+            r.doc_id for r in weighted_sample(df1, "doc_id", "w", k=20).collect()
+        )
+        b = sorted(
+            r.doc_id
+            for r in weighted_sample(
+                df1.repartition(13), "doc_id", "w", k=20
+            ).collect()
+        )
+        assert a == b and len(a) == 20
+
+    def test_append_can_only_displace(self, spark):
+        """adding rows never reorders existing keys: the new sample is
+        the old one minus displaced tail, never a reshuffle."""
+        from tile_grid_spark.operators.sample import weighted_sample
+
+        base = [(i, 1.0) for i in range(100)]
+        df = spark.createDataFrame(base, "doc_id BIGINT, w DOUBLE")
+        df2 = spark.createDataFrame(
+            base + [(1000 + i, 1.0) for i in range(50)], "doc_id BIGINT, w DOUBLE"
+        )
+        a = [r.doc_id for r in weighted_sample(df, "doc_id", "w", k=10)
+             .orderBy("ws_rank").collect()]
+        b = [r.doc_id for r in weighted_sample(df2, "doc_id", "w", k=10)
+             .orderBy("ws_rank").collect()]
+        # b is a merge of a with new ids — every surviving old id keeps
+        # its relative order
+        surv = [x for x in b if x < 1000]
+        assert surv == a[: len(surv)]
+
+    def test_zero_weight_raises(self, spark):
+        from tile_grid_spark.operators.sample import weighted_sample
+
+        df = spark.createDataFrame([(1, 0.0)], "doc_id BIGINT, w DOUBLE")
+        with pytest.raises(Exception, match="weight must be > 0"):
+            weighted_sample(df, "doc_id", "w", k=1).collect()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tile_grid_spark.operators.dedup import md5_hash60
 
@@ -67,4 +68,58 @@ def stratified_sample(
     )
     return df.withColumn("_sample_bucket", bucket).filter(
         F.col("_sample_bucket") < thr
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    strata_col: str | Column | None = None,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis A-ES scheme — per row draw u in (0, 1] from the
+    md5 hash family (seeded, id-keyed: partition-invariant like
+    stratified_sample) and keep the k rows per stratum with the
+    smallest exponential key -ln(u)/w. Inclusion probability is
+    proportional to weight within the without-replacement constraint —
+    the standard way to bias a training mix toward long/high-quality
+    documents while keeping the draw reproducible and append-stable in
+    distribution (existing rows' keys never change; a new row can only
+    displace the current k-th).
+
+    Shape: one window shuffle on the stratum (WindowGroupLimit pushes
+    the rank<=k filter before the exchange, so each map task forwards
+    at most k rows per stratum it sees). With strata_col=None a single
+    global stratum is used — fine because of the pushed partial top-k:
+    the final task receives tasks*k rows, not the table.
+
+    Returns the sampled rows + `ws_rank` (1..k by key order). Weights
+    must be > 0 — enforced with an in-plan assertion (no eager scan).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    strat = (
+        (F.col(strata_col) if isinstance(strata_col, str) else strata_col)
+        if strata_col is not None
+        else F.lit("_all")
+    )
+    h = md5_hash60(F.col(id_col), prefix=seed)
+    # u in (0, 1]: (h + 1) / 2^60 — h is uniform on [0, 2^60)
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    guard = F.when(
+        w > 0, -F.log(u) / w.cast("double")
+    ).otherwise(
+        F.assert_true(w > 0, F.lit("weighted_sample: weight must be > 0")).cast(
+            "double"
+        )
+    )
+    key = guard
+    win = Window.partitionBy(strat).orderBy(F.col("_ws_key").asc(), F.col(id_col))
+    return (
+        df.withColumn("_ws_key", key)
+        .withColumn("ws_rank", F.row_number().over(win))
+        .filter(F.col("ws_rank") <= k)
+        .drop("_ws_key")
     )
