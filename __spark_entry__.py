@@ -370,6 +370,56 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile — the corpus-health numbers a
+    pretraining mix is tuned on: token/type counts, hapax fraction
+    (singleton types; high = noisy OCR-ish text, low = templated),
+    type-token ratio, and the deterministic top term (count desc, term
+    asc). Two short-key exchanges: (source, token) counts with map-side
+    partial agg, then a per-source rollup + one window for the argmax —
+    token strings never shuffle twice. Oracle replays tokenize + both
+    aggregates + the window relationally."""
+    from pyspark.sql.window import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    top = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("c").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("tok").alias("top_term"), F.col("c").alias("top_count"))
+    )
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.count_if(F.col("c") == 1).alias("n_hapax"),
+    )
+    return (
+        agg.join(top, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 6).alias(
+                "hapax_frac"
+            ),
+            "top_term",
+            "top_count",
+        )
+        .orderBy("source")
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: query vectors (vec_id<10) against the rest.
     Baseline for the ANN operator; JVM HOF dot product with norms
@@ -2213,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_roundtrip": q_quadkey,
         "cm_freq": q_cm_freq,
         "weighted_sample": q_weighted_sample,
+        "vocab_stats": q_vocab_stats,
         "events_tile_hourly": q_events_tile_hourly,
         "pip_rect_join": q_pip_rect_join,
         "pip_antimeridian": q_pip_antimeridian,
@@ -3536,6 +3587,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, doc_id, n_chars, CAST(ws_rank AS INT) AS ws_rank
         FROM r WHERE ws_rank <= 10 ORDER BY lang, ws_rank
     '''
+
+    sql["vocab_stats"] = """
+        WITH toks AS (
+          SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents
+        ),
+        t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        cnt AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
+        top AS (
+          SELECT source, tok AS top_term, c AS top_count
+          FROM (SELECT source, tok, c,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY c DESC, tok) AS rn
+                FROM cnt)
+          WHERE rn = 1
+        ),
+        agg AS (
+          SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+                 COUNT(*) FILTER (WHERE c = 1) AS n_hapax
+          FROM cnt GROUP BY source
+        )
+        SELECT a.source,
+               CAST(a.n_tokens AS BIGINT) AS n_tokens,
+               CAST(a.n_types AS BIGINT) AS n_types,
+               CAST(a.n_hapax AS BIGINT) AS n_hapax,
+               round(CAST(a.n_types AS DOUBLE) / a.n_tokens, 6) AS ttr,
+               round(CAST(a.n_hapax AS DOUBLE) / a.n_types, 6) AS hapax_frac,
+               t.top_term, CAST(t.top_count AS BIGINT) AS top_count
+        FROM agg a JOIN top t USING (source)
+        ORDER BY a.source
+    """
 
     sql["doc_containment"] = f"""
         WITH fp AS (
