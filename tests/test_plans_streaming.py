@@ -884,3 +884,150 @@ class TestMvtStoreRefresh:
             (layer,) = decode_point_tile(bytes(r.mvt))["layers"]
             feats |= {f[0] for f in layer["features"]}
         assert feats == {1, 2, 3}
+
+
+class TestStreamingStaypoints:
+    def test_replay_matches_batch_operator(self, spark, tmp_path):
+        """Replaying a finite trajectory fixture through
+        stream_staypoints in 3 event-time-ordered micro-batches must
+        reproduce operators/staypoint.staypoints segment-for-segment
+        (same break structure, spans, centroids) after taking the last
+        update per (user, seg)."""
+        import numpy as np
+        import pandas as pd
+
+        from tile_grid_spark.operators.staypoint import staypoints
+        from tile_grid_spark.streaming.stream import stream_staypoints
+
+        base = pd.Timestamp("2024-05-01")
+        rows = []
+        # 4 users x clusters of 6 fixes jumping ~1.1km every cluster
+        for u in range(4):
+            for i in range(24):
+                cl = i // 6
+                rows.append(
+                    (
+                        u,
+                        base + pd.Timedelta(seconds=60 * i),
+                        10.0 + u * 0.5 + cl * 0.01 + (i % 6) * 1e-5,
+                        50.0 + (i % 3) * 1e-5,
+                    )
+                )
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "lon", "lat"])
+        df["ts"] = df["ts"].astype("datetime64[us]")
+
+        bdf = spark.createDataFrame(
+            df, "user_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE"
+        )
+        exp = {
+            (r.user_id, r.seg_id): (
+                r.n_points,
+                r.t_start_s,
+                r.t_end_s,
+                round(r.ctr_lon, 6),
+                round(r.ctr_lat, 6),
+            )
+            for r in staypoints(bdf, radius_m=100.0, min_points=1).collect()
+        }
+
+        src = tmp_path / "fixes_src"
+        src.mkdir()
+        d = df.sort_values("ts", kind="stable").reset_index(drop=True)
+        for i, chunk in enumerate(np.array_split(d, 3)):
+            p = src / f"part-{i}.parquet"
+            chunk.to_parquet(p)
+            os.utime(p, (1700000000 + i, 1700000000 + i))
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sp = stream_staypoints(stream, watermark="1 second", close_gap_sec=7200)
+        q = (
+            sp.writeStream.format("memory")
+            .queryName("staypoints_replay_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT * FROM staypoints_replay_test"
+        ).collect()
+        got = {}
+        for r in rows:  # last update per (user, seg) = max n_points
+            key = (r.user_id, r.seg_id)
+            cur = got.get(key)
+            if cur is None or r.n_points >= cur[0]:
+                got[key] = (
+                    r.n_points,
+                    r.t_start_s,
+                    r.t_end_s,
+                    round(r.ctr_lon, 6),
+                    round(r.ctr_lat, 6),
+                )
+        assert got == exp
+
+    def test_timeout_closes_and_evicts(self, spark, tmp_path):
+        """a user quiet past close_gap_sec gets its open segment closed
+        by the event-time timeout; a returning user restarts numbering
+        (the documented eviction trade-off)."""
+        import numpy as np
+        import pandas as pd
+
+        from tile_grid_spark.streaming.stream import stream_staypoints
+
+        base = pd.Timestamp("2024-05-01")
+        # u1 dwells then goes quiet; u2's later fixes advance the
+        # WATERMARK past u1.last + close_gap so u1's open segment closes
+        # via the event-time timeout; u1 then RETURNS after eviction
+        early = [(1, base + pd.Timedelta(seconds=i), 10.0, 50.0) for i in range(3)]
+        other = [
+            (2, base + pd.Timedelta(days=2, seconds=i), 20.0, 50.0) for i in range(2)
+        ]
+        # the timeout fires while processing a batch in which u1 has NO
+        # data (a key with data never times out — it just continues), so
+        # u1's closure needs a u2-only batch after the watermark passes
+        other2 = [
+            (2, base + pd.Timedelta(days=3, seconds=i), 20.0, 50.0) for i in range(2)
+        ]
+        late = [
+            (1, base + pd.Timedelta(days=4, seconds=i), 10.0, 50.0) for i in range(2)
+        ]
+        src = tmp_path / "fx"
+        src.mkdir()
+        for i, chunk in enumerate([early, other, other2, late]):
+            p = src / f"part-{i}.parquet"
+            pdf = pd.DataFrame(chunk, columns=["user_id", "ts", "lon", "lat"])
+            pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+            pdf.to_parquet(p)
+            os.utime(p, (1700000000 + i, 1700000000 + i))
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        sp = stream_staypoints(stream, watermark="1 second", close_gap_sec=600)
+        q = (
+            sp.writeStream.format("memory")
+            .queryName("staypoints_timeout_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT user_id, seg_id, n_points, closed "
+            "FROM staypoints_timeout_test"
+        ).collect()
+        u1 = [(r.seg_id, r.n_points, r.closed) for r in rows if r.user_id == 1]
+        # the early dwell (3 fixes) closed via the event-time timeout;
+        # after eviction the returning fixes restart numbering at seg 1
+        assert (1, 3, True) in u1, u1
+        assert (1, 2, False) in u1, u1

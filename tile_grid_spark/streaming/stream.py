@@ -451,3 +451,116 @@ def run_to_memory_sink(counts: DataFrame, query_name: str = "tile_counts"):
         .start()
     )
     return q
+
+
+def stream_staypoints(
+    fixes: DataFrame,
+    user: str = "user_id",
+    ts_col: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    radius_m: float = 100.0,
+    watermark: str = "10 seconds",
+    close_gap_sec: int = 3600,
+) -> DataFrame:
+    """Streaming twin of operators/staypoint.staypoints
+    (applyInPandasWithState): per user, GroupState carries the OPEN
+    dwell segment (running count/centroid sums/time span + the last
+    fix); within a micro-batch fixes sort by event time and extend the
+    segment while each step stays within `radius_m`, else the segment
+    CLOSES (emitted with closed=true) and a new one opens — identical
+    break semantics to the batch lag-window fold, so a replay of a
+    finite input yields the batch op's segments (pytest-gated).
+
+    Emission is update-mode: every batch re-emits the open segment's
+    running stats (closed=false) and any segments closed in the batch
+    (closed=true); consumers take the last row per (user, seg_id) and
+    apply their own min_points/min_duration policy — the batch
+    operator's filters are a POLICY, the streaming op must not drop
+    rows it could still be asked about. An EVENT-TIME timeout closes a
+    user's open segment once the watermark passes last_fix +
+    `close_gap_sec` and then forgets the key (bounded state); a user
+    returning later restarts segment numbering — the documented
+    eviction trade-off, same as stream_sessionize's evict_sec.
+    """
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user} BIGINT, seg_id INT, n_points BIGINT, t_start_s BIGINT, "
+        "t_end_s BIGINT, duration_s BIGINT, ctr_lon DOUBLE, ctr_lat DOUBLE, "
+        "closed BOOLEAN"
+    )
+    state_schema = (
+        "seg INT, n BIGINT, sum_lon DOUBLE, sum_lat DOUBLE, start_e BIGINT, "
+        "last_e BIGINT, last_lon DOUBLE, last_lat DOUBLE"
+    )
+    m_per_deg = 111320.0
+
+    def _dist(lon1, lat1, lon2, lat2):
+        dx = (lon2 - lon1) * _math.cos(_math.radians((lat1 + lat2) / 2.0))
+        dy = lat2 - lat1
+        return _math.sqrt(dx * dx + dy * dy) * m_per_deg
+
+    def _row(k, seg, n, sl, sa, se, le, closed):
+        return {
+            user: k[0],
+            "seg_id": seg,
+            "n_points": n,
+            "t_start_s": se,
+            "t_end_s": le,
+            "duration_s": le - se,
+            "ctr_lon": round(sl / n, 6),
+            "ctr_lat": round(sa / n, 6),
+            "closed": closed,
+        }
+
+    def update(k, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            seg, n, sl, sa, se, le, _llon, _llat = state.get
+            state.remove()
+            if n > 0:
+                yield pd.DataFrame([_row(k, seg, n, sl, sa, se, le, True)])
+            return
+        seg, n, sl, sa, se, le, llon, llat = (
+            state.get if state.exists else (0, 0, 0.0, 0.0, 0, 0, 0.0, 0.0)
+        )
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        es = pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+        xs = pdf[lon].to_numpy(dtype="float64")
+        ys = pdf[lat].to_numpy(dtype="float64")
+        out = []
+        for e, x, y in zip(es, xs, ys):
+            if n > 0 and _dist(llon, llat, x, y) > radius_m:
+                out.append(_row(k, seg, n, sl, sa, se, le, True))
+                n = 0
+            if n == 0:
+                seg += 1
+                n, sl, sa, se = 1, float(x), float(y), int(e)
+            else:
+                n += 1
+                sl += float(x)
+                sa += float(y)
+            le = int(e)
+            llon, llat = float(x), float(y)
+        state.update((seg, n, sl, sa, se, le, llon, llat))
+        state.setTimeoutTimestamp(
+            max((le + close_gap_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        out.append(_row(k, seg, n, sl, sa, se, le, False))
+        yield pd.DataFrame(out)
+
+    return (
+        fixes.withWatermark(ts_col, watermark)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
