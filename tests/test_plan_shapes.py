@@ -301,18 +301,22 @@ class TestRound3PlanShapes:
         plan = plan_of(pyr)
         assert "Exchange" not in plan, plan
 
-    def test_connected_components_star_rounds_partial_agg(self, spark):
-        """Each star round's groupBy-min must partial-aggregate map-side
-        (hub skew protection: the hot key receives one row per map task,
-        not one row per edge)."""
-        from tile_grid_spark.operators.cluster import _large_star
+    def test_connected_components_star_round_shapes(self, spark):
+        """Both star implementations keep their load-bearing plan shape:
+        the agg fallback partial-aggregates its min map-side (hub skew
+        protection: the hot key receives one row per map task), and the
+        default window shape does the whole step in ONE exchange (the
+        1.8x win — star rounds are pure shuffle)."""
+        from tile_grid_spark.operators.cluster import _large_star, _large_star_agg
 
         e = spark.range(0, 1000).select(
             (F.col("id") % 97).alias("u"), F.col("id").alias("v")
         )
-        plan = plan_of(_large_star(e))
-        # partial_min before the exchange, min after
-        assert "partial_min" in plan, plan
+        agg_plan = plan_of(_large_star_agg(e))
+        assert "partial_min" in agg_plan, agg_plan
+        win_plan = plan_of(_large_star(e))
+        final = win_plan.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") == 1, final
 
 
 class TestTrainingShards:
