@@ -1160,6 +1160,32 @@ def q_polygon_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_metrics(v).orderBy("poly_id")
 
 
+def q_polygon_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interior-exact polygon tile cover
+    (operators/cover.cover_polygon_exact) of the octagons-with-holes at
+    z8: boundary tiles via edge-bucketed segment/rect separating-line
+    tests, interior tiles via even-odd center parity (tiles wholly
+    inside the square holes are correctly EXCLUDED — a bbox cover
+    over-delivers exactly those). All native Column math in CRS space;
+    the oracle replays projection, edge windows, both covers, the
+    corner-side test and the crossing parity relationally."""
+    from tile_grid_spark.operators.cover import cover_polygon_exact
+
+    offs = spark.createDataFrame(
+        _RING_OFFSETS, "ring_idx INT, vert_idx INT, dx DOUBLE, dy DOUBLE"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey")
+    c7 = _d(1.0 / 7.0)
+    v = nat.crossJoin(F.broadcast(offs)).select(
+        F.col("n_nationkey").alias("poly_id"),
+        "ring_idx",
+        "vert_idx",
+        F.expr(_RING_LON_SQL.format(c7=c7)).alias("lon"),
+        F.expr(_RING_LAT_SQL.format(c7=c7)).alias("lat"),
+    )
+    return cover_polygon_exact(v, WM, zoom=8).orderBy("poly_id", "tile_x", "tile_y")
+
+
 def q_path_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker trajectory simplification (operators/simplify):
     the same closed-form per-user walks as vector_tiles_line, simplified
@@ -2319,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": q_staypoints,
         "od_flows": q_od_flows,
         "polygon_metrics": q_polygon_metrics,
+        "polygon_cover": q_polygon_cover,
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
@@ -3391,6 +3418,110 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(fps) AS INTEGER) AS n_windows,
                CAST(len(list_distinct(fps)) AS INTEGER) AS n_unique
         FROM fp ORDER BY doc_id
+    """
+
+    _ring_vals2 = ", ".join(
+        f"({r}, {v}, {dx}, {dy})" for r, v, dx, dy in _RING_OFFSETS
+    )
+    _c7r2 = _d(1.0 / 7.0)
+    _p8c = _zp(8)
+    _u8 = f"({_d(_p8c.resolution)} * 256.0)"
+    _mw8, _mh8 = _p8c.matrix_width, _p8c.matrix_height
+
+    def _ctx8(v: str) -> str:
+        raw = _tile_sql(v, _d(_p8c.origin_x), _u8, flip=False, max_index=_mw8)
+        return f"LEAST({raw}, {_mw8 - 1})"
+
+    def _cty8(v: str) -> str:
+        raw = _tile_sql(v, _d(_p8c.origin_y), _u8, flip=True, max_index=_mh8)
+        return f"LEAST({raw}, {_mh8 - 1})"
+
+    _side_sql = (
+        "((x2 - x1) * ({cy} - y1) - (y2 - y1) * ({cx} - x1))"
+    )
+    _rminx = f"{_d(_p8c.origin_x)} + tile_x * {_u8}"
+    _rmaxx = f"{_d(_p8c.origin_x)} + (tile_x + 1) * {_u8}"
+    _rmaxy = f"{_d(_p8c.origin_y)} - tile_y * {_u8}"
+    _rminy = f"{_d(_p8c.origin_y)} - (tile_y + 1) * {_u8}"
+    _d1 = _side_sql.format(cx=_rminx, cy=_rminy)
+    _d2 = _side_sql.format(cx=_rminx, cy=_rmaxy)
+    _d3 = _side_sql.format(cx=_rmaxx, cy=_rminy)
+    _d4 = _side_sql.format(cx=_rmaxx, cy=_rmaxy)
+    sql["polygon_cover"] = f"""
+        WITH offs(ring_idx, vert_idx, dx, dy) AS (VALUES {_ring_vals2}),
+        v AS (
+          SELECT n_nationkey AS pid, ring_idx, vert_idx,
+                 {_merc_x_sql(_RING_LON_SQL.format(c7=_c7r2))} AS x,
+                 {_merc_y_sql(_RING_LAT_SQL.format(c7=_c7r2))} AS y
+          FROM nation, offs
+        ),
+        edges AS (
+          SELECT pid,
+                 x AS x1, y AS y1,
+                 COALESCE(lead(x) OVER w, first_value(x) OVER wf) AS x2,
+                 COALESCE(lead(y) OVER w, first_value(y) OVER wf) AS y2
+          FROM v
+          WINDOW w AS (PARTITION BY pid, ring_idx ORDER BY vert_idx),
+                 wf AS (PARTITION BY pid, ring_idx ORDER BY vert_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ),
+        ecov AS (
+          SELECT pid, x1, y1, x2, y2,
+                 {_ctx8("LEAST(x1, x2)")} AS ulx, {_ctx8("GREATEST(x1, x2)")} AS lrx,
+                 {_cty8("GREATEST(y1, y2)")} AS uly, {_cty8("LEAST(y1, y2)")} AS lry
+          FROM edges
+        ),
+        bcand AS (
+          SELECT pid, x1, y1, x2, y2, gx.tile_x, gy.tile_y
+          FROM ecov,
+               unnest(generate_series(ulx, lrx)) AS gx(tile_x),
+               unnest(generate_series(uly, lry)) AS gy(tile_y)
+          WHERE ulx <= lrx AND uly <= lry
+        ),
+        boundary AS (
+          SELECT DISTINCT pid, tile_x, tile_y
+          FROM bcand
+          WHERE LEAST({_d1}, {_d2}, {_d3}, {_d4}) <= 0
+            AND GREATEST({_d1}, {_d2}, {_d3}, {_d4}) >= 0
+        ),
+        pb AS (
+          SELECT pid, MIN(x) AS minx, MIN(y) AS miny, MAX(x) AS maxx, MAX(y) AS maxy
+          FROM v GROUP BY pid
+        ),
+        icand AS (
+          SELECT pid, gx.tile_x, gy.tile_y
+          FROM (SELECT pid,
+                       {_ctx8("minx")} AS ulx, {_ctx8("maxx")} AS lrx,
+                       {_cty8("maxy")} AS uly, {_cty8("miny")} AS lry
+                FROM pb) c,
+               unnest(generate_series(ulx, lrx)) AS gx(tile_x),
+               unnest(generate_series(uly, lry)) AS gy(tile_y)
+          WHERE ulx <= lrx AND uly <= lry
+        ),
+        centers AS (
+          SELECT pid, tile_x, tile_y,
+                 {_d(_p8c.origin_x)} + (CAST(tile_x AS DOUBLE) + 0.5) * {_u8} AS cx,
+                 {_d(_p8c.origin_y)} - (CAST(tile_y AS DOUBLE) + 0.5) * {_u8} AS cy
+          FROM icand
+        ),
+        inside AS (
+          SELECT pid, tile_x, tile_y
+          FROM centers JOIN edges USING (pid)
+          GROUP BY pid, tile_x, tile_y, cx, cy
+          HAVING SUM(CASE WHEN (y1 > cy) <> (y2 > cy)
+                          AND cx < (x2 - x1) * (cy - y1) / (y2 - y1) + x1
+                          THEN 1 ELSE 0 END) % 2 = 1
+        )
+        SELECT COALESCE(b.pid, i.pid) AS poly_id,
+               COALESCE(b.tile_x, i.tile_x) AS tile_x,
+               COALESCE(b.tile_y, i.tile_y) AS tile_y,
+               CAST(8 AS INT) AS zoom,
+               b.pid IS NOT NULL AS boundary,
+               i.pid IS NOT NULL AS center_inside
+        FROM boundary b
+        FULL OUTER JOIN inside i
+          ON b.pid = i.pid AND b.tile_x = i.tile_x AND b.tile_y = i.tile_y
+        ORDER BY poly_id, tile_x, tile_y
     """
 
     _ring_vals = ", ".join(

@@ -244,3 +244,133 @@ def enumerate_tms(spark_df_or_session, tms: Tms, minzoom: int, maxzoom: int) -> 
         .withColumn("tile_y", F.explode(F.sequence("y_min", "y_max")))
         .select("zoom", "tile_x", "tile_y")
     )
+
+
+def cover_polygon_exact(
+    vertices: DataFrame,
+    tms: Tms,
+    zoom: int,
+    id_col: str = "poly_id",
+    ring_col: str = "ring_idx",
+    seq_col: str = "vert_idx",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Tiles intersecting a POLYGON'S AREA at `zoom` — the interior-exact
+    upgrade of the bbox covers above (a bbox cover of an L-shaped or
+    holed polygon over-delivers its empty corners; a tile renderer wants
+    the true mask). Input is the engine's exploded ring-vertex layout
+    (ring 0 = exterior, others = holes, even-odd semantics — same
+    contract as operators/geometry.py).
+
+    Geometry runs in the TMS CRS (vertices forward-projected, edges
+    straight in CRS space — what a renderer rasterizes; pip_join's
+    geographic ray-cast is the lon/lat-space counterpart). A tile
+    intersects the area iff (a) some polygon edge intersects the tile
+    rect — separating-line test on the rect's corners against edges
+    pre-bucketed by their OWN bbox cover, so boundary work is
+    edge-local, never |tiles|x|edges| — or (b) the tile center is
+    inside by even-odd crossing parity over all rings (catches interior
+    tiles and excludes tiles wholly inside holes). Everything is native
+    Column math (no UDF); the whole pipeline is SQL-replayable and the
+    `polygon_cover` oracle value-hashes it.
+
+    Scale shape: one window shuffle on (poly, ring) to build edges; the
+    boundary test explodes each edge to the few tiles ITS bbox covers;
+    the interior test joins the polygon's bbox-cover candidates with
+    its edges on the polygon key — per-polygon cost O(bbox_tiles ·
+    edges), the honest price of exact parity, bounded by choosing the
+    serving zoom per polygon size (same zoom-picking contract as
+    knn.radius_join).
+
+    Returns (id, tile_x, tile_y, zoom, boundary, center_inside) with
+    boundary OR center_inside true on every row.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.grid_cols import tile_bounds_cols
+
+    srid = tms.crs().as_srid()
+    if srid != 3857:
+        raise ValueError(
+            f"cover_polygon_exact supports EPSG:3857 TMS, got {tms.crs()}"
+        )
+    p = tms.zoom_params(zoom)
+
+    v = vertices.select(
+        F.col(id_col).alias("_pid"),
+        F.col(ring_col).alias("_ring"),
+        F.col(seq_col).alias("_seq"),
+        mercator_x(lon).alias("_x"),
+        mercator_y(lat).alias("_y"),
+    )
+    w = Window.partitionBy("_pid", "_ring").orderBy("_seq")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    edges = v.select(
+        "_pid",
+        F.col("_x").alias("x1"),
+        F.col("_y").alias("y1"),
+        F.coalesce(F.lead("_x").over(w), F.first("_x").over(full)).alias("x2"),
+        F.coalesce(F.lead("_y").over(w), F.first("_y").over(full)).alias("y2"),
+    )
+
+    # (a) boundary tiles: edge-bbox cover -> exact segment/rect test
+    eb = edges.withColumns(
+        {
+            "minx": F.least("x1", "x2"),
+            "miny": F.least("y1", "y2"),
+            "maxx": F.greatest("x1", "x2"),
+            "maxy": F.greatest("y1", "y2"),
+        }
+    )
+    cand_b = cover_bbox_xy_exact(eb, tms, zoom)
+    rect = tile_bounds_cols("tile_x", "tile_y", p)
+
+    def _side(cx: F.Column, cy: F.Column) -> F.Column:
+        return (F.col("x2") - F.col("x1")) * (cy - F.col("y1")) - (
+            F.col("y2") - F.col("y1")
+        ) * (cx - F.col("x1"))
+
+    d1 = _side(rect["minx"], rect["miny"])
+    d2 = _side(rect["minx"], rect["maxy"])
+    d3 = _side(rect["maxx"], rect["miny"])
+    d4 = _side(rect["maxx"], rect["maxy"])
+    hit = (F.least(d1, d2, d3, d4) <= 0) & (F.greatest(d1, d2, d3, d4) >= 0)
+    boundary = (
+        cand_b.filter(hit).select("_pid", "tile_x", "tile_y").distinct()
+        .withColumn("boundary", F.lit(True))
+    )
+
+    # (b) interior tiles: polygon-bbox cover -> even-odd center parity
+    pb = v.groupBy("_pid").agg(
+        F.min("_x").alias("minx"),
+        F.min("_y").alias("miny"),
+        F.max("_x").alias("maxx"),
+        F.max("_y").alias("maxy"),
+    )
+    cand_i = cover_bbox_xy_exact(pb, tms, zoom).select("_pid", "tile_x", "tile_y")
+    uw = p.resolution * float(p.tile_width)
+    uh = p.resolution * float(p.tile_height)
+    cx = F.lit(p.origin_x) + (F.col("tile_x").cast("double") + 0.5) * F.lit(uw)
+    cy = F.lit(p.origin_y) - (F.col("tile_y").cast("double") + 0.5) * F.lit(uh)
+    pairs = cand_i.withColumns({"_cx": cx, "_cy": cy}).join(edges, "_pid")
+    straddle = (F.col("y1") > F.col("_cy")) != (F.col("y2") > F.col("_cy"))
+    xint = (F.col("x2") - F.col("x1")) * (F.col("_cy") - F.col("y1")) / (
+        F.col("y2") - F.col("y1")
+    ) + F.col("x1")
+    crossing = F.when(straddle, (F.col("_cx") < xint).cast("int")).otherwise(F.lit(0))
+    inside = (
+        pairs.groupBy("_pid", "tile_x", "tile_y")
+        .agg((F.sum(crossing) % 2 == 1).alias("center_inside"))
+        .filter(F.col("center_inside"))
+    )
+
+    out = boundary.join(inside, ["_pid", "tile_x", "tile_y"], "full_outer").select(
+        F.col("_pid").alias(id_col),
+        "tile_x",
+        "tile_y",
+        F.lit(zoom).alias("zoom"),
+        F.coalesce("boundary", F.lit(False)).alias("boundary"),
+        F.coalesce("center_inside", F.lit(False)).alias("center_inside"),
+    )
+    return out
