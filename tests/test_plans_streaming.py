@@ -1031,3 +1031,92 @@ class TestStreamingStaypoints:
         # after eviction the returning fixes restart numbering at seg 1
         assert (1, 3, True) in u1, u1
         assert (1, 2, False) in u1, u1
+
+
+class TestStreamingTrips:
+    def test_streamed_trips_aggregate_to_batch_od_flows(self, spark, tmp_path):
+        """closed stay points replayed through stream_trips in ordered
+        micro-batches must aggregate to EXACTLY the batch od_flows
+        matrix (trip counts, travelers, total travel seconds)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.core import tms
+        from tile_grid_spark.operators.staypoint import od_flows, staypoints
+        from tile_grid_spark.streaming.stream import stream_trips
+
+        wm = tms().lookup("WebMercatorQuad")
+        base = pd.Timestamp("2024-05-01")
+        rows = []
+        for u in range(3):
+            for i in range(18):
+                cl = i // 6
+                rows.append(
+                    (
+                        u,
+                        base + pd.Timedelta(minutes=10 * i),
+                        10.0 + u * 3.0 + cl * 2.0,  # ~2-deg hops: distinct z8 tiles
+                        50.0,
+                    )
+                )
+        fixes = pd.DataFrame(rows, columns=["user_id", "ts", "lon", "lat"])
+        fixes["ts"] = fixes["ts"].astype("datetime64[us]")
+        bdf = spark.createDataFrame(
+            fixes, "user_id BIGINT, ts TIMESTAMP, lon DOUBLE, lat DOUBLE"
+        )
+        sp = staypoints(bdf, radius_m=500.0, min_points=1, tiebreak="lon")
+        exp = {
+            (r.from_x, r.from_y, r.to_x, r.to_y): (
+                r.n_trips,
+                r.n_users,
+                r.total_travel_s,
+            )
+            for r in od_flows(sp, wm, zoom=8).collect()
+        }
+
+        spd = sp.withColumn(
+            "ts", F.timestamp_seconds(F.col("t_start_s"))
+        ).toPandas().sort_values("t_start_s", kind="stable")
+        # pandas writes ns-precision INT64 parquet Spark won't read back
+        # as timestamp; pin microseconds like the other stream fixtures
+        spd["ts"] = spd["ts"].astype("datetime64[us]")
+        src = tmp_path / "sp_src"
+        src.mkdir()
+        for i, chunk in enumerate(np.array_split(spd, 3)):
+            p = src / f"part-{i}.parquet"
+            chunk.to_parquet(p)
+            os.utime(p, (1700000000 + i, 1700000000 + i))
+        stream = (
+            spark.readStream.schema(
+                "user_id BIGINT, seg_id BIGINT, n_points BIGINT, t_start_s BIGINT, "
+                "t_end_s BIGINT, duration_s BIGINT, ctr_lon DOUBLE, ctr_lat DOUBLE, "
+                "ts TIMESTAMP"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        trips = stream_trips(stream, wm, zoom=8, watermark="1 second")
+        q = (
+            trips.writeStream.format("memory")
+            .queryName("stream_trips_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got_rows = spark.sql("SELECT * FROM stream_trips_test").collect()
+        got = {}
+        users = {}
+        for r in got_rows:
+            key = (r.from_x, r.from_y, r.to_x, r.to_y)
+            n, t = got.get(key, (0, 0))
+            got[key] = (n + 1, t + r.travel_s)
+            users.setdefault(key, set()).add(r.user_id)
+        merged = {
+            k: (n, len(users[k]), t) for k, (n, t) in got.items()
+        }
+        assert merged == exp

@@ -564,3 +564,100 @@ def stream_staypoints(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_trips(
+    staypoints: DataFrame,
+    tms: "object",
+    zoom: int,
+    user: str = "user_id",
+    seg: str = "seg_id",
+    t_start: str = "t_start_s",
+    t_end: str = "t_end_s",
+    lon: str = "ctr_lon",
+    lat: str = "ctr_lat",
+    watermark_col: str = "ts",
+    watermark: str = "10 seconds",
+    evict_sec: int = 7 * 86400,
+) -> DataFrame:
+    """Streaming OD trip extraction — the streaming twin of
+    operators/staypoint.od_flows' lead step: consumes a stream of
+    CLOSED stay-point rows (stream_staypoints closed=true output, or
+    any (user, seg, span, centroid) feed with an event-time column) and
+    links each user's consecutive dwells into trips, snapping endpoints
+    to engine grid tiles at `zoom` with the bit-exact core scalar math
+    (core/tms.tile — the same assignment the batch Column path
+    produces, so streamed trips aggregate to od_flows' matrix;
+    pytest-gated).
+
+    GroupState per user holds only the LAST dwell (start, end,
+    centroid); each batch sorts its rows by (t_start, seg) and chains
+    from the held dwell, emitting one row per trip — exactly once per
+    consecutive pair, since a dwell participates as trip-origin the
+    moment its successor arrives and never again. Event-time timeout
+    EVICTS users quiet past `evict_sec` (bounded state; a returning
+    user's first dwell then starts a fresh chain — the documented
+    trade-off, same as stream_staypoints).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user} BIGINT, from_seg INT, to_seg INT, "
+        "from_x BIGINT, from_y BIGINT, to_x BIGINT, to_y BIGINT, "
+        "depart_s BIGINT, travel_s BIGINT"
+    )
+    state_schema = "seg INT, start_e BIGINT, end_e BIGINT, lo DOUBLE, la DOUBLE"
+
+    def update(k, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs)).sort_values([t_start, seg], kind="stable")
+        if pdf.empty:
+            return
+        held = state.get if state.exists else None
+        out = []
+        for r in pdf.itertuples(index=False):
+            cur = (
+                int(getattr(r, seg)),
+                int(getattr(r, t_start)),
+                int(getattr(r, t_end)),
+                float(getattr(r, lon)),
+                float(getattr(r, lat)),
+            )
+            if held is not None:
+                f = tms.tile(held[3], held[4], zoom)
+                t = tms.tile(cur[3], cur[4], zoom)
+                out.append(
+                    {
+                        user: k[0],
+                        "from_seg": held[0],
+                        "to_seg": cur[0],
+                        "from_x": f.x,
+                        "from_y": f.y,
+                        "to_x": t.x,
+                        "to_y": t.y,
+                        "depart_s": held[2],
+                        "travel_s": cur[1] - held[2],
+                    }
+                )
+            held = cur
+        state.update(held)
+        state.setTimeoutTimestamp(
+            max((held[2] + evict_sec) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        staypoints.withWatermark(watermark_col, watermark)
+        .groupBy(user)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
