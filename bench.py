@@ -443,6 +443,47 @@ def bench_path_simplify(spark: SparkSession) -> dict:
     return {"sec": dt, "simplify_vertices": n, "simplify_kept": int(k)}
 
 
+SP_FIXES = int(os.environ.get("SPARK_GRAFT_SP_FIXES", "2000000"))
+
+
+def bench_staypoints_od(spark: SparkSession) -> dict:
+    """Mobility pipeline at generated scale: SP_FIXES fixes over 20k
+    users (clusters of 8 with ~1.1 km jumps, the staypoints-query
+    synthesis), stay-point segmentation (window + reused-partitioning
+    agg) chained into the z15 OD flow matrix — windows, lead, tile
+    snap and the pair agg in one measured pipeline."""
+    from tile_grid_spark.operators.staypoint import od_flows, staypoints
+
+    # ~100 fixes per user at any scale: 12 dwell clusters -> 11 trips
+    n_users = max(SP_FIXES // 100, 1)
+    ids = spark.range(SP_FIXES)
+    i = (F.col("id") / n_users).cast("long")  # per-user fix index
+    user = F.col("id") % n_users
+    cl = (i / 8).cast("long")
+    t = ids.select(
+        F.col("id").alias("event_id"),
+        user.alias("user_id"),
+        F.timestamp_seconds(i * 60 + (F.col("id") % 59)).alias("ts"),
+        (
+            F.lit(-100.0)
+            + (user % 100) * 0.5
+            + cl * 0.01
+            + ((F.col("id") * 7) % 21 - 10) * 0.00008
+        ).alias("lon"),
+        (
+            F.lit(10.0)
+            + (user % 50) * 0.3
+            + cl * 0.01
+            + ((F.col("id") * 11) % 21 - 10) * 0.00008
+        ).alias("lat"),
+    )
+    t0 = time.time()
+    sp = staypoints(t, radius_m=500.0, min_points=5, tiebreak="event_id")
+    n = force(od_flows(sp, E.WM, zoom=15))
+    dt = time.time() - t0
+    return {"sec": dt, "sp_fixes": SP_FIXES, "od_rows": n}
+
+
 def main() -> None:
     spark = build_session(
         "tgs-bench",
@@ -509,6 +550,7 @@ def main() -> None:
         "cc_star_rounds": bench_connected_components,
         "mvt_encode_z6": bench_mvt_encode,
         "path_simplify": bench_path_simplify,
+        "staypoints_od": bench_staypoints_od,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -544,6 +586,8 @@ def main() -> None:
             extras["mvt_points_per_sec"] = round(r["mvt_points"] / r["sec"])
         if "simplify_vertices" in r:
             extras["simplify_vertices_per_sec"] = round(r["simplify_vertices"] / r["sec"])
+        if "sp_fixes" in r:
+            extras["staypoint_fixes_per_sec"] = round(r["sp_fixes"] / r["sec"])
     queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
