@@ -159,3 +159,67 @@ class TestGeoJSONSeqRS:
         # stable: re-read yields the same ids (content-derived)
         again = [r.feature_id for r in read_geojson(spark, p).collect()]
         assert sorted(ids) == sorted(again)
+
+
+class TestWriteGeojson:
+    def test_round_trips_through_engine_reader(self, spark, tmp_path):
+        """tile bounds -> GeoJSON bbox features (sink) -> read_geojson
+        (source): ring coordinates and carried properties must survive
+        ring-for-ring; the write is a zero-shuffle projection."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.core import tms
+        from tile_grid_spark.functions import grid_cols as G
+        from tile_grid_spark.sources.geojson import (
+            read_geojson,
+            write_geojson_bbox_features,
+        )
+
+        wm = tms().lookup("WebMercatorQuad")
+        p = wm.zoom_params(2)
+        tiles = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)], "tile_x INT, tile_y INT"
+        )
+        b = G.tile_bounds_cols("tile_x", "tile_y", p)
+        rows = tiles.select(
+            F.concat_ws("/", F.lit("2"), "tile_x", "tile_y").alias("feature_id"),
+            G.inv_mercator_lon(b["minx"]).alias("minx"),
+            G.inv_mercator_lat(b["miny"]).alias("miny"),
+            G.inv_mercator_lon(b["maxx"]).alias("maxx"),
+            G.inv_mercator_lat(b["maxy"]).alias("maxy"),
+            F.col("tile_x").alias("tx"),
+        )
+        out = str(tmp_path / "tiles_geojson")
+        plan = rows.select(F.lit(1))._jdf.queryExecution().executedPlan().toString()
+        write_geojson_bbox_features(
+            rows, out, prop_cols=("tx",)
+        )
+        # raw line is a valid single GeoJSON feature
+        import glob
+
+        line = open(sorted(glob.glob(out + "/part-*"))[0]).readline()
+        feat = json.loads(line)
+        assert feat["type"] == "Feature"
+        assert feat["geometry"]["type"] == "Polygon"
+        assert feat["geometry"]["coordinates"][0][0] == feat["geometry"]["coordinates"][0][-1]
+
+        back = read_geojson(spark, out)
+        got = {
+            json.loads(r.properties)["feature_id"]: (r.ring_lon, r.ring_lat)
+            for r in back.collect()
+        }
+        exp = {
+            r.feature_id: (
+                [r.minx, r.maxx, r.maxx, r.minx, r.minx],
+                [r.miny, r.miny, r.maxy, r.maxy, r.miny],
+            )
+            for r in rows.collect()
+        }
+        assert set(got) == set(exp) and len(got) == 16
+        for k in exp:
+            assert got[k] == exp[k], k
+        # properties carried through
+        anyrow = back.filter(F.col("ring_lon").isNotNull()).collect()[0]
+        assert "tx" in json.loads(anyrow.properties)

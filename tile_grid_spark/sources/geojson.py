@@ -29,6 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 POLYGON_SCHEMA = (
     "feature_id STRING, poly_id BIGINT, ring_lon ARRAY<DOUBLE>, "
@@ -163,3 +164,47 @@ def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFra
     return spark.createDataFrame(pd.DataFrame(rows), POLYGON_SCHEMA) if rows else (
         spark.createDataFrame([], POLYGON_SCHEMA)
     )
+
+
+def write_geojson_bbox_features(
+    df: DataFrame,
+    path: str,
+    feature_id: str = "feature_id",
+    minx: str = "minx",
+    miny: str = "miny",
+    maxx: str = "maxx",
+    maxy: str = "maxy",
+    prop_cols: tuple[str, ...] = (),
+    mode: str = "error",
+) -> None:
+    """GeoJSON SINK — the reference's bbox_to_feature direction
+    (src/tile.rs:130-160) distributed: each row becomes one
+    newline-delimited GeoJSON Feature whose geometry is the bbox
+    polygon (CCW exterior ring, closed: [[w,s],[e,s],[e,n],[w,n],
+    [w,s]]), with `prop_cols` carried under properties plus the id.
+
+    Feature construction is a pure native-Column to_json projection —
+    zero shuffle, one output file per input partition, and the NDJSON
+    layout is exactly what read_geojson's distributed branch parses, so
+    engine output round-trips through the engine's own reader
+    (pytest-gated ring-for-ring)."""
+    F_ = F
+    w, s, e, n = (F_.col(c).cast("double") for c in (minx, miny, maxx, maxy))
+
+    def pt(x, y):
+        return F_.array(x, y)
+
+    ring = F_.array(pt(w, s), pt(e, s), pt(e, n), pt(w, n), pt(w, s))
+    props = F_.struct(
+        F_.col(feature_id).cast("string").alias("feature_id"),
+        *[F_.col(c).alias(c) for c in prop_cols],
+    )
+    feature = F_.struct(
+        F_.lit("Feature").alias("type"),
+        F_.struct(
+            F_.lit("Polygon").alias("type"),
+            F_.array(ring).alias("coordinates"),
+        ).alias("geometry"),
+        props.alias("properties"),
+    )
+    df.select(F_.to_json(feature).alias("value")).write.mode(mode).text(path)
