@@ -2849,6 +2849,11 @@ def _url_canonical_oracle_sql() -> str:
             || (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
           FROM documents
         ),
+        defrag AS (
+          -- fragment first, mirroring with_canonical_url: a '?' inside
+          -- the fragment must never parse as a query string
+          SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM syn
+        ),
         parts AS (
           SELECT doc_id, url,
             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -2857,7 +2862,7 @@ def _url_canonical_oracle_sql() -> str:
               '^[^@]*@', '') AS hostport,
             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
             regexp_extract(url, '\\?([^#]*)', 1) AS q
-          FROM syn
+          FROM defrag
         ),
         norm AS (
           SELECT doc_id, scheme,

@@ -56,6 +56,24 @@ class TestReadGeojson:
         props = {r.feature_id: json.loads(r.properties) for r in df.collect()}
         assert props["a"] == {"name": "sq"}
 
+    def test_feature_collection_size_guard(self, spark, tmp_path, fc, monkeypatch):
+        # the driver-parse branch must refuse oversized layers with a
+        # pointer to the distributed NDJSON path, not OOM mid-collect
+        import tile_grid_spark.sources.geojson as gj
+
+        p = str(tmp_path / "big.geojson")
+        with open(p, "w") as f:
+            json.dump(fc, f)
+        monkeypatch.setattr(gj, "MAX_FEATURECOLLECTION_BYTES", 10)
+        with pytest.raises(ValueError, match="newline-delimited"):
+            gj.read_geojson(spark, p)
+        # NDJSON path is exempt from the cap (fully distributed)
+        pn = str(tmp_path / "big.ndjson")
+        with open(pn, "w") as f:
+            for ft in fc["features"]:
+                f.write(json.dumps(ft) + "\n")
+        assert gj.read_geojson(spark, pn).count() == 4
+
     def test_ndjson_distributed(self, spark, tmp_path, fc):
         p = str(tmp_path / "layer.ndjson")
         with open(p, "w") as f:

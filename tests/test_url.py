@@ -23,8 +23,12 @@ CASES = [
     ),
     ("http://h.com:80", "http://h.com/", "h.com", 0, 0),
     ("https://h.com/?gclid=g1&fbclid=f&utm_campaign=c", "https://h.com/", "h.com", 0, 3),
-    # bare tracking key without '=', bare kept key
-    ("https://h.com/p?ref&z", "https://h.com/p?z", "h.com", 1, 1),
+    # bare `ref` is NOT stripped by default (meaningful routing param
+    # on some sites — git refs, store referrers); see custom-list test
+    ("https://h.com/p?ref&z", "https://h.com/p?ref&z", "h.com", 2, 0),
+    # '?' inside the fragment is fragment text, never a query string
+    ("http://h.com/p#frag?x=1", "http://h.com/p", "h.com", 0, 0),
+    ("http://h.com#frag?utm_source=x", "http://h.com/", "h.com", 0, 0),
     # root path stays '/', lone trailing slash not doubled-stripped
     ("https://h.com/", "https://h.com/", "h.com", 0, 0),
     # utm_ prefix family
@@ -60,6 +64,17 @@ class TestCanonicalUrl:
         canon = with_canonical_url(df).select("canonical_url").distinct().collect()
         assert len(canon) == 1
         assert canon[0].canonical_url == "https://example.com/page?a=1&b=2"
+
+    def test_custom_tracking_list_strips_ref(self, spark):
+        # crawls where `ref` IS a tracker can opt in via tracking_params
+        from tile_grid_spark.functions.url import DEFAULT_TRACKING_PARAMS
+
+        df = spark.createDataFrame([("https://h.com/p?ref=promo&z=1",)], "url STRING")
+        r = with_canonical_url(
+            df, tracking_params=DEFAULT_TRACKING_PARAMS + ("ref", "ref_src")
+        ).collect()[0]
+        assert r.canonical_url == "https://h.com/p?z=1"
+        assert r.n_tracking_stripped == 1
 
     def test_zero_shuffle_mapper(self, spark):
         df = spark.createDataFrame([("https://a.com/x",)], "url STRING")

@@ -18,7 +18,14 @@ Canonical form (RFC 3986 normalizations + crawl conventions):
   - default ports removed (http:80, https:443); other ports kept
   - empty path -> "/"; a single trailing "/" stripped from non-root paths
   - tracking params dropped (utm_*, fbclid, gclid, msclkid, mc_eid,
-    igshid, ref, ref_src), remaining params sorted lexicographically
+    igshid by default), remaining params sorted lexicographically
+
+The fragment is stripped BEFORE query/path extraction: a '?' that only
+appears inside the fragment (http://h/p#frag?x=1) is fragment text, not
+a query string (RFC 3986 §3: query ends at the first '#'). Bare `ref`
+is NOT in the default strip list — unlike utm_*/gclid it routes to
+distinct pages on some sites (git refs, store referrers), so stripping
+it would wrongly collapse them; pass `tracking_params` to opt in.
 """
 
 from __future__ import annotations
@@ -26,8 +33,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# default strip list: unambiguous click/campaign trackers only
+DEFAULT_TRACKING_PARAMS = (
+    "utm_[A-Za-z0-9_]*",
+    "fbclid",
+    "gclid",
+    "msclkid",
+    "mc_eid",
+    "igshid",
+)
+
+
+def tracking_param_re(params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS) -> str:
+    """One alternation, applied per query parameter (key=value or bare
+    key). Entries are regex fragments (no anchors, no groups needed)."""
+    return "^(" + "|".join(params) + ")(=.*)?$"
+
+
 # one alternation, applied per query parameter (key=value or bare key)
-TRACKING_PARAM_RE = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$"
+TRACKING_PARAM_RE = tracking_param_re()
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -37,14 +61,22 @@ _PORT_RE = ":([0-9]+)$"
 
 
 def with_canonical_url(
-    df: DataFrame, url: str = "url", out: str = "canonical_url"
+    df: DataFrame,
+    url: str = "url",
+    out: str = "canonical_url",
+    tracking_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
 ) -> DataFrame:
     """Adds `scheme`, `host`, `port` (string, '' when defaulted/absent),
     `path_norm`, `n_params_kept`, `n_tracking_stripped`, and `out` (the
     canonical URL). Rows whose value does not look like an absolute
     http(s)-style URL (no scheme://) get NULL canonical_url and host ''.
+    `tracking_params` overrides the strip list (regex fragments matched
+    against whole param keys — e.g. add "ref" for crawls where it is a
+    known tracker).
     """
-    u = F.col(url)
+    strip_re = tracking_param_re(tracking_params)
+    # fragment first: everything after the first '#' is never query/path
+    u = F.regexp_replace(F.col(url), "#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     authority = F.regexp_extract(u, _AUTHORITY_RE, 1)
     hostport = F.regexp_replace(authority, "^[^@]*@", "")
@@ -62,7 +94,7 @@ def with_canonical_url(
     path_norm = F.when(path1 == "", F.lit("/")).otherwise(path1)
     query = F.regexp_extract(u, _QUERY_RE, 1)
     params = F.filter(F.split(query, "&"), lambda x: x != "")
-    kept = F.array_sort(F.filter(params, lambda x: ~x.rlike(TRACKING_PARAM_RE)))
+    kept = F.array_sort(F.filter(params, lambda x: ~x.rlike(strip_re)))
     n_kept = F.size(kept)
     n_stripped = F.size(params) - n_kept
     canon = F.concat(

@@ -298,6 +298,12 @@ def fit_pq_codebook(
         .collect()
     )
     X = np.array([r.e for r in rows], dtype=np.float64)
+    if X.size == 0 or len(X) < k:
+        raise ValueError(
+            f"fit_pq_codebook: need at least k={k} sample rows to seed "
+            f"k-means, got {len(X)} (table too small or sample fraction "
+            f"rounded to nothing — lower k or raise `sample`)"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"fit_pq_codebook: dim {dim} not divisible by m={m}")

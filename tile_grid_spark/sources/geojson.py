@@ -82,12 +82,41 @@ def _rows_from_feature(feat: dict, idx: int, holes: str = "drop"):
         }
 
 
+# FeatureCollection documents are parsed ON THE DRIVER (a single JSON
+# document cannot be line-split); refuse to collect more than this many
+# bytes — convert to NDJSON/GeoJSONSeq for the distributed path instead.
+MAX_FEATURECOLLECTION_BYTES = 256 * 1024 * 1024
+
+
+def _fc_total_bytes(spark: SparkSession, path: str) -> int:
+    """Total size (metadata only, nothing read) of the files `path`
+    resolves to, via the same Hadoop FS API wholeTextFiles uses — so
+    s3a://, hdfs:// and globs are all sized correctly."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total = 0
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        return 0
+    for st in statuses:
+        if st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                if child.isFile():
+                    total += child.getLen()
+        else:
+            total += st.getLen()
+    return total
+
+
 def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFrame:
     """Read a GeoJSON layer into the ring-array polygon schema.
 
     `path` may be a single .geojson file (FeatureCollection — parsed
-    driver-side, parallelized) or a file/glob of newline-delimited
-    features (GeoJSONSeq / NDJSON — parsed distributed).
+    driver-side, parallelized, capped at MAX_FEATURECOLLECTION_BYTES)
+    or a file/glob of newline-delimited features (GeoJSONSeq / NDJSON —
+    parsed distributed, unbounded).
 
     `holes`: "drop" (default) keeps outer rings only and counts dropped
     interior rings; "evenodd" encodes holes into the same flat ring
@@ -151,7 +180,18 @@ def read_geojson(spark: SparkSession, path: str, holes: str = "drop") -> DataFra
     # — so the same s3a://, hdfs://, or glob path that works for the
     # NDJSON branch works here too (a local open()/glob would silently
     # read nothing on a non-local filesystem). Sorted by path so poly_id
-    # assignment is deterministic across runs.
+    # assignment is deterministic across runs. Guarded: the collect is
+    # driver-memory bound, so refuse oversized layers up front (metadata
+    # check, nothing read) instead of OOMing mid-parse.
+    total = _fc_total_bytes(spark, path)
+    if total > MAX_FEATURECOLLECTION_BYTES:
+        raise ValueError(
+            f"read_geojson: FeatureCollection layer at {path!r} is "
+            f"{total} bytes (> {MAX_FEATURECOLLECTION_BYTES} driver-parse "
+            "cap). Convert to newline-delimited GeoJSON (GeoJSONSeq / one "
+            "Feature per line) — read_geojson parses that form fully "
+            "distributed with no size limit."
+        )
     docs = sorted(spark.sparkContext.wholeTextFiles(path).collect())
     rows = []
     i = 0

@@ -173,8 +173,10 @@ def stream_sessionize(
         start_e, last_e, n_ev, n_sess, max_dur = (
             state.get if state.exists else (None, None, 0, 0, 0)
         )
-        ts = pd.concat([p[ts_col] for p in pdfs]).sort_values()
-        es = ts.to_numpy().astype("datetime64[s]").astype("int64")
+        # _epoch_s is computed JVM-side (cast timestamp->long = true
+        # UTC epoch); converting the naive pandas datetime here would
+        # shift by the session-timezone offset under non-UTC sessions
+        es = pd.concat([p["_epoch_s"] for p in pdfs]).sort_values().to_numpy()
         for e in es:
             if last_e is None or e - last_e > gap_sec:
                 if last_e is not None:
@@ -191,6 +193,9 @@ def stream_sessionize(
         )
         yield _row(k, n_sess, n_ev, start_e, last_e, max_dur, False)
 
+    from pyspark.sql import functions as _F
+
+    events = events.withColumn("_epoch_s", _F.col(ts_col).cast("long"))
     return events.withWatermark(ts_col, watermark).groupBy(key).applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -529,7 +534,9 @@ def stream_staypoints(
         )
         pdf = pd.concat(list(pdfs))
         pdf = pdf.sort_values(ts_col, kind="stable")
-        es = pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+        # JVM-computed epoch (cast timestamp->long): session-timezone
+        # independent, unlike a naive datetime64 view (ADVICE r4)
+        es = pdf["_epoch_s"].to_numpy()
         xs = pdf[lon].to_numpy(dtype="float64")
         ys = pdf[lat].to_numpy(dtype="float64")
         out = []
@@ -553,6 +560,9 @@ def stream_staypoints(
         out.append(_row(k, seg, n, sl, sa, se, le, False))
         yield pd.DataFrame(out)
 
+    from pyspark.sql import functions as _F
+
+    fixes = fixes.withColumn("_epoch_s", _F.col(ts_col).cast("long"))
     return (
         fixes.withWatermark(ts_col, watermark)
         .groupBy(user)
