@@ -165,3 +165,71 @@ class TestImagePyramid:
                 r.image_id,
                 r.level,
             )
+
+
+class TestClosedFormPngStats:
+    """synth_png_images + image_pixel_stats vs an independent numpy
+    oracle — the pytest leg of the image_stats / image_pyramid full
+    value-hash driver queries."""
+
+    def _closed_form(self, iid):
+        w = 16 + (iid % 5) * 4
+        h = 12 + (iid % 3) * 4
+        j = np.arange(w * h * 3, dtype=np.int64)
+        return ((iid * 7 + j * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+
+    def test_payloads_decode_to_closed_form(self, spark):
+        from tile_grid_spark.functions.png import decode_png
+        from tile_grid_spark.sources.datagen import synth_png_images
+
+        rows = synth_png_images(spark, 12).collect()
+        assert len(rows) == 12
+        for r in rows:
+            want = self._closed_form(int(r.image_id))
+            got = decode_png(bytes(r.bytes))
+            assert got.shape == (r.h, r.w, 3)
+            assert (got == want).all(), r.image_id
+
+    def test_pixel_stats_match_numpy(self, spark):
+        from tile_grid_spark.functions.image import image_pixel_stats
+        from tile_grid_spark.sources.datagen import synth_png_images
+
+        got = {
+            int(r.image_id): r
+            for r in image_pixel_stats(synth_png_images(spark, 10)).collect()
+        }
+        for iid in range(10):
+            v = self._closed_form(iid).reshape(-1).astype(np.int64)
+            r = got[iid]
+            assert r.n_px == v.size
+            assert r.sum_px == int(v.sum())
+            assert (r.min_px, r.max_px) == (int(v.min()), int(v.max()))
+            assert r.wsum_px == int(((np.arange(v.size) + 1) * v).sum())
+            assert (r.sum_r, r.sum_g, r.sum_b) == (
+                int(v[0::3].sum()), int(v[1::3].sum()), int(v[2::3].sum()),
+            )
+
+    def test_pyramid_stats_match_numpy(self, spark):
+        from pyspark.sql import functions as F
+
+        from tile_grid_spark.functions.image import image_pixel_stats
+        from tile_grid_spark.functions.multimodal import halve_box, image_pyramid
+        from tile_grid_spark.sources.datagen import synth_png_images
+
+        imgs = synth_png_images(spark, 6).withColumn(
+            "image_id", F.col("image_id").cast("string")
+        )
+        pyr = image_pixel_stats(
+            image_pyramid(imgs, levels=2), passthrough=("level",), fmt="raw"
+        )
+        got = {(r.image_id, r.level): r for r in pyr.collect()}
+        for iid in range(6):
+            cur = self._closed_form(iid)
+            for lvl in range(3):
+                q = np.clip(np.rint(cur), 0, 255).astype(np.uint8)
+                v = q.reshape(-1).astype(np.int64)
+                r = got[(str(iid), lvl)]
+                assert (r.w, r.h) == (q.shape[1], q.shape[0])
+                assert r.sum_px == int(v.sum())
+                assert r.wsum_px == int(((np.arange(v.size) + 1) * v).sum())
+                cur = halve_box(q)

@@ -165,6 +165,73 @@ def with_payload_checks(images: DataFrame) -> DataFrame:
     ).withColumn("phash_match", F.col("phash_recomputed") == F.col("phash"))
 
 
+def image_pixel_stats(
+    images: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    fmt: str | None = None,
+) -> DataFrame:
+    """Integer-exact per-image pixel statistics through the real decode
+    path — the image analog of functions/audio.audio_features' oracle
+    trick: every output is integer arithmetic over the decoded bytes
+    (sum, position-weighted sum, extrema, per-channel sums), so when the
+    pixels are closed-form in the key (sources/datagen.synth_png_images)
+    a SQL oracle re-derives the whole row and the driver can FULL
+    value-hash a codec pipeline DuckDB cannot itself decode.
+
+    Zero-shuffle mapInPandas: at 10^12 images the payload bytes never
+    move, only the ~9-column stat rows do. `passthrough` columns (e.g.
+    a pyramid `level`) ride along; `fmt` overrides a missing fmt column
+    (raw pyramid payloads)."""
+    import pandas as _pd
+
+    cols = ["image_id", *passthrough, "bytes", "w", "h"]
+    src = images.select(*cols, *(() if fmt else ("fmt",)))
+    fixed_fmt = fmt
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {c: [] for c in ("image_id", *passthrough, "w", "h")}
+            stats = {
+                k: []
+                for k in (
+                    "n_px", "sum_px", "min_px", "max_px", "wsum_px",
+                    "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for idx in range(len(b)):
+                w, h = int(b["w"].iloc[idx]), int(b["h"].iloc[idx])
+                f = fixed_fmt or b["fmt"].iloc[idx]
+                px = decode_image(b["bytes"].iloc[idx], f, w, h)
+                v = px.reshape(-1).astype(np.int64)
+                out["image_id"].append(b["image_id"].iloc[idx])
+                for p in passthrough:
+                    out[p].append(b[p].iloc[idx])
+                out["w"].append(w)
+                out["h"].append(h)
+                stats["n_px"].append(v.size)
+                stats["sum_px"].append(int(v.sum()))
+                stats["min_px"].append(int(v.min()))
+                stats["max_px"].append(int(v.max()))
+                # position-weighted: permutation/stride bugs that keep
+                # the multiset of bytes intact still break this
+                stats["wsum_px"].append(int(((np.arange(v.size) + 1) * v).sum()))
+                stats["sum_r"].append(int(v[0::3].sum()))
+                stats["sum_g"].append(int(v[1::3].sum()))
+                stats["sum_b"].append(int(v[2::3].sum()))
+            yield _pd.DataFrame({**out, **stats})
+
+    dtypes = dict(images.dtypes)
+    pass_schema = "".join(
+        f"{p} {dtypes[p].upper()}, " for p in passthrough
+    )
+    schema = (
+        f"image_id {dtypes['image_id'].upper()}, {pass_schema}w INT, h INT, "
+        "n_px BIGINT, sum_px BIGINT, min_px INT, max_px INT, wsum_px BIGINT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
+    )
+    return src.mapInPandas(run, schema)
+
+
 def hamming64(a, b):
     """Column expr: Hamming distance between two 64-bit phash columns
     (native bit_count — used by near-dup detection)."""

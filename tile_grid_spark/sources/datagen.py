@@ -173,6 +173,47 @@ def generate_images(
     return spark.range(0, n_rows, numPartitions=parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+PNG_IMAGES_SCHEMA = "image_id BIGINT, bytes BINARY, fmt STRING, w INT, h INT"
+
+
+def synth_png_images(
+    spark: SparkSession, n_images: int, filter_strategy: str = "mixed"
+) -> DataFrame:
+    """Deterministic REAL-PNG image table whose decoded pixels are
+    CLOSED-FORM in the key — the image twin of synth_wav_clips, making
+    codec outputs SQL-checkable: flat RGB byte j (row-major, j =
+    (y*w + x)*3 + c) of image `id` is
+
+        px[j] = (id*7 + j*13) % 256
+
+    with w = 16 + (id%5)*4, h = 12 + (id%3)*4 (all dims divisible by 4,
+    so two 2x2 pyramid halvings never crop). Payloads go through the
+    real PNG writer (functions/png.encode_png) with the row-cycling
+    filter strategy, so every unfilter path (None/Sub/Up/Average/Paeth)
+    sits between the oracle's closed form and the decoded stats — any
+    filter/CRC/interleave bug breaks the value hash. Integer arithmetic
+    only; no RNG, partition-invariant."""
+    from tile_grid_spark.functions.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"image_id": [], "bytes": [], "fmt": [], "w": [], "h": []}
+            for iid in b["id"]:
+                iid = int(iid)
+                w = 16 + (iid % 5) * 4
+                h = 12 + (iid % 3) * 4
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((iid * 7 + j * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows["image_id"].append(iid)
+                rows["bytes"].append(encode_png(px, filter_strategy=filter_strategy))
+                rows["fmt"].append("png")
+                rows["w"].append(w)
+                rows["h"].append(h)
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_images).mapInPandas(gen, PNG_IMAGES_SCHEMA)
+
+
 WAV_CLIPS_SCHEMA = "clip_id BIGINT, bytes BINARY, fmt STRING"
 
 
