@@ -139,3 +139,60 @@ class TestStarImplEquivalence:
         e = spark.createDataFrame([(1, 2)], "id_a BIGINT, id_b BIGINT")
         with pytest.raises(ValueError, match="star_impl"):
             connected_components(e, star_impl="nope")
+
+
+class TestPreContraction:
+    def test_pre_contract_equals_plain_on_random_graphs(self, spark):
+        rng = np.random.default_rng(23)
+        for trial in range(3):
+            n = 200 + trial * 100
+            edges = [
+                tuple(int(x) for x in p)
+                for p in rng.integers(0, n, (n, 2))
+                if p[0] != p[1]
+            ]
+            e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT").repartition(7)
+            a = {
+                r.node: r.component
+                for r in connected_components(e, pre_contract=True).collect()
+            }
+            b = {
+                r.node: r.component
+                for r in connected_components(e, pre_contract=False).collect()
+            }
+            assert a == b == _union_find(edges)
+
+    def test_contract_partitions_preserves_components_and_shrinks(self, spark):
+        from tile_grid_spark.operators.cluster import _contract_partitions
+
+        # chains are the worst case for star rounds and the best case
+        # for local contraction: each partition collapses its chain
+        # segment to a star in one map pass
+        edges = [(i, i + 1) for i in range(400)]
+        e = spark.createDataFrame(edges, "u BIGINT, v BIGINT").repartition(8)
+        c = _contract_partitions(e)
+        rows = [(r.u, r.v) for r in c.collect()]
+        assert len(rows) <= len(edges)
+        # contracted edges are canonical (root < child) star edges
+        assert all(u < v for u, v in rows)
+        # connectivity is preserved: same components as the original
+        assert _union_find(rows) == _union_find(edges)
+
+    def test_pre_contract_partition_invariant(self, spark):
+        rng = np.random.default_rng(5)
+        edges = [
+            tuple(int(x) for x in p)
+            for p in rng.integers(0, 150, (120, 2))
+            if p[0] != p[1]
+        ]
+        base = None
+        for parts in (1, 3, 16):
+            e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT").repartition(
+                parts
+            )
+            got = {
+                r.node: r.component for r in connected_components(e).collect()
+            }
+            if base is None:
+                base = got
+            assert got == base

@@ -131,6 +131,59 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _contract_partitions(e: DataFrame) -> DataFrame:
+    """Partition-LOCAL pre-contraction — the standard two-phase CC
+    optimization (SoCC'14 §6 'optimizations'): before any global star
+    round shuffles, each partition contracts its own edges with an
+    in-memory union-find and emits one (root, node) edge per non-root
+    node it saw. Connectivity is preserved (contraction within a
+    partition + union across partitions spans the same components), the
+    output is never larger than the input (≤ one edge per distinct
+    non-root node, parallel edges collapse for free), and long chains
+    inside a partition vanish — so the global rounds start from a union
+    of star forests and converge in 1-3 rounds instead of O(diameter).
+
+    Zero shuffle: one mapInPandas pass. The union-find is vectorized
+    min-hooking + pointer jumping over factorized ids (np.minimum.at
+    resolves concurrent hooks; ids come back from np.unique SORTED, so
+    index order == id order and emitted edges are already canonical
+    u < v with u the partition-local component min)."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(np.int64))
+            vs.append(b["v"].to_numpy(np.int64))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        if len(u) == 0:
+            return
+        ids, codes = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = codes[: len(u)], codes[len(u) :]
+        p = np.arange(len(ids), dtype=np.int64)
+        while True:
+            while True:  # full path compression (p monotone under jumps)
+                pp = p[p]
+                if np.array_equal(pp, p):
+                    break
+                p = pp
+            ru, rv = p[ui], p[vi]
+            live = ru != rv
+            if not live.any():
+                break
+            hi = np.maximum(ru[live], rv[live])
+            lo = np.minimum(ru[live], rv[live])
+            np.minimum.at(p, hi, lo)  # union-by-min; collisions take min
+        child = np.nonzero(p != np.arange(len(ids)))[0]
+        yield pd.DataFrame({"u": ids[p[child]], "v": ids[child]})
+
+    return e.mapInPandas(run, "u BIGINT, v BIGINT")
+
+
 def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
     """Materialize one round's edge set AND its convergence checksum in a
     SINGLE driver action: the (count, hash-sum) metrics ride the eager
@@ -161,6 +214,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_iter: int = 30,
     star_impl: str = "window",
+    pre_contract: bool = True,
 ) -> DataFrame:
     """Connected components of the undirected graph given by `edges`.
 
@@ -178,6 +232,14 @@ def connected_components(
     measured 1.8x faster; per-node adjacency must fit one task) or
     "agg" (groupBy+join — map-side partial min + AQE-splittable join
     for adversarial hub degrees). Identical results, property-tested.
+
+    `pre_contract` (default True): contract each partition's edges with
+    a local union-find before any shuffle (_contract_partitions) —
+    strictly fewer edges enter the star rounds and chains local to a
+    partition collapse immediately. Only applies to integral id
+    columns (the factorized numpy union-find needs int64); any other
+    type silently keeps the plain path. Identical results,
+    property-tested.
     """
     if star_impl == "window":
         large, small = _large_star, _small_star
@@ -185,9 +247,17 @@ def connected_components(
         large, small = _large_star_agg, _small_star_agg
     else:
         raise ValueError(f"star_impl must be 'window' or 'agg', got {star_impl!r}")
-    e, prev = _checkpoint_with_checksum(
-        _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    integral = all(
+        t in ("tinyint", "smallint", "int", "bigint") for _, t in e0.dtypes
     )
+    if pre_contract and integral:
+        e0 = _contract_partitions(
+            e0.select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            ).filter(F.col("u") != F.col("v"))
+        )
+    e, prev = _checkpoint_with_checksum(_canonical(e0))
     converged = prev[0] == 0
     for _ in range(max_iter):
         if converged:
