@@ -138,6 +138,50 @@ class TestIntervalJoin:
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
         assert "Join" in plan
 
+    def test_small_intervals_auto_broadcast_no_left_exchange(self, spark):
+        # the attribution shape: big events, tiny windows — the interval
+        # side must broadcast so the events never shuffle
+        ev = _mk_events(spark, [(i % 4, float(i * 10)) for i in range(200)])
+        iv = _mk_intervals(spark, [(k, 0.0, 7200.0) for k in range(4)])
+        out = interval_join(
+            ev, iv, left_ts="ts", start="start", end="end", on=("key",),
+            width_sec=3600,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, final
+        assert "Exchange hashpartitioning" not in final, final
+        # and the result is still the brute-force containment
+        assert out.count() == sum(1 for i in range(200) if i * 10 < 7200)
+
+    def test_broadcast_false_keeps_shuffle_shape(self, spark):
+        ev = _mk_events(spark, [(0, 0.0)])
+        iv = _mk_intervals(spark, [(0, 0.0, 7200.0)])
+        plan = interval_join(
+            ev, iv, left_ts="ts", start="start", end="end", on=("key",),
+            width_sec=3600, broadcast_intervals=False,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    def test_broadcast_results_equal_shuffle_results(self, spark):
+        rng = random.Random(7)
+        events = [(rng.randrange(3), rng.uniform(0, 30_000)) for _ in range(150)]
+        intervals = [
+            (rng.randrange(3), a := rng.uniform(0, 30_000), a + rng.uniform(0, 9000))
+            for _ in range(25)
+        ]
+        kw = dict(left_ts="ts", start="start", end="end", on=("key",), width_sec=3600)
+        a = interval_join(
+            _mk_events(spark, events), _mk_intervals(spark, intervals),
+            broadcast_intervals=True, **kw,
+        )
+        b = interval_join(
+            _mk_events(spark, events), _mk_intervals(spark, intervals),
+            broadcast_intervals=False, **kw,
+        )
+        key = lambda r: (r.event_id, r.iv_id)  # noqa: E731
+        assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
 
 def _md5_bucket(doc_id: int, seed: str = "sample") -> int:
     h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()

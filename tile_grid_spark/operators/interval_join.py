@@ -64,6 +64,8 @@ def interval_join(
     on: Sequence[str] = (),
     width_sec: int = 3600,
     max_buckets_per_interval: int = 100_000,
+    broadcast_intervals: bool | None = None,
+    broadcast_threshold: int = 100_000,
 ) -> DataFrame:
     """Inner-join each left row to every interval containing its
     timestamp: `start <= left_ts < end` (half-open, so back-to-back
@@ -75,7 +77,18 @@ def interval_join(
     empty half-open range contains no point, same as the oracle's
     range predicate). Column names must not collide across the two
     frames apart from the `on` keys (raises otherwise).
-    """
+
+    `broadcast_intervals`: the common attribution shape is a HUGE event
+    table against a tiny window table — there, shuffling the events on
+    the bucket key is the whole cost, and broadcasting the exploded
+    interval side turns the plan into a BroadcastHashJoin with ZERO
+    left-side exchange. None (default) auto-decides with a capped count
+    probe (`intervals.limit(threshold+1).count()` — LocalLimit
+    short-circuits the scan, so the probe is O(threshold), never a full
+    pass): at most `broadcast_threshold` interval rows -> broadcast.
+    Pass True/False to force either shape (True for a side you know is
+    small, False when interval attributes are wide enough to blow the
+    broadcast memory budget)."""
     overlap = (set(left.columns) & set(intervals.columns)) - set(on)
     if overlap:
         raise ValueError(
@@ -110,8 +123,14 @@ def interval_join(
     # source (events attributed to event-derived windows), bare df[col]
     # references resolve to the SAME attribute and the key equality
     # silently degenerates to a trivially-true predicate
+    if broadcast_intervals is None:
+        broadcast_intervals = (
+            intervals.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+        )
     l = l.alias("_ij_l")
     i = i.alias("_ij_r")
+    if broadcast_intervals:
+        i = F.broadcast(i)
     lc = lambda c: F.col(f"_ij_l.`{c}`")  # noqa: E731
     rc = lambda c: F.col(f"_ij_r.`{c}`")  # noqa: E731
     cond = lc("_b") == rc("_b")
