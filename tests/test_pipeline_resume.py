@@ -62,6 +62,41 @@ class TestPipelineResume:
         assert second["dedup"].rows > 0  # caption near-dups exist by design
         # every image got a component verdict (iterative CC through lineage)
         assert second["cluster"].rows == 1500
+        # the serving leg (images -> served MVT tiles) ran to completion
+        assert second["mvt"].ran_units == ["z4"]
+        assert set(second["mvt_pyramid"].ran_units) == {"z1", "z2", "z3"}
+        assert second["mvt"].rows > 0 and second["mvt_pyramid"].rows > 0
+
+    def test_third_run_skips_serving_leg(self, crash_then_resume, spark):
+        # the flagship story is ONE resumable job through to served
+        # tiles: a rerun after full completion must skip the MVT encode
+        # and pyramid rollup byte-identically, like every other stage
+        out, _, _, _, _ = crash_then_resume
+        mvt_dir = os.path.join(out, "mvt", "unit=z4")
+        snapshot = {
+            f: os.path.getmtime(os.path.join(mvt_dir, f))
+            for f in os.listdir(mvt_dir)
+            if f.endswith(".parquet")
+        }
+        third = run_pipeline(
+            spark, out, rows=1500, zooms=list(range(0, 5)), verbose=False
+        )
+        assert third["mvt"].ran_units == []
+        assert third["mvt"].skipped_units == ["z4"]
+        assert third["mvt_pyramid"].ran_units == []
+        assert set(third["mvt_pyramid"].skipped_units) == {"z1", "z2", "z3"}
+        now = {
+            f: os.path.getmtime(os.path.join(mvt_dir, f))
+            for f in os.listdir(mvt_dir)
+            if f.endswith(".parquet")
+        }
+        assert now == snapshot
+        # and the served artifact is real MVT: decode the stored binaries
+        from tile_grid_spark.operators.vector_tiles import decode_tile_stats
+
+        tiles = spark.read.parquet(mvt_dir)
+        stats = decode_tile_stats(tiles)
+        assert stats.count() == tiles.count()
 
     def test_pip_output_not_recomputed(self, crash_then_resume):
         _, _, _, pip_dir, snapshot = crash_then_resume
