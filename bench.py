@@ -537,6 +537,18 @@ def main() -> None:
     wc_ = synth_embeddings(spark, 2000, dim=32).withColumnRenamed("vec_id", "cand_id")
     force(brute_force_topk_arrow(wq, wc_, k=3))
 
+    # warm the CC loop: pre-contraction's mapInPandas workers + the
+    # star-round window/checkpoint plan JIT (measured: a cold first cc
+    # rep runs ~2-3x the steady state, and with 2 bench repeats the min
+    # still carries warm-up, not throughput)
+    from tile_grid_spark.operators.cluster import connected_components as _cc
+
+    wids = spark.range(20_000)
+    wedges = wids.filter(F.pmod("id", F.lit(8)) < 7).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    force(_cc(wedges))
+
     benches = {
         "tile_assign_scale": bench_tile_assign_scale,
         "pip_join_scale": bench_pip_scale,
