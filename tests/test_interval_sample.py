@@ -379,3 +379,46 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 0.0)], "doc_id BIGINT, w DOUBLE")
         with pytest.raises(Exception, match="weight must be > 0"):
             weighted_sample(df, "doc_id", "w", k=1).collect()
+
+
+class TestRendezvousShard:
+    def _hash(self, s, doc_id):
+        h = hashlib.md5(f"shard:{s}:{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    def test_matches_hashlib_argmax(self, spark):
+        from tile_grid_spark.operators.sample import rendezvous_shard
+
+        df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        got = {
+            r.doc_id: r.shard
+            for r in rendezvous_shard(df, "doc_id", n_shards=8).collect()
+        }
+        for i in range(200):
+            hs = [self._hash(s, i) for s in range(8)]
+            assert got[i] == hs.index(max(hs)), i
+
+    def test_minimal_movement_on_resize(self, spark):
+        # THE rendezvous property: growing n -> n+1 moves only rows whose
+        # argmax is the NEW shard; nobody relocates between old shards
+        from tile_grid_spark.operators.sample import rendezvous_shard
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.shard for r in rendezvous_shard(df, "doc_id", 8).collect()}
+        b = {r.doc_id: r.shard for r in rendezvous_shard(df, "doc_id", 9).collect()}
+        moved = {i for i in a if a[i] != b[i]}
+        assert all(b[i] == 8 for i in moved)
+        # expected ~1/9 of rows move; assert a generous band
+        assert 20 <= len(moved) <= 120
+
+    def test_zero_shuffle_and_bounds(self, spark):
+        from tile_grid_spark.operators.sample import rendezvous_shard
+
+        df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+        out = rendezvous_shard(df, "doc_id", 5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        shards = {r.shard for r in out.collect()}
+        assert shards <= set(range(5))
+        with pytest.raises(ValueError):
+            rendezvous_shard(df, "doc_id", 0)

@@ -734,3 +734,56 @@ class TestDatasetSplit:
         # corpus doubles (hash depends only on the id)
         half = {r.id: r.split for r in splits(spark.range(0, 1000)).collect()}
         assert all(a[i] == half[i] for i in range(1000))
+
+
+class TestTfidfTopk:
+    def test_matches_python_oracle(self, spark):
+        import math
+
+        from tile_grid_spark.functions.text import tfidf_topk_terms
+
+        docs = [
+            (0, "alpha beta beta gamma"),
+            (1, "alpha alpha delta"),
+            (2, "beta gamma gamma gamma epsilon"),
+            (3, "zeta zeta zeta zeta"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+        got = {
+            (r.doc_id, r.rnk): (r.term, r.tf, r.df, r.score)
+            for r in tfidf_topk_terms(df, k=2).collect()
+        }
+        # python oracle
+        from collections import Counter, defaultdict
+
+        tf = {i: Counter(t.split()) for i, t in docs}
+        dfreq = defaultdict(int)
+        for i in tf:
+            for term in tf[i]:
+                dfreq[term] += 1
+        n = len(docs)
+        for i in tf:
+            scored = sorted(
+                (
+                    (-round(c * math.log(n / dfreq[t]), 6), t, c)
+                    for t, c in tf[i].items()
+                ),
+            )
+            for rnk, (neg, t, c) in enumerate(scored[:2], 1):
+                term, gtf, gdf, gscore = got[(i, rnk)]
+                assert (term, gtf, gdf) == (t, c, dfreq[t]), (i, rnk)
+                assert gscore == -neg or (gscore == 0.0 and neg == 0.0)
+
+    def test_rank_limit_and_tie_break(self, spark):
+        from tile_grid_spark.functions.text import tfidf_topk_terms
+
+        # both terms unique to the doc, same tf -> equal score; the
+        # lexicographically smaller term must take rank 1
+        df = spark.createDataFrame(
+            [(0, "mango kiwi"), (1, "common common")],
+            "doc_id BIGINT, text STRING",
+        )
+        rows = {
+            (r.doc_id, r.rnk): r.term for r in tfidf_topk_terms(df, k=2).collect()
+        }
+        assert rows[(0, 1)] == "kiwi" and rows[(0, 2)] == "mango"

@@ -476,3 +476,49 @@ def with_pii_scrubbed(df: DataFrame, text: str = "text", out: str = "scrubbed") 
             out: scrub,
         }
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword/topic profile a
+    corpus pipeline feeds into domain mixing, decontamination review and
+    near-dup triage. score = tf * ln(N / df) over the whitespace
+    tokenizer every other text op here uses.
+
+    Returns (id_col, term, tf, df, score, rnk) for rnk <= k; ranking is
+    on the ROUNDED score (6 dp, matching the lm_quality precedent so the
+    DuckDB oracle orders identically) with the term string as the
+    deterministic tie-break.
+
+    Scale shape: one (doc, term) hash-agg (map-side partial), one
+    term-keyed df agg whose output is |vocab| rows, a short-string-key
+    join back (web-scale vocab stays off the driver — no collect), and
+    the corpus size N rides as a broadcast 1-row frame. The final
+    window's rank<=k is pushed below the exchange by WindowGroupLimit.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("_n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    score = (
+        F.round(
+            F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+        )
+        + F.lit(0.0)
+    ).alias("score")
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.select(id_col, "term", "tf", "df", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

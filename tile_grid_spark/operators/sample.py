@@ -71,6 +71,40 @@ def stratified_sample(
     )
 
 
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    out: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: shard(id) =
+    argmax over s in [0, n_shards) of md5_60bit('{seed}:{s}:' || id) —
+    the standard minimal-movement sharding for incremental corpus
+    refreshes: growing n -> n+1 moves ONLY the rows whose new shard
+    wins the argmax (expected 1/(n+1) of the data); every other row
+    keeps its shard, so downstream per-shard artifacts (training shards,
+    tile stores) stay valid. mod-N hashing would reshuffle ~all rows.
+
+    Zero-shuffle native-Column mapper (one md5 per shard per row —
+    n_shards is the SHARD count, e.g. 64-4096, not the row count; the
+    n_shards-way fan-out stays inside one codegen'd projection). Ties
+    break to the LOWEST shard index deterministically (array_position
+    returns the first maximum). Partition-invariant and append-stable
+    like stratified_sample."""
+    if n_shards < 1:
+        raise ValueError(f"rendezvous_shard: n_shards must be >= 1, got {n_shards}")
+    from tile_grid_spark.operators.dedup import md5_hash60
+
+    sid = F.col(id_col).cast("string")
+    hs = F.array(
+        *[md5_hash60(sid, prefix=f"{seed}:{s}") for s in range(n_shards)]
+    )
+    return df.withColumn(
+        out, (F.array_position(hs, F.array_max(hs)) - 1).cast("int")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,
