@@ -398,18 +398,24 @@ def hamming_near_pairs(
     independent bit partitions, recall-gated)."""
     width = 64 // bands
     mask = (1 << width) - 1
-    band_structs = F.array(
+    # ONE packed bigint join key per band row: _bk = band * 2^width + bh.
+    # Same CLAUDE.md rule as tile_key(): a single-long equi-key hashes/
+    # compares in one op and keeps the shuffled row narrow, vs a 2-col
+    # (band, bh) key. band < bands and bh < 2^width, so _bk < bands *
+    # 2^width <= 2^64 never collides across bands. (bands=2 -> 33 bits.)
+    band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(bits_col), b * width).bitwiseAND(F.lit(mask)).alias("bh"),
-            )
+            F.shiftrightunsigned(F.col(bits_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            + F.lit(b * (mask + 1))
             for b in range(bands)
         ]
     )
     banded = df.select(
-        F.col(id_col).alias("_id"), F.col(bits_col).alias("_sh"), F.explode(band_structs).alias("_b")
-    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+        F.col(id_col).alias("_id"),
+        F.col(bits_col).alias("_sh"),
+        F.explode(band_keys).alias("_bk"),
+    )
     # localCheckpoint (not .persist()): the self-join's two aliases would
     # otherwise recompute the upstream (e.g. the simhash UDF over the
     # corpus) twice. A Dataset .persist() here pins a CacheManager entry
@@ -421,17 +427,22 @@ def hamming_near_pairs(
     # materialization job isn't worth it.
     if persist:
         banded = banded.localCheckpoint()
+    # single packed-long join key + hamming filter BEFORE distinct:
+    # hamming is a function of the pair, so the result is identical, but
+    # radius-failing candidates no longer flow through the distinct's
+    # exchange — at accidental-collision-heavy scales that exchange is
+    # the band join's tail cost.
     pairs = (
         banded.alias("l")
-        .join(banded.alias("r"), ["band", "bh"])
+        .join(banded.alias("r"), "_bk")
         .filter(F.col("l._id") < F.col("r._id"))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
@@ -483,29 +494,33 @@ def hamming_near_pairs_multi(
                     F.shiftrightunsigned(F.col(bits_col), src_bit).bitwiseAND(F.lit(1)),
                     out_bit,
                 )
-            structs.append(
-                F.struct(
-                    F.lit(t * 2 + band).alias("band"), key.alias("bh")
-                )
-            )
+            # packed single-long key: (table, band) index in the high
+            # bits, 32-bit band key in the low (same rule as
+            # hamming_near_pairs; 8 tables -> 36 bits, never collides)
+            structs.append(key + F.lit((t * 2 + band) * (1 << 32)))
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.col(bits_col).alias("_sh"),
-        F.explode(F.array(*structs)).alias("_b"),
-    ).select("_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bh").alias("bh"))
+        F.explode(F.array(*structs)).alias("_bk"),
+    )
     if persist:
         banded = banded.localCheckpoint()
+    # single packed-long join key + hamming filter BEFORE distinct:
+    # hamming is a function of the pair, so the result is identical, but
+    # radius-failing candidates no longer flow through the distinct's
+    # exchange — at accidental-collision-heavy scales that exchange is
+    # the band join's tail cost.
     pairs = (
         banded.alias("l")
-        .join(banded.alias("r"), ["band", "bh"])
+        .join(banded.alias("r"), "_bk")
         .filter(F.col("l._id") < F.col("r._id"))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
             F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
