@@ -40,6 +40,48 @@ from .cover import cover_bbox_geographic
 TILES_SCHEMA = "tile_x BIGINT, tile_y BIGINT, n_features INT, mvt BINARY"
 
 
+def _batched_group_apply(rows: DataFrame, key_cols: list[str], build) -> DataFrame:
+    """Per-group build with MANY groups per Arrow round trip: repartition
+    on the group key, sort the partition so each key's rows are
+    contiguous, then mapInPandas, calling `build(group_pdf)` (one
+    1-row-out tile builder, same contract as applyInPandas) for every
+    whole group inside an Arrow batch and carrying a boundary-straddling
+    group into the next batch. Same single exchange as
+    groupBy().applyInPandas, but the per-group Arrow round trip — which
+    dominates when groups are small (a z6 tile has ~hundreds of points,
+    a pyramid parent has <= 4 children) — is amortized over the batch
+    (measured 1.7x on the simplify bench with the identical pattern)."""
+
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if len(b) == 0:
+                carry = None
+                continue
+            tail = pd.Series(True, index=b.index)
+            for k in key_cols:
+                tail &= b[k] == b[k].iloc[-1]
+            carry = b.loc[tail]
+            body = b.loc[~tail]
+            if len(body):
+                yield pd.concat(
+                    [
+                        build(g.reset_index(drop=True))
+                        for _, g in body.groupby(key_cols, sort=False)
+                    ],
+                    ignore_index=True,
+                )
+        if carry is not None and len(carry):
+            yield build(carry.reset_index(drop=True))
+
+    parts = rows.repartition(*[F.col(k) for k in key_cols]).sortWithinPartitions(
+        *key_cols
+    )
+    return parts.mapInPandas(run, TILES_SCHEMA)
+
+
 def encode_point_tiles(
     points: DataFrame,
     tms: Tms,
@@ -154,7 +196,7 @@ def encode_point_tiles(
             }
         )
 
-    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+    return _batched_group_apply(rows, ["tile_x", "tile_y"], build)
 
 
 def encode_bbox_poly_tiles(
@@ -238,7 +280,7 @@ def encode_bbox_poly_tiles(
             }
         )
 
-    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+    return _batched_group_apply(rows, ["tile_x", "tile_y"], build)
 
 
 def encode_path_tiles(
@@ -352,7 +394,7 @@ def encode_path_tiles(
             }
         )
 
-    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+    return _batched_group_apply(rows, ["tile_x", "tile_y"], build)
 
 
 DECODED_SCHEMA = (
@@ -536,7 +578,7 @@ def rollup_point_tiles(tiles: DataFrame, levels: int = 1, layer: str = "points")
             F.shiftright("tile_x", 1).alias("ptx"),
             F.shiftright("tile_y", 1).alias("pty"),
         )
-        out = parented.groupBy("ptx", "pty").applyInPandas(build, TILES_SCHEMA)
+        out = _batched_group_apply(parented, ["ptx", "pty"], build)
     return out
 
 
@@ -678,7 +720,7 @@ def encode_ring_poly_tiles(
             }
         )
 
-    return rows.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+    return _batched_group_apply(rows, ["tile_x", "tile_y"], build)
 
 
 def merge_point_tiles(old: DataFrame, new: DataFrame, layer: str = "points") -> DataFrame:
@@ -716,7 +758,7 @@ def merge_point_tiles(old: DataFrame, new: DataFrame, layer: str = "points") -> 
             }
         )
 
-    return tagged.groupBy("tile_x", "tile_y").applyInPandas(build, TILES_SCHEMA)
+    return _batched_group_apply(tagged, ["tile_x", "tile_y"], build)
 
 
 def tiles_for_viewport(
