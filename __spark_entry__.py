@@ -726,6 +726,47 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(imgs).orderBy("image_id")
 
 
+def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graft's two axes in ONE value-hashed query — image decode ×
+    tile assignment (the north rule's 'assign each image to tile-grid
+    tile IDs' composed with real pixel work): closed-form PNG payloads
+    (sources/datagen.synth_png_images) are decoded by the REAL
+    chunk-walking codec inside a zero-shuffle mapInPandas
+    (functions/image.image_pixel_stats), each image gets a
+    deterministic position, is assigned its z4 WebMercator tile with
+    native Column math (xy_tile semantics, tms.rs:490-535), and
+    per-tile integer brightness aggregates come out of ONE hash
+    exchange. The oracle re-derives every pixel byte from the closed
+    form AND replays the Mercator/floor/clamp tile formula, so a bug
+    in the codec, the grid math, or the aggregation all break the
+    hash. At 10^12 images the payload bytes never shuffle — only the
+    9-column stat rows reach the tile exchange."""
+    from tile_grid_spark.functions.image import image_pixel_stats
+    from tile_grid_spark.sources.datagen import synth_png_images
+
+    n, zoom = 600, 4
+    stats = image_pixel_stats(synth_png_images(spark, n))
+    pts = stats.withColumns(
+        {
+            "lon": F.expr(_lon_sql("image_id")),
+            "lat": F.expr(_lat_sql("image_id")),
+        }
+    )
+    tiled = G.with_tile(pts, WM, zoom)
+    return (
+        tiled.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_px").alias("sum_px"),
+            F.sum("wsum_px").alias("wsum_px"),
+            F.min("min_px").alias("min_px"),
+            F.max("max_px").alias("max_px"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — per-polygon aggregates of a point attribute
     over the engine's rect_contains_join (cover prefilter with the
@@ -2522,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "shard_assign": q_shard_assign,
         "image_dedup_clusters": q_image_dedup_clusters,
+        "tile_image_stats": q_tile_image_stats,
     }
 
 
@@ -5338,6 +5380,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
                CAST(SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
         FROM px GROUP BY image_id ORDER BY image_id
+    """
+
+    # image decode × tile assignment composed: the closed-form pixel
+    # replay (image_stats) feeding the Mercator/floor/clamp tile
+    # formula (_tile_xy_sql) and a per-tile integer rollup
+    _ti_tx, _ti_ty = _tile_xy_sql(4)
+    sql["tile_image_stats"] = f"""
+        WITH imgs AS (
+          SELECT i AS image_id,
+                 CAST(16 + (i % 5) * 4 AS INT) AS w,
+                 CAST(12 + (i % 3) * 4 AS INT) AS h,
+                 ((i * 9973) % 360000) / 1000e0 - 180e0 AS lon,
+                 ((i * 7919) % 170000) / 1000e0 - 85e0 AS lat
+          FROM range(600) t(i)
+        ),
+        px AS (
+          SELECT image_id, j, (image_id * 7 + j * 13) % 256 AS v
+          FROM imgs CROSS JOIN range(1920) r(j)
+          WHERE j < w * h * 3
+        ),
+        st AS (
+          SELECT image_id, COUNT(*) AS n_px,
+                 SUM(v) AS sum_px, MIN(v) AS min_px, MAX(v) AS max_px,
+                 SUM((j + 1) * v) AS wsum_px
+          FROM px GROUP BY image_id
+        ),
+        tiles AS (
+          SELECT {_ti_tx} AS tile_x, {_ti_ty} AS tile_y,
+                 st.n_px, st.sum_px, st.min_px, st.max_px, st.wsum_px
+          FROM imgs i JOIN st USING (image_id)
+        )
+        SELECT tile_x, tile_y, COUNT(*) AS n_images,
+               CAST(SUM(n_px) AS BIGINT) AS n_px,
+               CAST(SUM(sum_px) AS BIGINT) AS sum_px,
+               CAST(SUM(wsum_px) AS BIGINT) AS wsum_px,
+               CAST(MIN(min_px) AS INT) AS min_px,
+               CAST(MAX(max_px) AS INT) AS max_px
+        FROM tiles GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
     """
 
     # pyramid replay: level-0 pixels from the closed form, then TWO

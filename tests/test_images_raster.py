@@ -741,3 +741,50 @@ class TestHammingBands2:
                     want.add((lo, hi, bin(x).count("1")))
         assert got == want
         assert len(got) == 60  # every planted twin found
+
+
+class TestTileImageStats:
+    """q_tile_image_stats: decode x tile-assign x per-tile rollup vs an
+    independent numpy + core-Tms oracle (the Spark path goes through the
+    real PNG codec and native Column grid math; the oracle re-derives
+    pixels from the closed form and tiles via core tms.tile)."""
+
+    def test_matches_numpy_core_oracle(self, spark, wm):
+        import importlib
+
+        entry = importlib.import_module("__spark_entry__")
+        got = {
+            (r.tile_x, r.tile_y): (
+                r.n_images, r.n_px, r.sum_px, r.wsum_px, r.min_px, r.max_px
+            )
+            for r in entry.q_tile_image_stats(spark, "/root/testdata/sf0.001").collect()
+        }
+
+        want: dict = {}
+        for iid in range(600):
+            w = 16 + (iid % 5) * 4
+            h = 12 + (iid % 3) * 4
+            j = np.arange(w * h * 3, dtype=np.int64)
+            v = (iid * 7 + j * 13) % 256
+            lon = ((iid * 9973) % 360000) / 1000.0 - 180.0
+            lat = ((iid * 7919) % 170000) / 1000.0 - 85.0
+            t = wm.tile(lon, lat, 4)
+            cur = want.setdefault((t.x, t.y), [0, 0, 0, 0, 256, -1])
+            cur[0] += 1
+            cur[1] += v.size
+            cur[2] += int(v.sum())
+            cur[3] += int(((j + 1) * v).sum())
+            cur[4] = min(cur[4], int(v.min()))
+            cur[5] = max(cur[5], int(v.max()))
+        assert got == {k: tuple(x) for k, x in want.items()}
+
+    def test_plan_shape(self, spark):
+        import importlib
+
+        entry = importlib.import_module("__spark_entry__")
+        plan = entry.q_tile_image_stats(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "MapInPandas" in plan  # Arrow-batched decode
+        # decode is pre-shuffle: one hash exchange (tile rollup) + the
+        # orderBy range exchange, nothing else
+        assert plan.count("Exchange") <= 2
