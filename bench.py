@@ -484,6 +484,52 @@ def bench_staypoints_od(spark: SparkSession) -> dict:
     return {"sec": dt, "sp_fixes": SP_FIXES, "od_rows": n}
 
 
+IMG_ROWS = int(os.environ.get("SPARK_GRAFT_IMG_ROWS", "20000"))
+
+
+def bench_image_decode(spark: SparkSession) -> dict:
+    """The image axis of the graft at generated scale: IMG_ROWS rows of
+    the input_hint table (mixed raw/zlib/PNG/JPEG payloads, real codecs)
+    are decoded through the zero-shuffle mapInPandas stats mapper, tile-
+    assigned at z8 from their positions and rolled up per tile — the
+    bench twin of the `tile_image_stats` oracle query.
+
+    The table is materialized ONCE to local parquet outside the timed
+    region (generation itself encodes every payload; per-row seeding
+    makes the file bit-identical at any parallelism, so the 8- and
+    32-proc scaling runs read the same input), then the timed pipeline
+    is scan -> Arrow decode -> tile math -> hash rollup -> checksum."""
+    from tile_grid_spark.functions.image import image_pixel_stats
+    from tile_grid_spark.sources.datagen import generate_images
+
+    path = f"/tmp/tgs_bench_images_{IMG_ROWS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_images(spark, IMG_ROWS, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(path)
+    imgs = spark.read.parquet(path)
+    t0 = time.time()
+    stats = image_pixel_stats(imgs, passthrough=("lon", "lat"))
+    tiled = G.with_tile(stats, E.WM, 8)
+    row = (
+        tiled.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").alias("px"),
+            F.sum("sum_px").alias("sum_px"),
+        )
+        .agg(
+            F.sum("n_images").alias("n"),
+            F.sum("px").alias("px"),
+            F.sum(F.col("sum_px").cast("decimal(38,0)")).alias("cksum"),
+        )
+        .collect()[0]
+    )
+    dt = time.time() - t0
+    assert row["n"] == IMG_ROWS
+    return {"sec": dt, "images": IMG_ROWS, "pixels": int(row["px"])}
+
+
 def main() -> None:
     spark = build_session(
         "tgs-bench",
@@ -563,6 +609,7 @@ def main() -> None:
         "mvt_encode_z6": bench_mvt_encode,
         "path_simplify": bench_path_simplify,
         "staypoints_od": bench_staypoints_od,
+        "image_decode_tile": bench_image_decode,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -600,6 +647,9 @@ def main() -> None:
             extras["simplify_vertices_per_sec"] = round(r["simplify_vertices"] / r["sec"])
         if "sp_fixes" in r:
             extras["staypoint_fixes_per_sec"] = round(r["sp_fixes"] / r["sec"])
+        if "images" in r:
+            extras["images_decoded_per_sec"] = round(r["images"] / r["sec"])
+            extras["pixels_decoded_per_sec"] = round(r["pixels"] / r["sec"])
     queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

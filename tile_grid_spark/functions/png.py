@@ -130,26 +130,30 @@ def decode_png(data: bytes) -> np.ndarray:
                 cur[ch::_BPP] = np.cumsum(f[ch::_BPP]) & 0xFF
         elif ft == 2:  # Up
             cur = (f + prev) & 0xFF
-        elif ft == 3:  # Average (left-dependency: pixel walk, 3-ch steps)
-            cur = np.zeros(stride, dtype=np.int16)
-            left = np.zeros(_BPP, dtype=np.int16)
-            for x in range(0, stride, _BPP):
-                s = slice(x, x + _BPP)
-                left = (f[s] + ((left + prev[s]) >> 1)) & 0xFF
-                cur[s] = left
-        elif ft == 4:  # Paeth
-            cur = np.zeros(stride, dtype=np.int16)
-            left = np.zeros(_BPP, dtype=np.int16)
-            ul = np.zeros(_BPP, dtype=np.int16)
-            for x in range(0, stride, _BPP):
-                s = slice(x, x + _BPP)
-                up = prev[s]
+        elif ft == 3:  # Average (left-dependency: flat Python-int walk —
+            # per-byte list ops are ~10x the tiny-numpy-slice version)
+            fl = f.tolist()
+            pl = prev.tolist()
+            cl = [0] * stride
+            for x in range(stride):
+                left = cl[x - _BPP] if x >= _BPP else 0
+                cl[x] = (fl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            cur = np.asarray(cl, dtype=np.int16)
+        elif ft == 4:  # Paeth (same flat walk; predictor per byte)
+            fl = f.tolist()
+            pl = prev.tolist()
+            cl = [0] * stride
+            for x in range(stride):
+                left = cl[x - _BPP] if x >= _BPP else 0
+                up = pl[x]
+                ul = pl[x - _BPP] if x >= _BPP else 0
                 p = left + up - ul
-                da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                pred = np.where((da <= db) & (da <= dc), left, np.where(db <= dc, up, ul))
-                left = (f[s] + pred) & 0xFF
-                ul = up
-                cur[s] = left
+                da = abs(p - left)
+                db = abs(p - up)
+                dc = abs(p - ul)
+                pred = left if da <= db and da <= dc else (up if db <= dc else ul)
+                cl[x] = (fl[x] + pred) & 0xFF
+            cur = np.asarray(cl, dtype=np.int16)
         else:
             raise ValueError(f"PNG filter type {ft} invalid")
         out[y] = cur
