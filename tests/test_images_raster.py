@@ -788,3 +788,79 @@ class TestTileImageStats:
         # decode is pre-shuffle: one hash exchange (tile rollup) + the
         # orderBy range exchange, nothing else
         assert plan.count("Exchange") <= 2
+
+
+class TestJpegRestart:
+    """DRI/RSTn path of the segment-based entropy decoder: a hand-built
+    1-component JPEG with restart_interval=1 (every MCU its own entropy
+    segment, DC predictor reset + byte-align at each RSTn). No encoder
+    in this repo emits DRI, so the stream is constructed bit-by-bit
+    from the T.81 canonical codes the module itself validates."""
+
+    def test_restart_markers_reset_dc_prediction(self):
+        import struct
+
+        from tile_grid_spark.functions.jpeg import (
+            AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+            _canonical_codes, decode_jpeg,
+        )
+
+        dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_codes = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+        def mcu_bits(diff):
+            bits = []
+            if diff == 0:
+                size = 0
+            else:
+                size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bits.append((code, ln))
+            if size:
+                v = diff if diff > 0 else diff + (1 << size) - 1
+                bits.append((v, size))
+            bits.append(ac_codes[0x00])  # EOB: rest of block zero
+            out = bytearray()
+            acc = nb = 0
+            for code, ln in bits:
+                acc = (acc << ln) | code
+                nb += ln
+            # pad to byte with 1s (spec padding)
+            pad = (-nb) % 8
+            acc = (acc << pad) | ((1 << pad) - 1)
+            nb += pad
+            raw = acc.to_bytes(nb // 8, "big")
+            for b in raw:  # FF stuffing
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        # DC-only blocks: constant spatial value = dc/8 + 128 under the
+        # orthonormal IDCT with an all-ones quant table
+        dcs = [8, -16, 80]
+        expect = [dc // 8 + 128 for dc in dcs]
+
+        dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        dht += bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+        jpg = bytearray(b"\xff\xd8")
+        jpg += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        jpg += seg(0xC0, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+        jpg += seg(0xC4, dht)
+        jpg += seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+        jpg += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        jpg += mcu_bits(dcs[0])
+        jpg += b"\xff\xd0"  # RST0
+        jpg += mcu_bits(dcs[1])  # ABSOLUTE dc again (pred reset)
+        jpg += b"\xff\xd1"  # RST1
+        jpg += mcu_bits(dcs[2])
+        jpg += b"\xff\xd9"  # EOI
+
+        px = decode_jpeg(bytes(jpg))
+        assert px.shape == (8, 24, 3)
+        for i, v in enumerate(expect):
+            block = px[:, i * 8:(i + 1) * 8, :]
+            assert (block == v).all(), (i, v, block[0, 0])
