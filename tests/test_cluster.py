@@ -76,8 +76,16 @@ class TestConnectedComponents:
     def test_max_iter_raises(self, spark):
         edges = [(i, i + 1) for i in range(64)]
         e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+        # global star rounds (frontier tiers disabled) can't close a
+        # 64-chain in one round -> must raise, not return wrong labels
         with pytest.raises(RuntimeError, match="converge"):
-            connected_components(e, max_iter=1)
+            connected_components(e, max_iter=1, frontier_max_nodes=0)
+        # the frontier driver-solve tier needs no rounds at all: the
+        # same graph converges even at max_iter=1
+        got = {
+            r.node: r.component for r in connected_components(e, max_iter=1).collect()
+        }
+        assert got == _union_find(edges)
 
     def test_huge_hub_star_skew(self, spark):
         """A 150k-leaf hub at the MAX id: small-star funnels every leaf
@@ -177,6 +185,45 @@ class TestPreContraction:
         assert all(u < v for u, v in rows)
         # connectivity is preserved: same components as the original
         assert _union_find(rows) == _union_find(edges)
+
+    def test_frontier_equals_global_rounds_on_random_graphs(self, spark):
+        """The frontier quotient solve (default) must label identically
+        to full global star rounds (frontier_max_nodes=0) and to the
+        union-find oracle — random graphs mix chains, hubs and
+        cross-partition components."""
+        rng = np.random.default_rng(41)
+        for parts in (2, 9, 32):
+            n = 250
+            edges = [
+                tuple(int(x) for x in p)
+                for p in rng.integers(0, n, (300, 2))
+                if p[0] != p[1]
+            ]
+            edges += [(i, i + 1) for i in range(200, 240)]
+            e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT").repartition(
+                parts
+            )
+            a = {
+                r.node: r.component
+                for r in connected_components(e).collect()  # frontier default
+            }
+            b = {
+                r.node: r.component
+                for r in connected_components(e, frontier_max_nodes=0).collect()
+            }
+            assert a == b == _union_find(edges)
+
+    def test_frontier_cap_falls_back_to_global_rounds(self, spark):
+        """frontier_max_nodes smaller than the frontier forces the
+        global-round fallback — identical labels."""
+        edges = [(i, i + 1) for i in range(300)]  # one long chain
+        e = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT").repartition(16)
+        got = {
+            r.node: r.component
+            for r in connected_components(e, frontier_max_nodes=1).collect()
+        }
+        assert got == _union_find(edges)
+        assert set(got.values()) == {0}
 
     def test_pre_contract_partition_invariant(self, spark):
         rng = np.random.default_rng(5)
