@@ -767,6 +767,23 @@ def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree density tiling (operators/adaptive.py): split
+    any tile holding > 60 points into its children until the bound
+    holds or z11 — leaf tiles partition the points, bounded by CONTENT
+    not area (the shard-sizing answer to spatial skew). ONE aggregation
+    touches point rows; 4-to-1 rollups run over shrinking tile frames;
+    leaf selection is a single packed-bigint self-join. The oracle
+    replays the z11 assignment, the shift-derived pyramid, and the
+    leaf predicate relationally."""
+    from tile_grid_spark.operators.adaptive import adaptive_density_tiles
+
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    return adaptive_density_tiles(pts, WM, 60, z_min=1, z_max=11).orderBy(
+        "zoom", "tile_x", "tile_y"
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — per-polygon aggregates of a point attribute
     over the engine's rect_contains_join (cover prefilter with the
@@ -2564,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "image_dedup_clusters": q_image_dedup_clusters,
         "tile_image_stats": q_tile_image_stats,
+        "adaptive_tiles": q_adaptive_tiles,
     }
 
 
@@ -3109,6 +3127,28 @@ def oracle_sql() -> dict[str, str]:
         WITH pts AS ({_points_sql('orders', 'o_orderkey')})
         SELECT {tx8} AS tile_x, {ty8} AS tile_y, COUNT(*) AS n_points
         FROM pts GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+    tx11, ty11 = _tile_xy_sql(11)
+    sql["adaptive_tiles"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')}),
+        base AS (
+          SELECT {tx11} AS x, {ty11} AS y, COUNT(*) AS n
+          FROM pts GROUP BY 1, 2
+        ),
+        levels AS (
+          SELECT z AS zoom, x >> (11 - z) AS tile_x, y >> (11 - z) AS tile_y,
+                 CAST(SUM(n) AS BIGINT) AS n_points
+          FROM base CROSS JOIN (SELECT unnest(range(1, 12)) AS z)
+          GROUP BY 1, 2, 3
+        )
+        SELECT c.zoom, c.tile_x, c.tile_y, c.n_points
+        FROM levels c LEFT JOIN levels p
+          ON p.zoom = c.zoom - 1
+         AND p.tile_x = c.tile_x >> 1 AND p.tile_y = c.tile_y >> 1
+        WHERE (c.n_points <= 60 OR c.zoom = 11)
+          AND (c.zoom = 1 OR p.n_points > 60)
+        ORDER BY c.zoom, c.tile_x, c.tile_y
     """
 
     sql["tile_assign_multizoom"] = f"""
