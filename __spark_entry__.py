@@ -2496,6 +2496,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,                # cluster.py touched r5
         "doc_dedup_clusters": q_doc_dedup_clusters,        # cluster.py touched r5
         "event_attribution": q_event_attribution,          # interval_join touched r5
+        "tfidf_topk": q_tfidf_topk,                        # new r5
+        "shard_assign": q_shard_assign,                    # new r5
+        "image_dedup_clusters": q_image_dedup_clusters,    # new r5
+        "tile_image_stats": q_tile_image_stats,            # new r5
+        "adaptive_tiles": q_adaptive_tiles,                # new r5
+        "phash_neardup": q_phash_neardup,                  # hamming packed key r5
+        "phash_multi_band": q_phash_multi_band,            # hamming packed key r5
+        "vector_tiles": q_vector_tiles,                    # MVT batched builders r5
+        "vector_tiles_rings": q_vector_tiles_rings,        # MVT batched builders r5
+        "vector_tiles_pyramid": q_vector_tiles_pyramid,    # MVT batched builders r5
+        "simplified_line_tiles": q_simplified_line_tiles,  # RDP+MVT batching r5
         # (b) no r4 driver row (stale r3 evidence or judge-only)
         "neighbors": q_neighbors,
         "parent_children": q_parent_children,
@@ -2527,7 +2538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_boilerplate": q_source_boilerplate,
         "geohash_density": q_geohash,
         "raster_footprints": q_raster_footprints,
-        # (c) re-checks, oldest-first fill to position 50
+        # (c) changed-operator query completing the window
+        "path_simplify": q_path_simplify,
+        # ---- driver window boundary (50) ----
+        # everything below has a GREEN r4 driver row and r5-untouched
+        # operator code (rotation policy, OPERATORS.md §evidence)
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "tile_bounds": q_tile_bounds,
@@ -2539,8 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_counts": q_cover_counts,
         "s2_cells": q_s2_cells,
         "weighted_sample": q_weighted_sample,
-        # ---- driver window boundary (50) ----
-        "path_simplify": q_path_simplify,
         "cm_freq": q_cm_freq,
         "vocab_stats": q_vocab_stats,
         "events_tile_hourly": q_events_tile_hourly,
@@ -2554,34 +2567,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_face_ij": q_s2_face_ij,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
-        "phash_neardup": q_phash_neardup,
-        "phash_multi_band": q_phash_multi_band,
         "token_quantiles": q_token_quantiles,
         "geohash_cover": q_geohash_cover,
         "dataset_split": q_dataset_split,
         "quality_filter": q_quality_filter,
         "doc_repetition": q_doc_repetition,
         "corpus_upsert": q_corpus_upsert,
-        "vector_tiles": q_vector_tiles,
         "vector_tiles_poly": q_vector_tiles_poly,
         "vector_tiles_line": q_vector_tiles_line,
-        "vector_tiles_pyramid": q_vector_tiles_pyramid,
         "vector_tiles_attrs": q_vector_tiles_attrs,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
-        "vector_tiles_rings": q_vector_tiles_rings,
-        "simplified_line_tiles": q_simplified_line_tiles,
         "viewport_fetch": q_viewport_fetch,
         "lm_quality": q_lm_quality,
         "zonal_stats": q_zonal_stats,
-        # r5 additions beyond the 50-query window: judge-verifiable via
-        # scripts/check_oracle.py (no remaining driver round to rotate
-        # them into — rotation policy in OPERATORS.md)
-        "tfidf_topk": q_tfidf_topk,
-        "shard_assign": q_shard_assign,
-        "image_dedup_clusters": q_image_dedup_clusters,
-        "tile_image_stats": q_tile_image_stats,
-        "adaptive_tiles": q_adaptive_tiles,
     }
 
 
