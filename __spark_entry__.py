@@ -1931,6 +1931,25 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: distributed Lloyd
+    k-means over the embeddings (k=8, 2 update rounds), then the
+    within-cluster cosine prune — the cluster pass is what turns an
+    O(N^2) semantic dedup into O(sum c_i^2), the only shape that
+    reaches 10^12 rows. Fully relational because the operator quantizes
+    embeddings to an integer grid first (centroid sums are exact, every
+    float fold is sequential), so the oracle replays seeds, both Lloyd
+    rounds, the final assignment AND the prune bit-for-bit in SQL.
+    Spark plan: assignment is a pure projection against ONE broadcast
+    centroid row (zero shuffle), each update is one k-key hash agg with
+    map-side partials, and the prune joins on the cluster id only."""
+    from tile_grid_spark.operators.kmeans import kmeans_assign, semdedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, dim=64, iters=2)
+    return semdedup(assigned, eps=0.45).orderBy("vec_id")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality with a FULL value-hash oracle (unlike the image
     codecs, which are rows-only because DuckDB cannot decode them):
@@ -2501,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_clusters": q_image_dedup_clusters,    # new r5
         "tile_image_stats": q_tile_image_stats,            # new r5
         "adaptive_tiles": q_adaptive_tiles,                # new r5
+        "semdedup": q_semdedup,                            # new r5
         "phash_neardup": q_phash_neardup,                  # hamming packed key r5
         "phash_multi_band": q_phash_multi_band,            # hamming packed key r5
         "vector_tiles": q_vector_tiles,                    # MVT batched builders r5
@@ -2528,7 +2548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_frames": q_audio_frames,
         "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
         "bbox_overlap": q_bbox_overlap,
         "tile_pyramid": q_tile_pyramid,
         "salted_tile_agg": q_salted_tile_agg,
@@ -2542,7 +2561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_simplify": q_path_simplify,
         # ---- driver window boundary (50) ----
         # everything below has a GREEN r4 driver row and r5-untouched
-        # operator code (rotation policy, OPERATORS.md §evidence)
+        # operator code (rotation policy, OPERATORS.md §evidence).
+        # top_revenue_orders (r3-green, untouched TPC-H demo) yielded
+        # its window slot to the new r5 semdedup query.
+        "top_revenue_orders": q_top_revenue_orders,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "tile_bounds": q_tile_bounds,
@@ -3032,6 +3054,89 @@ def _ann_pq_oracle_sql() -> str:
         SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
                round(cosine, 6) AS cosine
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, dim: int = 64, iters: int = 2, eps: float = 0.45, scale: int = 1024
+) -> str:
+    """Replays q_semdedup bit-for-bit: round-half-up integer
+    quantization, md5-keyed seed draw, `iters` unrolled Lloyd rounds
+    (exact-integer centroid sums, one division per dim), the final
+    argmin assignment with the (d, cid) tie rule, and the within-
+    cluster cosine prune. Every float accumulation in the Spark path
+    is a sequential HOF fold, so DuckDB's left-to-right list_sum
+    reproduces identical doubles — distances, centroids and the eps
+    boundary agree exactly (the ann_pq precedent)."""
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (p.qd[i] - c.c[i]) * (p.qd[i] - c.c[i])))"
+    )
+    sums = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dim))
+    cent = ", ".join(f"CAST(s{i} AS DOUBLE) / n" for i in range(dim))
+
+    def assign(name: str, pts: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, q, qd, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+          FROM (SELECT p.vec_id, p.q, p.qd, c.cid, {d2} AS d
+                FROM {pts} p, {cents} c)
+        )"""
+
+    def update(uname: str, cname: str, prev: str) -> str:
+        return f"""
+        {uname} AS (
+          SELECT cid AS cluster, count(*) AS n, {sums}
+          FROM {prev} WHERE rk = 1 GROUP BY cid
+        ),
+        {cname} AS (
+          SELECT CAST(cluster AS INTEGER) AS cid, [{cent}] AS c FROM {uname}
+        )"""
+
+    rounds = []
+    for it in range(iters):
+        rounds.append(assign(f"a{it}", "pd", f"c{it}"))
+        rounds.append(update(f"u{it + 1}", f"c{it + 1}", f"a{it}"))
+    rounds.append(assign(f"a{iters}", "pd", f"c{iters}"))
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> a.qd[i] * b.qd[i]))"
+    )
+    return f"""
+        WITH p AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * {scale}e0 + 0.5e0) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        pd AS (SELECT vec_id, q, list_transform(q, x -> CAST(x AS DOUBLE)) AS qd FROM p),
+        sd AS (
+          SELECT vec_id, q, qd,
+                 row_number() OVER (ORDER BY
+                   {_h60_sql("'kmseed:' || CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS rn
+          FROM pd
+        ),
+        c0 AS (SELECT CAST(rn AS INTEGER) AS cid, qd AS c FROM sd WHERE rn < {k}),
+        {",".join(rounds)},
+        asg AS (SELECT vec_id, cid AS cluster, qd FROM a{iters} WHERE rk = 1),
+        side AS (
+          SELECT vec_id, cluster, qd,
+                 sqrt(list_sum(list_transform(qd, x -> x * x))) AS nrm
+          FROM asg
+        ),
+        dups AS (
+          SELECT b.vec_id, count(*) AS n_earlier_dups
+          FROM side a JOIN side b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE {dot} / (a.nrm * b.nrm) >= {_d(eps)}
+          GROUP BY b.vec_id
+        )
+        SELECT s.vec_id, s.cluster,
+               coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
+               CAST(coalesce(d.n_earlier_dups, 0) = 0 AS INTEGER) AS keep
+        FROM side s LEFT JOIN dups d ON s.vec_id = d.vec_id
+        ORDER BY s.vec_id
     """
 
 
@@ -4307,6 +4412,7 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh"] = _ann_lsh_oracle_sql()
     sql["ann_ivf"] = _ann_ivf_oracle_sql()
     sql["ann_pq"] = _ann_pq_oracle_sql()
+    sql["semdedup"] = _semdedup_oracle_sql()
     sql["url_canonical"] = _url_canonical_oracle_sql()
 
     # phash near-dup: replay the md5 phash derivation (group base hash xor

@@ -51,6 +51,7 @@ PIP_SCALE_ROWS = int(
 # run on generated/amplified inputs sized so parallel compute dominates.
 AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", "40000000"))
 KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "2000000"))
+SEMDEDUP_ROWS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_ROWS", "40000"))
 DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
 # The sf-parquet suite rows are replicated so the jobs measure engine
 # work, not fixed job-submission overhead (sub-3s jobs read as
@@ -307,6 +308,27 @@ def bench_knn(spark: SparkSession) -> dict:
     assert n == 64 * 10
     c.unpersist()
     return {"sec": dt, "knn_pairs": 64 * KNN_ROWS}
+
+
+def bench_semdedup(spark: SparkSession) -> dict:
+    """SemDeDup at generated scale: SEMDEDUP_ROWS 32-dim embeddings
+    through the full cluster-then-prune pipeline (2 Lloyd rounds over
+    k=128 broadcast centroids — zero-shuffle assignment projections,
+    k-key update aggs — then the within-cluster cosine pair join).
+    Measures the end-to-end semantic-dedup shape: pair work is
+    sum c_i^2 ~ N^2/k, never N^2, and every float fold stays in JVM
+    codegen (no Python in the pipeline)."""
+    from tile_grid_spark.operators.kmeans import kmeans_assign, semdedup
+
+    emb = synth_embeddings(spark, SEMDEDUP_ROWS).cache()
+    emb.count()  # generation outside the timed region (knn precedent)
+    t0 = time.time()
+    assigned = kmeans_assign(emb, k=128, dim=32, iters=2)
+    n = force(semdedup(assigned, eps=0.92))
+    dt = time.time() - t0
+    assert n == SEMDEDUP_ROWS
+    emb.unpersist()
+    return {"sec": dt, "semdedup_rows": SEMDEDUP_ROWS}
 
 
 def bench_docs(spark: SparkSession) -> dict:
@@ -595,6 +617,13 @@ def main() -> None:
     )
     force(_cc(wedges))
 
+    # warm the Lloyd + prune plan (codegen of the centroid-fold
+    # projections dominates a cold first rep)
+    from tile_grid_spark.operators.kmeans import kmeans_assign, semdedup
+
+    wemb = synth_embeddings(spark, 2_000)
+    force(semdedup(kmeans_assign(wemb, k=16, dim=32, iters=1), eps=0.92))
+
     benches = {
         "tile_assign_scale": bench_tile_assign_scale,
         "pip_join_scale": bench_pip_scale,
@@ -610,6 +639,7 @@ def main() -> None:
         "path_simplify": bench_path_simplify,
         "staypoints_od": bench_staypoints_od,
         "image_decode_tile": bench_image_decode,
+        "semdedup": bench_semdedup,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -647,6 +677,8 @@ def main() -> None:
             extras["simplify_vertices_per_sec"] = round(r["simplify_vertices"] / r["sec"])
         if "sp_fixes" in r:
             extras["staypoint_fixes_per_sec"] = round(r["sp_fixes"] / r["sec"])
+        if "semdedup_rows" in r:
+            extras["semdedup_rows_per_sec"] = round(r["semdedup_rows"] / r["sec"])
         if "images" in r:
             extras["images_decoded_per_sec"] = round(r["images"] / r["sec"])
             extras["pixels_decoded_per_sec"] = round(r["pixels"] / r["sec"])
