@@ -145,13 +145,14 @@ def test_kmeans_iters_zero_uses_seed_centroids(spark, data):
     assert got == want
 
 
-def test_semdedup_matches_python_oracle(spark, data):
+@pytest.mark.parametrize("impl", ["arrow", "join"])
+def test_semdedup_matches_python_oracle(spark, data, impl):
     ids, X = data
     eps = 0.95
     lab, q = _py_kmeans(ids, X, k=5, iters=2)
     want = _py_semdedup(ids, q, lab, eps)
     assigned = kmeans_assign(_mk_df(spark, ids, X), k=5, dim=DIM, iters=2)
-    rows = semdedup(assigned, eps=eps).collect()
+    rows = semdedup(assigned, eps=eps, impl=impl).collect()
     got = {r["vec_id"]: r["n_earlier_dups"] for r in rows}
     assert got == want
     # planted dups (later id of each pair, same cluster) are dropped
@@ -188,6 +189,18 @@ def test_kmeans_validation(spark, data):
         kmeans_assign(df, k=0, dim=DIM)
     with pytest.raises(ValueError):
         kmeans_assign(df, k=2, dim=DIM, iters=-1)
+    with pytest.raises(ValueError, match="impl"):
+        semdedup(kmeans_assign(df, k=2, dim=DIM, iters=0), eps=0.9, impl="nope")
+
+
+def test_semdedup_impls_agree(spark, data):
+    """arrow (vectorized) and join (relational) prunes are bit-twins:
+    identical rows including every n_earlier_dups count."""
+    ids, X = data
+    assigned = kmeans_assign(_mk_df(spark, ids, X), k=4, dim=DIM, iters=1)
+    ra = sorted(map(tuple, semdedup(assigned, eps=0.95, impl="arrow").collect()))
+    rj = sorted(map(tuple, semdedup(assigned, eps=0.95, impl="join").collect()))
+    assert ra == rj
 
 
 def test_quantize_is_round_half_up(spark):

@@ -12,26 +12,27 @@ Spark shape (the 100-TB plan):
   Per-dimension cluster sums are then exact integers — aggregation
   order cannot change them — and each centroid dimension is ONE
   division sum/count, so centroids are bit-identical on any engine and
-  any partitioning. Distances fold sequentially over the 64 dims
-  (aggregate over zip_with — one codegen loop, same left-to-right
-  order as a replayed list_sum), so assignments are deterministic and
-  relationally checkable end to end. No floats ever aggregate across
-  rows.
-- Assignment is a PURE PROJECTION: the k centroids ride as ONE
-  broadcast row (array<struct(cid, c)>), each point scans them with a
-  transform + array_min — zero shuffle, no k-times row blowup, no
-  groupBy(point) argmin. The only exchange per iteration is the
-  centroid update agg, and that groups on k keys with map-side partial
-  aggregation (64 integer SUM columns in one hash agg — no explode).
-- Lloyd fundamentally scans the points once per iteration; the plan
-  stays lazy (no driver collect), so callers at scale should
-  checkpoint/cache the quantized points frame upstream if the source
-  scan is expensive. The k-row centroid frame IS localCheckpointed
-  every iteration (the cluster.py iterative-lineage rule: nested Lloyd
-  plans otherwise re-execute the whole chain at every downstream
-  reference and blow up codegen — measured 141s -> ~15s at sf0.01 for
-  the semdedup entry query). k rows per round, trivially cheap at any
-  scale.
+  any partitioning. Every float fold is dim-SEQUENTIAL (the same
+  left-to-right order whether it runs as a JVM HOF fold, a numpy
+  dim-loop, or DuckDB's list_sum), so assignments are deterministic
+  and relationally checkable end to end. No floats ever aggregate
+  across rows.
+- Assignment is a zero-shuffle Arrow pandas UDF against an
+  sc.broadcast numpy centroid block (the MLlib KMeans shape): one
+  (rows x block) vectorized distance accumulation per dim, blocked
+  over centroids so memory stays bounded at large k. The earlier
+  all-JVM variant (transform over a broadcast centroid array + a
+  per-element aggregate fold) was measured ~40x slower at 1M rows:
+  higher-order functions are CodegenFallback — interpreted per row
+  per centroid per dim — while the numpy path is one BLAS-class loop.
+- The only exchange per iteration is the centroid update agg, and
+  that groups on k keys with map-side partial aggregation (dim
+  integer SUM columns in one hash agg — no explode). The k updated
+  centroids are collected to the driver (k rows — bounded, like the
+  PQ codebook fit) and re-broadcast; points never leave executors.
+- Lloyd fundamentally scans the points once per iteration; callers
+  at scale should cache/checkpoint the quantized points frame
+  upstream if the source scan is expensive.
 - Empty clusters simply vanish from the update aggregation on every
   engine identically (k may shrink; documented, deterministic).
 
@@ -42,13 +43,21 @@ semantic dedup and IVF-style sharding.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import md5_hash60
 from .similarity import dot_expr
 
 __all__ = ["quantize_embedding", "kmeans_assign", "semdedup"]
+
+# centroid-block width for the blocked distance scan: bounds the
+# per-batch accumulator at rows x block doubles (10k-row Arrow batch x
+# 1024 block = 80 MB) no matter how large k grows
+_CENT_BLOCK = 1024
 
 
 def quantize_embedding(emb, scale: int = 1024) -> F.Column:
@@ -61,14 +70,41 @@ def quantize_embedding(emb, scale: int = 1024) -> F.Column:
     )
 
 
-def _dist2_fold(qd, c) -> F.Column:
-    """Squared L2 between two array<double> columns — sequential fold
-    (one codegen loop; left-to-right, replayable as list_sum)."""
-    return F.aggregate(
-        F.zip_with(qd, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+def _assign_udf(spark, cents: np.ndarray, cids: np.ndarray, dim: int):
+    """Vectorized argmin-distance assignment against broadcast centroids.
+
+    Bit-exact twin of the relational form: squared L2 accumulates
+    dim-sequentially (acc += (x-c)^2 one dimension at a time — the
+    exact IEEE add order of a left-to-right fold), numpy argmin takes
+    the FIRST minimum (= lowest cid; rows are cid-ascending) and the
+    cross-block merge keeps the earlier block on ties (strict <), so
+    the winner is min by (d, cid) exactly like array_min over
+    struct(d, cid) and like the oracle's row_number ORDER BY d, cid.
+    """
+    b_c = spark.sparkContext.broadcast(np.ascontiguousarray(cents))
+    b_i = spark.sparkContext.broadcast(np.ascontiguousarray(cids))
+
+    @F.pandas_udf("int")
+    def assign(qd: pd.Series) -> pd.Series:
+        C, ids = b_c.value, b_i.value
+        X = np.stack(qd.to_numpy())  # (n, dim) float64, exact Arrow transfer
+        n = X.shape[0]
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int32)
+        for lo in range(0, C.shape[0], _CENT_BLOCK):
+            Cb = C[lo : lo + _CENT_BLOCK]
+            acc = np.zeros((n, Cb.shape[0]))
+            for i in range(dim):  # dim-sequential: the fold's add order
+                t = X[:, i, None] - Cb[None, :, i]
+                acc += t * t
+            j = np.argmin(acc, axis=1)  # first min = lowest cid in block
+            d = acc[np.arange(n), j]
+            upd = d < best_d  # strict: earlier (lower-cid) block wins ties
+            best_d[upd] = d[upd]
+            best_c[upd] = ids[lo + j[upd]]
+        return pd.Series(best_c)
+
+    return assign
 
 
 def kmeans_assign(
@@ -89,74 +125,78 @@ def kmeans_assign(
     partition-invariant: seeds are the k rows with the smallest
     md5-derived key (a partition-independent "random" draw, the
     dataset_split trick), every centroid dimension is an exact-integer
-    sum divided once, distances fold sequentially, and argmin ties
-    break to the lowest centroid id.
+    sum divided once, distances accumulate dim-sequentially, and argmin
+    ties break to the lowest centroid id.
     """
     if k < 1 or iters < 0 or dim < 1:
         raise ValueError(f"need k>=1, iters>=0, dim>=1; got {k}/{iters}/{dim}")
+    spark = df.sparkSession
     pts = df.select(
         F.col(id_col),
         quantize_embedding(F.col(emb), scale).alias("q"),
     ).withColumn("qd", F.transform("q", lambda x: x.cast("double")))
 
     # seeds: k smallest md5 keys (global top-k; WindowGroupLimit pushes
-    # the rank below the exchange, and k rows is a driver-free frame)
+    # the rank below the exchange so only ~k rows per partition sort),
+    # then ONE k-row collect — centroids live driver-side between
+    # rounds (bounded: k x dim doubles, the MLlib/PQ-codebook shape)
     from pyspark.sql.window import Window
 
     h = md5_hash60(F.col(id_col).cast("string"), prefix=seed_prefix)
-    seeds = (
+    seed_rows = (
         pts.withColumn("_h", h)
         .withColumn(
             "cid",
             F.row_number().over(Window.orderBy("_h", id_col)) - F.lit(1),
         )
         .filter(F.col("cid") < k)
+        .select("cid", "qd")
+        .collect()
     )
-    centroids = seeds.select(
-        F.col("cid").cast("int").alias("cid"), F.col("qd").alias("c")
-    )
-
-    def assign_to(frame: DataFrame, cents: DataFrame) -> DataFrame:
-        # ONE broadcast row carrying all centroids -> assignment is a
-        # pure projection (transform + array_min), zero shuffle
-        one = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-        )
-        scored = F.transform(
-            "cents",
-            lambda cc: F.struct(
-                _dist2_fold(F.col("qd"), cc["c"]).alias("d"),
-                cc["cid"].alias("cid"),
-            ),
-        )
-        return frame.crossJoin(F.broadcast(one)).withColumn(
-            "cluster", F.array_min(scored)["cid"]
-        ).drop("cents")
+    seed_rows.sort(key=lambda r: r["cid"])
+    cents = np.array([r["qd"] for r in seed_rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in seed_rows], dtype=np.int64)
 
     for _ in range(iters):
-        assigned = assign_to(pts, centroids)
-        # exact integer per-dim sums in ONE hash agg (no explode), then
-        # one division per dim -> bit-identical centroids everywhere
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
+        assigned = pts.withColumn(
+            "cluster", _assign_udf(spark, cents, cids, dim)(F.col("qd"))
         )
-        # k rows: cut the iterative lineage here or every downstream
-        # reference replays ALL previous Lloyd rounds (cluster.py rule)
-        centroids = sums.select(
-            F.col("cluster").alias("cid"),
-            F.array(
+        # exact integer per-dim sums in ONE hash agg with map-side
+        # partials (no explode), k result rows -> driver
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
                 *[
-                    (F.col(f"s{i}").cast("double") / F.col("n"))
+                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
                     for i in range(dim)
-                ]
-            ).alias("c"),
-        ).localCheckpoint()
+                ],
+            )
+            .collect()
+        )
+        sums.sort(key=lambda r: r["cluster"])
+        # one division per dim over exact integer sums -> centroids are
+        # bit-identical to the oracle's CAST(sum AS DOUBLE)/n
+        cents = np.array(
+            [[float(r[f"s{i}"]) / r["n"] for i in range(dim)] for r in sums],
+            dtype=np.float64,
+        )
+        cids = np.array([r["cluster"] for r in sums], dtype=np.int64)
 
-    return assign_to(pts, centroids).select(id_col, "cluster", "q")
+    return pts.withColumn(
+        "cluster", _assign_udf(spark, cents, cids, dim)(F.col("qd"))
+    ).select(id_col, "cluster", "q")
+
+
+def _prune_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n_earlier_dups", T.LongType()),
+            T.StructField("keep", T.IntegerType()),
+        ]
+    )
 
 
 def semdedup(
@@ -164,6 +204,7 @@ def semdedup(
     eps: float,
     id_col: str = "vec_id",
     max_cluster_rows: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup prune over a kmeans_assign() result: within each
     cluster, a row is DROPPED when an earlier row (lower id) of the
@@ -171,14 +212,25 @@ def semdedup(
     near-dup group survives.
 
     Returns (id_col, cluster, n_earlier_dups, keep) — keep as int 0/1.
-    The pair join is an equi-join on the cluster id, so the cost is
-    sum c_i^2 over cluster sizes, never N^2; `max_cluster_rows` (when
-    set) raises before the join if any cluster exceeds the budget —
+    Pair work is confined to within-cluster, so the cost is sum c_i^2
+    over cluster sizes, never N^2; `max_cluster_rows` (when set)
+    raises before the pair work if any cluster exceeds the budget —
     at 10^12 rows pick k so clusters stay ~1e4-1e5 (SemDeDup uses
-    k ~ sqrt(N)). Cosines fold sequentially over the quantized-integer
-    doubles, so the >= eps cut is engine-invariant even at the
-    boundary.
+    k ~ sqrt(N)).
+
+    impl="arrow" (default): ONE exchange on the cluster id, then a
+    per-cluster vectorized cosine matrix in applyInPandas — norms once
+    per row, dot accumulation dim-sequential (acc += outer(x_i, x_i)),
+    upper-triangle count per later id. Memory is c_i^2 doubles per
+    group, which is exactly what max_cluster_rows bounds.
+    impl="join": the all-JVM relational twin (cluster equi-join +
+    HOF-fold cosine filter + count). Same bits — HOF folds and the
+    numpy dim-loop share the add order — but the per-pair fold is
+    CodegenFallback (interpreted), so it's the fallback, not the
+    default. Both are oracle-checked (entry query `semdedup`).
     """
+    if impl not in ("arrow", "join"):
+        raise ValueError(f"semdedup: impl must be 'arrow' or 'join', got {impl!r}")
     if max_cluster_rows is not None:
         # capped probe, same pattern as interval_join's broadcast gate:
         # one tiny agg action, raises before any quadratic work
@@ -194,6 +246,53 @@ def semdedup(
                 f"max_cluster_rows={max_cluster_rows}; increase k "
                 "(SemDeDup wants k ~ sqrt(N))"
             )
+    if impl == "arrow":
+        return _semdedup_arrow(assigned, eps, id_col)
+    return _semdedup_join(assigned, eps, id_col)
+
+
+def _semdedup_arrow(assigned: DataFrame, eps: float, id_col: str) -> DataFrame:
+    """Per-cluster vectorized prune: sort the group by id, build the
+    exact pairwise dot matrix with a dim-sequential outer-product
+    accumulation (bit-identical to the pair fold), count i<j hits."""
+    eps = float(eps)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        X = np.stack(pdf["qd"].to_numpy()[order])  # (c, dim) float64
+        c, dim = X.shape
+        acc = np.zeros((c, c))
+        nrm2 = np.zeros(c)
+        for i in range(dim):  # dim-sequential: the fold's add order
+            xi = X[:, i]
+            acc += np.multiply.outer(xi, xi)
+            nrm2 += xi * xi
+        nrm = np.sqrt(nrm2)
+        cos = acc / np.multiply.outer(nrm, nrm)
+        hit = cos >= eps
+        # ids are strictly sorted; earlier row = strictly lower index
+        n_earlier = np.array(
+            [int(hit[:j, j].sum()) for j in range(c)], dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "n_earlier_dups": n_earlier,
+                "keep": (n_earlier == 0).astype(np.int32),
+            }
+        )
+
+    side = assigned.select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.transform("q", lambda x: x.cast("double")).alias("qd"),
+    )
+    return side.groupBy("cluster").applyInPandas(prune, _prune_schema(id_col))
+
+
+def _semdedup_join(assigned: DataFrame, eps: float, id_col: str) -> DataFrame:
     # norms once per ROW, never per pair (the cosine-join rule)
     side = assigned.select(
         F.col(id_col).alias("_id"),
