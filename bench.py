@@ -316,8 +316,9 @@ def bench_semdedup(spark: SparkSession) -> dict:
     k=128 broadcast centroids — zero-shuffle assignment projections,
     k-key update aggs — then the within-cluster cosine pair join).
     Measures the end-to-end semantic-dedup shape: pair work is
-    sum c_i^2 ~ N^2/k, never N^2, and every float fold stays in JVM
-    codegen (no Python in the pipeline)."""
+    sum c_i^2 ~ N^2/k, never N^2; assignment is the zero-shuffle Arrow
+    path against broadcast numpy centroids, the update agg is JVM
+    integer sums."""
     from tile_grid_spark.operators.kmeans import kmeans_assign, semdedup
 
     emb = synth_embeddings(spark, SEMDEDUP_ROWS).cache()

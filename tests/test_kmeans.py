@@ -145,7 +145,7 @@ def test_kmeans_iters_zero_uses_seed_centroids(spark, data):
     assert got == want
 
 
-@pytest.mark.parametrize("impl", ["arrow", "join"])
+@pytest.mark.parametrize("impl", ["arrow", "join", "blas"])
 def test_semdedup_matches_python_oracle(spark, data, impl):
     ids, X = data
     eps = 0.95
@@ -195,12 +195,17 @@ def test_kmeans_validation(spark, data):
 
 def test_semdedup_impls_agree(spark, data):
     """arrow (vectorized) and join (relational) prunes are bit-twins:
-    identical rows including every n_earlier_dups count."""
+    identical rows including every n_earlier_dups count. blas (GEMM)
+    agrees too on this fixture — its cosines may differ in the last
+    ulp, but no fixture pair sits on the eps boundary (planted dups
+    are ~1.0, background pairs < 0.6)."""
     ids, X = data
     assigned = kmeans_assign(_mk_df(spark, ids, X), k=4, dim=DIM, iters=1)
     ra = sorted(map(tuple, semdedup(assigned, eps=0.95, impl="arrow").collect()))
     rj = sorted(map(tuple, semdedup(assigned, eps=0.95, impl="join").collect()))
+    rb = sorted(map(tuple, semdedup(assigned, eps=0.95, impl="blas").collect()))
     assert ra == rj
+    assert ra == rb
 
 
 def test_quantize_is_round_half_up(spark):
