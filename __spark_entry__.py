@@ -1950,6 +1950,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(assigned, eps=0.45).orderBy("vec_id")
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering (Ester et al., KDD 1996) over the
+    synthesized customer points, deterministic min-label border rule
+    (operators/dbscan.py): eps-neighborhoods via the radius_join
+    tile-ring equi-join (never |N|^2), core connectivity via the
+    star-rounds connected components. The oracle affords the naive
+    cross-join neighborhood and a recursive min-label walk at sf0.01;
+    the engine never builds either. eps/min_pts picked so the output
+    exercises all three roles (core/border/noise) at this density."""
+    from tile_grid_spark.operators.dbscan import dbscan
+
+    pts = _points_df(spark, sf_dir, "customer", "c_custkey")
+    return dbscan(pts, WM, eps=1_200_000.0, min_pts=5, id_col="pid").orderBy(
+        "pid"
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality with a FULL value-hash oracle (unlike the image
     codecs, which are rows-only because DuckDB cannot decode them):
@@ -2521,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_image_stats": q_tile_image_stats,            # new r5
         "adaptive_tiles": q_adaptive_tiles,                # new r5
         "semdedup": q_semdedup,                            # new r5
+        "dbscan": q_dbscan,                                # new r5
         "phash_neardup": q_phash_neardup,                  # hamming packed key r5
         "phash_multi_band": q_phash_multi_band,            # hamming packed key r5
         "vector_tiles": q_vector_tiles,                    # MVT batched builders r5
@@ -2547,7 +2565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_psnr": q_decode_psnr,
         "audio_features": q_audio_features,
         "audio_frames": q_audio_frames,
-        "pricing_summary": q_pricing_summary,
         "bbox_overlap": q_bbox_overlap,
         "tile_pyramid": q_tile_pyramid,
         "salted_tile_agg": q_salted_tile_agg,
@@ -2562,9 +2579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (50) ----
         # everything below has a GREEN r4 driver row and r5-untouched
         # operator code (rotation policy, OPERATORS.md §evidence).
-        # top_revenue_orders (r3-green, untouched TPC-H demo) yielded
-        # its window slot to the new r5 semdedup query.
+        # top_revenue_orders and pricing_summary (r3-green, untouched
+        # TPC-H demos) yielded their window slots to the new r5
+        # semdedup and dbscan queries.
         "top_revenue_orders": q_top_revenue_orders,
+        "pricing_summary": q_pricing_summary,
         "tile_assign_z8": q_tile_assign_z8,
         "tile_assign_multizoom": q_tile_assign_multizoom,
         "tile_bounds": q_tile_bounds,
@@ -4461,6 +4480,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(p.component, c.c_custkey) AS BIGINT) AS component
         FROM customer c LEFT JOIN comp p ON p.id = c.c_custkey
         ORDER BY node
+    """
+
+    # DBSCAN: naive cross-join eps-neighborhoods (exactly radius_join's
+    # wrap-aware Mercator metric) + recursive min-label walk over the
+    # core-core graph + the operator's deterministic min-label border
+    # rule; integer degree compares, so the threshold is engine-exact
+    _dbw = _d(40075016.685578436)
+    _dbscan_dist = (
+        f"sqrt(LEAST(abs(a.x - b.x), {_dbw} - abs(a.x - b.x))"
+        f"      * LEAST(abs(a.x - b.x), {_dbw} - abs(a.x - b.x))"
+        f"      + (a.y - b.y) * (a.y - b.y))"
+    )
+    sql["dbscan"] = f"""
+        WITH RECURSIVE p AS (
+          SELECT c_custkey AS id,
+                 {_merc_x_sql(_lon_sql('c_custkey'))} AS x,
+                 {_merc_y_sql(_lat_sql('c_custkey'))} AS y
+          FROM customer
+        ),
+        pr AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM p a JOIN p b
+            ON a.id <> b.id AND {_dbscan_dist} <= {_d(1_200_000.0)}
+        ),
+        deg AS (SELECT ida AS id, COUNT(*) AS nnb FROM pr GROUP BY ida),
+        flags AS (
+          SELECT p.id, COALESCE(d.nnb, 0) + 1 >= 5 AS core
+          FROM p LEFT JOIN deg d USING (id)
+        ),
+        ce AS (
+          SELECT pr.ida AS u, pr.idb AS v
+          FROM pr
+          JOIN flags fa ON fa.id = pr.ida AND fa.core
+          JOIN flags fb ON fb.id = pr.idb AND fb.core
+          WHERE pr.ida < pr.idb
+        ),
+        sym AS (SELECT u, v FROM ce UNION SELECT v AS u, u AS v FROM ce),
+        walk(id, lbl) AS (
+          SELECT u, u FROM sym
+          UNION
+          SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.id
+        ),
+        comp0 AS (SELECT id, MIN(lbl) AS comp FROM walk GROUP BY id),
+        comp AS (
+          SELECT f.id, COALESCE(c.comp, f.id) AS comp
+          FROM flags f LEFT JOIN comp0 c ON c.id = f.id
+          WHERE f.core
+        ),
+        borders AS (
+          SELECT pr.ida AS id, MIN(c.comp) AS cluster
+          FROM pr
+          JOIN flags fa ON fa.id = pr.ida AND NOT fa.core
+          JOIN comp c ON c.id = pr.idb
+          GROUP BY pr.ida
+        ),
+        lab AS (
+          SELECT id, CAST(comp AS BIGINT) AS cluster, 'core' AS role FROM comp
+          UNION ALL
+          SELECT id, CAST(cluster AS BIGINT), 'border' FROM borders
+        )
+        SELECT f.id AS pid,
+               COALESCE(l.cluster, CAST(-1 AS BIGINT)) AS cluster,
+               COALESCE(l.role, 'noise') AS role
+        FROM flags f LEFT JOIN lab l ON l.id = f.id
+        ORDER BY pid
     """
 
     # audio: the closed-form sawtooth samples re-derived in SQL — the

@@ -1,0 +1,168 @@
+"""Density-based spatial clustering (DBSCAN) over lon/lat point tables.
+
+The classic geospatial clustering question over the image+caption table
+("which photos form dense geographic clusters, which are isolated
+noise?") — Ester/Kriegel/Sander/Xu, KDD 1996 — composed from two
+operators this engine already ships at scale:
+
+  eps-neighborhoods  = operators/knn.radius_join (3x3 tile-ring explode
+                       manufactures the equi-key a distance predicate
+                       lacks — candidate volume tracks LOCAL density,
+                       never |N|^2; Mercator-plane meters, antimeridian
+                       wrapped, auto-picked zoom)
+  core connectivity  = operators/cluster.connected_components
+                       (large-star/small-star with partition-local
+                       pre-contraction + tiered frontier solve)
+
+Deterministic variant: classic DBSCAN assigns a BORDER point (non-core
+within eps of a core) to whichever cluster's core reaches it first —
+scan-order dependent, so two runs can disagree. Here a border point
+joins the MINIMUM cluster label among its eps-neighboring cores:
+scan-order free, partition invariant, and relationally checkable (the
+`dbscan` entry query replays the whole pipeline in SQL). Core labels
+are unaffected by the rule (cores of one density-connected region are
+in one component regardless of order — only border TIE-BREAKING is
+underspecified in the paper).
+
+Scale shape (the 100-TB plan):
+- ONE radius_join builds the eps-neighbor pair list; it is
+  localCheckpointed because three downstream consumers (degree counts,
+  core-core edges, border assignment) would otherwise each replay the
+  ring join (the containment_pairs plan-cut rule).
+- Degree count is one exchange on the point id with map-side partial
+  counts; core flags join back by id (AQE handles dense-tile skew the
+  same way radius_join's own verify join does).
+- Core-core edges are a filter on the checkpointed pairs — no second
+  spatial join; components shuffle bigint pairs only.
+- Border assignment is one groupBy-min over the core-neighbor subset
+  of the same pairs frame.
+- min_pts uses the PAPER's convention: |N_eps(p)| counts p itself.
+
+Reference semantics anchor: the eps-neighborhood metric is exactly
+radius_join's (generalizing /root/reference/src/tms.rs:951-971
+neighbors() to distance predicates); clustering itself has no
+reference counterpart — it is part of the engine's training-pipeline
+surface (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.tms import Tms
+from .cluster import connected_components
+from .knn import radius_join
+
+__all__ = ["dbscan"]
+
+
+def dbscan(
+    points: DataFrame,
+    tms: Tms,
+    eps: float,
+    min_pts: int,
+    id_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    zoom: int | None = None,
+    star_impl: str = "window",
+) -> DataFrame:
+    """Cluster `points` (id_col, lon, lat) with DBSCAN(eps meters,
+    min_pts). Returns (id_col, cluster, role):
+
+      role='core'    |N_eps(p)| >= min_pts (count includes p);
+                     cluster = MIN point id of the density-connected
+                     core component (the CC representative convention).
+      role='border'  non-core with >= 1 core eps-neighbor; cluster =
+                     MIN cluster label among those cores (deterministic
+                     tie-break, see module docstring).
+      role='noise'   neither; cluster = -1.
+
+    Point ids must be integral and unique (bigint component math, same
+    contract as connected_components pre-contraction).
+    """
+    if min_pts < 1:
+        raise ValueError(f"dbscan: min_pts must be >= 1, got {min_pts}")
+    pts = points.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+    )
+    a = pts.select(
+        F.col(id_col).alias("_ida"), "lon", "lat"
+    )
+    b = pts.select(
+        F.col(id_col).alias("_idb"), "lon", "lat"
+    )
+    pairs = (
+        radius_join(
+            a, b, tms, radius=eps, left_id="_ida", right_id="_idb", zoom=zoom
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+        .localCheckpoint()  # 3 consumers; never replay the ring join
+    )
+
+    # |N_eps(p)| - 1 per point; absent ids have zero neighbors
+    deg = pairs.groupBy("_ida").agg(F.count(F.lit(1)).alias("_nnb"))
+    flags = (
+        pts.select(id_col)
+        .join(deg, pts[id_col] == deg["_ida"], "left")
+        .select(
+            id_col,
+            (F.coalesce("_nnb", F.lit(0)) + 1 >= min_pts).alias("_core"),
+        )
+        .localCheckpoint()  # consumed 4x; each replay = pairs agg + join
+    )
+    core_ids = flags.filter("_core").select(F.col(id_col).alias("id"))
+
+    fa = flags.select(F.col(id_col).alias("_fa"), F.col("_core").alias("_ca"))
+    fb = flags.select(F.col(id_col).alias("_fb"), F.col("_core").alias("_cb"))
+    marked = (
+        pairs.join(fa, pairs["_ida"] == fa["_fa"])
+        .join(fb, pairs["_idb"] == fb["_fb"])
+        .select("_ida", "_idb", "_ca", "_cb")
+    )
+    core_edges = marked.filter(
+        F.col("_ca") & F.col("_cb") & (F.col("_ida") < F.col("_idb"))
+    ).select("_ida", "_idb")
+    comp = connected_components(
+        core_edges,
+        src="_ida",
+        dst="_idb",
+        nodes=core_ids,
+        star_impl=star_impl,
+    )
+
+    cores_out = comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster"),
+        F.lit("core").alias("role"),
+    )
+    # border: non-core left endpoint, core right endpoint -> min label
+    cm = comp.select(F.col("node").alias("_cn"), F.col("component").alias("_cc"))
+    borders_out = (
+        marked.filter(~F.col("_ca") & F.col("_cb"))
+        .join(cm, F.col("_idb") == cm["_cn"])
+        .groupBy("_ida")
+        .agg(F.min("_cc").alias("cluster"))
+        .select(
+            F.col("_ida").alias(id_col), "cluster", F.lit("border").alias("role")
+        )
+    )
+    labeled = cores_out.unionByName(borders_out)
+    noise_out = (
+        pts.select(id_col)
+        .join(
+            labeled.select(F.col(id_col).alias("_ln")),
+            pts[id_col] == F.col("_ln"),
+            "left_anti",
+        )
+        .select(
+            id_col,
+            F.lit(-1).cast("long").alias("cluster"),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return labeled.unionByName(noise_out)
