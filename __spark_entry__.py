@@ -1967,6 +1967,21 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic per non-empty z6 tile over the
+    synthesized order points (operators/hotspot.py): every aggregate is
+    an exact integer, so the final per-row scalar expression is the
+    ONLY float math and both engines evaluate the identical IEEE tree —
+    gi value-hashes at FULL precision, no rounding (the merc-formula
+    precedent). Spark plan: one point-level exchange, a 9-offset tile
+    explode + packed-bigint groupBy, one bigint join, broadcast global
+    moments."""
+    from tile_grid_spark.operators.hotspot import getis_ord_gi_star
+
+    pts = _points_df(spark, sf_dir, "orders", "o_orderkey")
+    return getis_ord_gi_star(pts, WM, zoom=6).orderBy("tile_x", "tile_y")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality with a FULL value-hash oracle (unlike the image
     codecs, which are rows-only because DuckDB cannot decode them):
@@ -2539,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": q_adaptive_tiles,                # new r5
         "semdedup": q_semdedup,                            # new r5
         "dbscan": q_dbscan,                                # new r5
+        "hotspot_gi": q_hotspot_gi,                        # new r5
         "phash_neardup": q_phash_neardup,                  # hamming packed key r5
         "phash_multi_band": q_phash_multi_band,            # hamming packed key r5
         "vector_tiles": q_vector_tiles,                    # MVT batched builders r5
@@ -2562,7 +2578,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
-        "decode_psnr": q_decode_psnr,
         "audio_features": q_audio_features,
         "audio_frames": q_audio_frames,
         "bbox_overlap": q_bbox_overlap,
@@ -2581,7 +2596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator code (rotation policy, OPERATORS.md §evidence).
         # top_revenue_orders and pricing_summary (r3-green, untouched
         # TPC-H demos) yielded their window slots to the new r5
-        # semdedup and dbscan queries.
+        # semdedup and dbscan queries; decode_psnr (rows-only by
+        # adjudication — a driver row adds no hash evidence) yielded
+        # its slot to the new r5 hotspot_gi query.
+        "decode_psnr": q_decode_psnr,
         "top_revenue_orders": q_top_revenue_orders,
         "pricing_summary": q_pricing_summary,
         "tile_assign_z8": q_tile_assign_z8,
@@ -4545,6 +4563,62 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(l.role, 'noise') AS role
         FROM flags f LEFT JOIN lab l ON l.id = f.id
         ORDER BY pid
+    """
+
+    # Getis-Ord Gi*: all aggregates are exact integers; the final gi
+    # expression mirrors the operator's IEEE tree term for term, so it
+    # value-hashes at FULL double precision (no rounding)
+    _g6 = _zp(6)
+    _gtx, _gty = _tile_xy_sql(6)
+    _gmx, _gmy = _g6.matrix_width - 1, _g6.matrix_height - 1
+    sql["hotspot_gi"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')}),
+        study AS (
+          SELECT tile_x, tile_y, COUNT(*) AS x FROM (
+            SELECT {_gtx} AS tile_x, {_gty} AS tile_y FROM pts
+          ) WHERE tile_x <= {_gmx} AND tile_y <= {_gmy}
+          GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM study
+        ),
+        off(dx, dy) AS (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+        ),
+        ring AS (
+          SELECT c.tile_x + o.dx AS nx, c.tile_y + o.dy AS ny,
+                 SUM(c.x) AS ring_sum, COUNT(*) AS ring_n
+          FROM study c CROSS JOIN off o
+          WHERE c.tile_x + o.dx BETWEEN 0 AND {_gmx}
+            AND c.tile_y + o.dy BETWEEN 0 AND {_gmy}
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT c.tile_x, c.tile_y, c.x,
+                 CAST(r.ring_sum AS BIGINT) AS ring_sum, r.ring_n,
+                 g.n, g.sx, g.sxx
+          FROM study c
+          JOIN ring r ON r.nx = c.tile_x AND r.ny = c.tile_y
+          CROSS JOIN g
+        ),
+        e AS (
+          SELECT tile_x, tile_y, x, ring_sum, ring_n, n,
+                 CAST(sx AS DOUBLE) / n AS xbar,
+                 sqrt(CAST(sxx AS DOUBLE) / n
+                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+                 ) AS s,
+                 CAST(ring_n AS DOUBLE) AS w
+          FROM j
+        )
+        SELECT tile_x, tile_y, x, ring_sum, ring_n,
+               CASE WHEN n > 1
+                     AND s * sqrt((CAST(n AS DOUBLE) * w - w * w)
+                                  / (CAST(n AS DOUBLE) - 1e0)) > 0e0
+                    THEN (CAST(ring_sum AS DOUBLE) - xbar * w)
+                         / (s * sqrt((CAST(n AS DOUBLE) * w - w * w)
+                                     / (CAST(n AS DOUBLE) - 1e0)))
+               END AS gi
+        FROM e ORDER BY tile_x, tile_y
     """
 
     # audio: the closed-form sawtooth samples re-derived in SQL — the
