@@ -52,6 +52,8 @@ PIP_SCALE_ROWS = int(
 AGG_ROWS = int(os.environ.get("SPARK_GRAFT_AGG_ROWS", "40000000"))
 KNN_ROWS = int(os.environ.get("SPARK_GRAFT_KNN_ROWS", "2000000"))
 SEMDEDUP_ROWS = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_ROWS", "40000"))
+GI_ROWS = int(os.environ.get("SPARK_GRAFT_GI_ROWS", "1000000"))
+DBSCAN_ROWS = int(os.environ.get("SPARK_GRAFT_DBSCAN_ROWS", "60000"))
 DOC_REP = int(os.environ.get("SPARK_GRAFT_DOC_REP", "128"))
 # The sf-parquet suite rows are replicated so the jobs measure engine
 # work, not fixed job-submission overhead (sub-3s jobs read as
@@ -105,6 +107,63 @@ def force(df: DataFrame) -> int:
     """Execute fully on executors; return row count via the cheapest
     full-evaluation path (noop write does not expose counts, so count())."""
     return df.count()
+
+
+def synth_blob_points(spark: SparkSession, n: int) -> DataFrame:
+    """Spatially SKEWED deterministic points: 70% in 16 dense ~2-degree
+    blobs, 30% world-uniform — the input shape hotspot/DBSCAN exist for
+    (pure JVM column arithmetic, no Python)."""
+    base = spark.range(0, n, numPartitions=CPUS * 2)
+    blob = F.pmod(F.col("id"), F.lit(16))
+    cx = blob.cast("double") * F.lit(22.0) - F.lit(170.0)
+    cy = F.pmod(blob.cast("double") * F.lit(37.0), F.lit(100.0)) - F.lit(50.0)
+    jx = (F.col("id") * 9973 % 2000) / F.lit(1000.0) - F.lit(1.0)
+    jy = (F.col("id") * 7919 % 2000) / F.lit(1000.0) - F.lit(1.0)
+    ux = (F.col("id") * 104729 % 360000) / F.lit(1000.0) - F.lit(180.0)
+    uy = (F.col("id") * 15485863 % 170000) / F.lit(1000.0) - F.lit(85.0)
+    is_blob = F.pmod(F.col("id"), F.lit(10)) < 7
+    return base.select(
+        F.col("id").alias("pid"),
+        F.when(is_blob, cx + jx).otherwise(ux).alias("lon"),
+        F.when(is_blob, cy + jy).otherwise(uy).alias("lat"),
+    )
+
+
+def bench_hotspot(spark: SparkSession) -> dict:
+    """Getis-Ord Gi* at generated scale: GI_ROWS skewed points -> per-
+    tile z10 significance scores. Measures the operator's whole shape:
+    one point-level count exchange, the 9-offset TILE explode (shuffle
+    ~ 9x non-empty tiles, independent of point count), packed-bigint
+    join, broadcast moments."""
+    from tile_grid_spark.operators.hotspot import getis_ord_gi_star
+
+    pts = synth_blob_points(spark, GI_ROWS).cache()
+    pts.count()  # generation outside the timed region (knn precedent)
+    t0 = time.time()
+    n = force(getis_ord_gi_star(pts, E.WM, zoom=10))
+    dt = time.time() - t0
+    assert n > 0
+    pts.unpersist()
+    return {"sec": dt, "gi_tiles": n, "gi_points": GI_ROWS}
+
+
+def bench_dbscan(spark: SparkSession) -> dict:
+    """DBSCAN at generated scale: DBSCAN_ROWS skewed points, eps 5 km,
+    min_pts 8 — blob interiors become core clusters, the uniform
+    background becomes noise. Measures radius_join candidate
+    generation (ring equi-join at the auto-picked zoom), degree
+    aggregation, CC over core-core edges and the border/noise
+    assembly."""
+    from tile_grid_spark.operators.dbscan import dbscan
+
+    pts = synth_blob_points(spark, DBSCAN_ROWS).cache()
+    pts.count()
+    t0 = time.time()
+    n = force(dbscan(pts, E.WM, eps=5_000.0, min_pts=8, id_col="pid"))
+    dt = time.time() - t0
+    assert n == DBSCAN_ROWS
+    pts.unpersist()
+    return {"sec": dt, "dbscan_points": DBSCAN_ROWS}
 
 
 def force_noop(df: DataFrame) -> None:
@@ -625,6 +684,12 @@ def main() -> None:
     wemb = synth_embeddings(spark, 2_000)
     force(semdedup(kmeans_assign(wemb, k=16, dim=32, iters=1), eps=0.92))
 
+    # warm the dbscan composition (radius_join ring explode + CC +
+    # border assembly codegen)
+    from tile_grid_spark.operators.dbscan import dbscan as _dbscan
+
+    force(_dbscan(synth_blob_points(spark, 3_000), E.WM, eps=5_000.0, min_pts=8))
+
     benches = {
         "tile_assign_scale": bench_tile_assign_scale,
         "pip_join_scale": bench_pip_scale,
@@ -641,6 +706,8 @@ def main() -> None:
         "staypoints_od": bench_staypoints_od,
         "image_decode_tile": bench_image_decode,
         "semdedup": bench_semdedup,
+        "gi_hotspot": bench_hotspot,
+        "dbscan": bench_dbscan,
     }
     # quiet-window protocol: probe -> suite -> probe, repeated; keep the
     # per-query MIN (identical work per rep, so min is the least-noisy
@@ -683,6 +750,11 @@ def main() -> None:
         if "images" in r:
             extras["images_decoded_per_sec"] = round(r["images"] / r["sec"])
             extras["pixels_decoded_per_sec"] = round(r["pixels"] / r["sec"])
+        if "gi_points" in r:
+            extras["gi_points_per_sec"] = round(r["gi_points"] / r["sec"])
+            extras["gi_tiles"] = r["gi_tiles"]
+        if "dbscan_points" in r:
+            extras["dbscan_points_per_sec"] = round(r["dbscan_points"] / r["sec"])
     queries = {k: round(v, 3) for k, v in queries.items()}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
