@@ -12,6 +12,7 @@ Stages (each resumable via per-partition lineage, see plans/lineage.py):
   assign   - tile assignment per zoom, written partitioned by zoom,
              range-sorted by (tile_x, tile_y)
   stats    - per-tile density aggregate with measured salting
+  hotspot  - Getis-Ord Gi* significance layer per deep-zoom tile
   pyramid  - cascading rollup of the per-tile stats
   sketches - mergeable HLL distinct sketches per tile
   polys    - deterministic polygon layer (second input table)
@@ -126,6 +127,16 @@ def run_pipeline(
 
     r = run_stage(spark, log, "stats", [f"z{deep}"], build_stats)
     if report("stats", r):
+        return results
+
+    # ---- hotspot (Gi* significance layer over the deep-zoom tiles) ----
+    def build_hotspot(_unit: str):
+        from tile_grid_spark.operators.hotspot import getis_ord_gi_star
+
+        return getis_ord_gi_star(images.select("lon", "lat"), wm, deep)
+
+    r = run_stage(spark, log, "hotspot", [f"z{deep}"], build_hotspot)
+    if report("hotspot", r):
         return results
 
     # ---- pyramid (cascading rollup of the per-tile stats) ----

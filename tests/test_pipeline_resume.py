@@ -42,7 +42,8 @@ class TestPipelineResume:
     def test_crash_run_stops_after_pip(self, crash_then_resume):
         _, first, _, _, _ = crash_then_resume
         assert set(first) == {
-            "ingest", "assign", "stats", "pyramid", "sketches", "polys", "pip"
+            "ingest", "assign", "stats", "hotspot", "pyramid", "sketches",
+            "polys", "pip",
         }
         assert first["pip"].ran_units == ["z4"]
         assert first["pip"].rows > 0  # the join genuinely produced matches
@@ -50,7 +51,7 @@ class TestPipelineResume:
     def test_resume_skips_completed_shuffle_stages(self, crash_then_resume):
         _, _, second, _, _ = crash_then_resume
         # everything up to and including the crash point resumes as skip
-        for stage in ("ingest", "stats", "pyramid", "sketches", "polys", "pip"):
+        for stage in ("ingest", "stats", "hotspot", "pyramid", "sketches", "polys", "pip"):
             assert second[stage].ran_units == [], stage
             assert second[stage].skipped_units, stage
         assert second["assign"].ran_units == []
