@@ -1938,11 +1938,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N^2) semantic dedup into O(sum c_i^2), the only shape that
     reaches 10^12 rows. Fully relational because the operator quantizes
     embeddings to an integer grid first (centroid sums are exact, every
-    float fold is sequential), so the oracle replays seeds, both Lloyd
-    rounds, the final assignment AND the prune bit-for-bit in SQL.
-    Spark plan: assignment is a pure projection against ONE broadcast
-    centroid row (zero shuffle), each update is one k-key hash agg with
-    map-side partials, and the prune joins on the cluster id only."""
+    float fold is dim-sequential), so the oracle replays seeds, both
+    Lloyd rounds, the final assignment AND the prune bit-for-bit in
+    SQL. Spark plan: assignment is a zero-shuffle Arrow pandas UDF
+    against sc.broadcast numpy centroids (dim-sequential accumulation
+    = the fold's IEEE add order), each update is one k-key integer
+    hash agg with map-side partials, and the prune is confined to
+    within-cluster."""
     from tile_grid_spark.operators.kmeans import kmeans_assign, semdedup
 
     emb = read_table(spark, sf_dir, "embeddings")
