@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..core.tms import Tms
 from ..functions.grid_cols import tile_key, with_tile
 
-__all__ = ["getis_ord_gi_star"]
+__all__ = ["getis_ord_gi_star", "gi_star_from_counts"]
 
 
 def getis_ord_gi_star(
@@ -74,8 +74,25 @@ def getis_ord_gi_star(
         )
         .groupBy("tile_x", "tile_y")
         .agg(F.count(F.lit(1)).alias("x"))
-        .localCheckpoint()  # 3 consumers; never replay the point scan
     )
+    return gi_star_from_counts(counts, tms, zoom)
+
+
+def gi_star_from_counts(counts: DataFrame, tms: Tms, zoom: int) -> DataFrame:
+    """Gi* over a pre-aggregated per-tile count frame (tile_x, tile_y,
+    x) — the maintained-store entry point (streaming twin): the counts
+    may come from any incremental pipeline as long as they are exact
+    integers; identical integers give bit-identical gi, which is what
+    the replay-equals-batch gate asserts. Tiles outside the clamp
+    domain [0, width-1] x [0, height-1] are excluded exactly like the
+    points path."""
+    p = tms.zoom_params(zoom)
+    counts = counts.filter(
+        (F.col("tile_x") >= 0)
+        & (F.col("tile_y") >= 0)
+        & (F.col("tile_x") <= F.lit(p.matrix_width - 1))
+        & (F.col("tile_y") <= F.lit(p.matrix_height - 1))
+    ).localCheckpoint()  # 3 consumers; never replay the upstream scan
     g = counts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

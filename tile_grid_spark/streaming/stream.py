@@ -671,3 +671,90 @@ def stream_trips(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def refresh_hotspot_count_store(
+    store_path: str,
+    batch_points: DataFrame,
+    tms: Tms,
+    zoom: int,
+    batch_id: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> None:
+    """Merge ONE micro-batch's per-tile counts into a parquet count
+    store keyed (tile_x, tile_y, batch_id): an at-least-once replayed
+    batch recomputes the IDENTICAL rows for the identical key and the
+    latest-wins merge rewrites them in place — a no-op on store
+    contents, the same idempotence contract as refresh_tile_store. The
+    Gi* significance layer is DERIVED from the store by
+    hotspot_layer(), never maintained incrementally: the statistic is
+    global (every tile's z-score shifts when the corpus mean/variance
+    shift), so the store holds only the additive integers and the
+    layer recomputes from exact sums — which is what makes the
+    replay-equals-batch gate bit-exact."""
+    counts = (
+        with_tile(
+            batch_points.select(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
+            tms,
+            zoom,
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .withColumn("_rev", F.lit(0).cast("long"))
+    )
+    refresh_tile_store(
+        store_path,
+        counts,
+        key_cols=("tile_x", "tile_y", "batch_id"),
+        version_col="_rev",
+    )
+
+
+def stream_hotspot_refresh(
+    points: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    tms: Tms,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    query_name: str = "tgs_hotspot_store",
+    available_now: bool = True,
+):
+    """Streaming maintenance of the hot-spot count store: each
+    micro-batch of raw points folds into the per-(tile, batch) count
+    store via refresh_hotspot_count_store (foreachBatch, idempotent
+    under replay). Read the significance layer at any time with
+    hotspot_layer(). Returns the started query handle."""
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        refresh_hotspot_count_store(
+            store_path, bdf, tms, zoom, batch_id, lon=lon, lat=lat
+        )
+
+    w = (
+        points.writeStream.outputMode("append")
+        .foreachBatch(commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def hotspot_layer(
+    spark: SparkSession, store_path: str, tms: Tms, zoom: int
+) -> DataFrame:
+    """The Gi* significance layer over everything streamed so far:
+    exact integer sums per tile from the count store, then
+    operators/hotspot.gi_star_from_counts — bit-identical to running
+    the batch operator over the union of all streamed points (gated by
+    TestStreamHotspot.test_replay_equals_batch)."""
+    from ..operators.hotspot import gi_star_from_counts
+
+    store = spark.read.parquet(store_path)
+    counts = store.groupBy("tile_x", "tile_y").agg(F.sum("x").alias("x"))
+    return gi_star_from_counts(counts, tms, zoom)
