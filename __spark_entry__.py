@@ -767,6 +767,36 @@ def q_tile_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi* over per-tile DECODED-BRIGHTNESS mass — the two graft axes
+    composed with the round's statistics layer: closed-form PNG
+    payloads through the REAL codec (zero-shuffle mapInPandas pixel
+    sums), z6 tile assignment, then gi_star_from_counts with the
+    integer brightness sum as the measure (Gi* works over any exact
+    integer weight, not just point counts — hot tiles are where the
+    corpus' luminance mass concentrates). A bug in the codec, the
+    grid math, or the statistic tree all break the full-precision
+    hash. Registered below the driver window: both constituent paths
+    already hold window slots (tile_image_stats, hotspot_gi)."""
+    from tile_grid_spark.functions.image import image_pixel_stats
+    from tile_grid_spark.operators.hotspot import gi_star_from_counts
+    from tile_grid_spark.sources.datagen import synth_png_images
+
+    stats = image_pixel_stats(synth_png_images(spark, 600))
+    pts = stats.withColumns(
+        {
+            "lon": F.expr(_lon_sql("image_id")),
+            "lat": F.expr(_lat_sql("image_id")),
+        }
+    )
+    counts = (
+        G.with_tile(pts, WM, 6)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("sum_px").alias("x"))
+    )
+    return gi_star_from_counts(counts, WM, 6).orderBy("tile_x", "tile_y")
+
+
 def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree density tiling (operators/adaptive.py): split
     any tile holding > 60 points into its children until the bound
@@ -2602,6 +2632,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adjudication — a driver row adds no hash evidence) yielded
         # its slot to the new r5 hotspot_gi query.
         "decode_psnr": q_decode_psnr,
+        # image_hotspot composes two window-checked paths
+        # (tile_image_stats, hotspot_gi); it cedes window priority to
+        # queries whose evidence is not otherwise covered.
+        "image_hotspot": q_image_hotspot,
         "top_revenue_orders": q_top_revenue_orders,
         "pricing_summary": q_pricing_summary,
         "tile_assign_z8": q_tile_assign_z8,
@@ -4573,14 +4607,11 @@ def oracle_sql() -> dict[str, str]:
     _g6 = _zp(6)
     _gtx, _gty = _tile_xy_sql(6)
     _gmx, _gmy = _g6.matrix_width - 1, _g6.matrix_height - 1
-    sql["hotspot_gi"] = f"""
-        WITH pts AS ({_points_sql('orders', 'o_orderkey')}),
-        study AS (
-          SELECT tile_x, tile_y, COUNT(*) AS x FROM (
-            SELECT {_gtx} AS tile_x, {_gty} AS tile_y FROM pts
-          ) WHERE tile_x <= {_gmx} AND tile_y <= {_gmy}
-          GROUP BY 1, 2
-        ),
+    def _gi_tail_sql(mx: int, my: int) -> str:
+        """The Gi* tail CTEs shared by every hotspot oracle: expects a
+        `study(tile_x, tile_y, x)` CTE upstream; the final expression
+        mirrors gi_star_from_counts' IEEE tree term for term."""
+        return f"""
         g AS (
           SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM study
         ),
@@ -4591,8 +4622,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT c.tile_x + o.dx AS nx, c.tile_y + o.dy AS ny,
                  SUM(c.x) AS ring_sum, COUNT(*) AS ring_n
           FROM study c CROSS JOIN off o
-          WHERE c.tile_x + o.dx BETWEEN 0 AND {_gmx}
-            AND c.tile_y + o.dy BETWEEN 0 AND {_gmy}
+          WHERE c.tile_x + o.dx BETWEEN 0 AND {mx}
+            AND c.tile_y + o.dy BETWEEN 0 AND {my}
           GROUP BY 1, 2
         ),
         j AS (
@@ -4620,7 +4651,43 @@ def oracle_sql() -> dict[str, str]:
                          / (s * sqrt((CAST(n AS DOUBLE) * w - w * w)
                                      / (CAST(n AS DOUBLE) - 1e0)))
                END AS gi
-        FROM e ORDER BY tile_x, tile_y
+        FROM e ORDER BY tile_x, tile_y"""
+
+    sql["hotspot_gi"] = f"""
+        WITH pts AS ({_points_sql('orders', 'o_orderkey')}),
+        study AS (
+          SELECT tile_x, tile_y, COUNT(*) AS x FROM (
+            SELECT {_gtx} AS tile_x, {_gty} AS tile_y FROM pts
+          ) WHERE tile_x <= {_gmx} AND tile_y <= {_gmy}
+          GROUP BY 1, 2
+        ),{_gi_tail_sql(_gmx, _gmy)}
+    """
+
+    # image x hotspot composition: per-tile DECODED-BRIGHTNESS mass
+    # (closed-form pixels through the real PNG codec on the engine
+    # side) as the Gi* measure — integer sums, identical tail
+    sql["image_hotspot"] = f"""
+        WITH imgs AS (
+          SELECT i AS image_id,
+                 CAST(16 + (i % 5) * 4 AS INT) AS w,
+                 CAST(12 + (i % 3) * 4 AS INT) AS h,
+                 ((i * 9973) % 360000) / 1000e0 - 180e0 AS lon,
+                 ((i * 7919) % 170000) / 1000e0 - 85e0 AS lat
+          FROM range(600) t(i)
+        ),
+        px AS (
+          SELECT image_id, j, (image_id * 7 + j * 13) % 256 AS v
+          FROM imgs CROSS JOIN range(1920) r(j)
+          WHERE j < w * h * 3
+        ),
+        st AS (SELECT image_id, SUM(v) AS sum_px FROM px GROUP BY image_id),
+        study AS (
+          SELECT tile_x, tile_y, CAST(SUM(sum_px) AS BIGINT) AS x FROM (
+            SELECT {_gtx} AS tile_x, {_gty} AS tile_y, st.sum_px
+            FROM imgs JOIN st USING (image_id)
+          ) WHERE tile_x <= {_gmx} AND tile_y <= {_gmy}
+          GROUP BY 1, 2
+        ),{_gi_tail_sql(_gmx, _gmy)}
     """
 
     # audio: the closed-form sawtooth samples re-derived in SQL — the
