@@ -211,3 +211,54 @@ class TestStreamHotspot:
             ).collect()
         }
         assert got == want
+
+
+def test_image_hotspot_query_matches_python_oracle(spark, wm):
+    """The entry composition (real-codec brightness sums -> z6 tiles ->
+    weighted Gi*) against a from-scratch numpy oracle: pixel bytes from
+    the closed form (never the codec), positions from the integer-key
+    formulas, tiles via the scalar core Tms, Gi* in the operator's
+    expression order. Bit-equal including gi."""
+    import __spark_entry__ as entry
+
+    # closed-form brightness sums (sources/datagen.synth_png_images)
+    sums, lons, lats = {}, {}, {}
+    for i in range(600):
+        w, h = 16 + (i % 5) * 4, 12 + (i % 3) * 4
+        j = np.arange(w * h * 3, dtype=np.int64)
+        sums[i] = int(((i * 7 + j * 13) % 256).sum())
+        lons[i] = ((i * 9973) % 360000) / 1000.0 - 180.0
+        lats[i] = ((i * 7919) % 170000) / 1000.0 - 85.0
+
+    p = wm.zoom_params(6)
+    W, H = p.matrix_width, p.matrix_height
+    counts = {}
+    for i in range(600):
+        xyz = wm.tile(lons[i], lats[i], 6)
+        if xyz.x <= W - 1 and xyz.y <= H - 1:
+            counts[(xyz.x, xyz.y)] = counts.get((xyz.x, xyz.y), 0) + sums[i]
+    n = len(counts)
+    sx = sum(counts.values())
+    sxx = sum(v * v for v in counts.values())
+    xbar = float(sx) / n
+    s = math.sqrt(float(sxx) / n - xbar * xbar)
+    want = {}
+    for (tx, ty), x in counts.items():
+        ring_sum = ring_n = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                k = (tx + dx, ty + dy)
+                if 0 <= k[0] <= W - 1 and 0 <= k[1] <= H - 1 and k in counts:
+                    ring_sum += counts[k]
+                    ring_n += 1
+        wgt = float(ring_n)
+        num = float(ring_sum) - xbar * wgt
+        den = s * math.sqrt((float(n) * wgt - wgt * wgt) / (float(n) - 1.0))
+        gi = num / den if (n > 1 and den > 0.0) else None
+        want[(tx, ty)] = (x, ring_sum, ring_n, gi)
+
+    got = {
+        (r["tile_x"], r["tile_y"]): (r["x"], r["ring_sum"], r["ring_n"], r["gi"])
+        for r in entry.q_image_hotspot(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == want
