@@ -1999,6 +1999,32 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal DBSCAN over the events table: an eps-neighbor
+    must be close in space (1500 km Mercator) AND time (1 day of the
+    ~30-day event span) — the event-burst clustering shape
+    (operators/dbscan.st_dbscan). The spatial ring join prunes first;
+    two bigint joins attach epoch seconds and the integer |dt| cut
+    runs before the pair list feeds the shared labeling core. Oracle
+    replays the conjunctive predicate naively plus the identical
+    recursive min-label tail. Registered below the driver window:
+    the labeling core and spatial predicate hold window slots via
+    `dbscan`, the epoch idiom via `user_sessions`."""
+    from tile_grid_spark.operators.dbscan import st_dbscan
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        F.expr(_lon_sql("event_id")).alias("lon"),
+        F.expr(_lat_sql("event_id")).alias("lat"),
+        # NTZ -> timestamp -> long (user_sessions idiom); only |dt|
+        # matters here so any session-TZ offset cancels
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    return st_dbscan(
+        ev, WM, eps_space=1_500_000.0, eps_time=86_400, min_pts=4, id_col="pid"
+    ).orderBy("pid")
+
+
 def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Getis-Ord Gi* hot-spot statistic per non-empty z6 tile over the
     synthesized order points (operators/hotspot.py): every aggregate is
@@ -2636,6 +2662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tile_image_stats, hotspot_gi); it cedes window priority to
         # queries whose evidence is not otherwise covered.
         "image_hotspot": q_image_hotspot,
+        # st_dbscan's labeling core + spatial predicate are window-
+        # checked via dbscan; only the integer time cut is new.
+        "st_dbscan": q_st_dbscan,
         "top_revenue_orders": q_top_revenue_orders,
         "pricing_summary": q_pricing_summary,
         "tile_assign_z8": q_tile_assign_z8,
@@ -4546,21 +4575,15 @@ def oracle_sql() -> dict[str, str]:
         f"      * LEAST(abs(a.x - b.x), {_dbw} - abs(a.x - b.x))"
         f"      + (a.y - b.y) * (a.y - b.y))"
     )
-    sql["dbscan"] = f"""
-        WITH RECURSIVE p AS (
-          SELECT c_custkey AS id,
-                 {_merc_x_sql(_lon_sql('c_custkey'))} AS x,
-                 {_merc_y_sql(_lat_sql('c_custkey'))} AS y
-          FROM customer
-        ),
-        pr AS (
-          SELECT a.id AS ida, b.id AS idb
-          FROM p a JOIN p b
-            ON a.id <> b.id AND {_dbscan_dist} <= {_d(1_200_000.0)}
-        ),
+    def _dbscan_tail_sql(min_pts: int) -> str:
+        """The DBSCAN labeling tail shared by every density-clustering
+        oracle: expects CTEs p(id, ...) and pr(ida, idb) upstream;
+        replays degree cores, the recursive min-label walk and the
+        deterministic border rule."""
+        return f"""
         deg AS (SELECT ida AS id, COUNT(*) AS nnb FROM pr GROUP BY ida),
         flags AS (
-          SELECT p.id, COALESCE(d.nnb, 0) + 1 >= 5 AS core
+          SELECT p.id, COALESCE(d.nnb, 0) + 1 >= {min_pts} AS core
           FROM p LEFT JOIN deg d USING (id)
         ),
         ce AS (
@@ -4598,7 +4621,39 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(l.cluster, CAST(-1 AS BIGINT)) AS cluster,
                COALESCE(l.role, 'noise') AS role
         FROM flags f LEFT JOIN lab l ON l.id = f.id
-        ORDER BY pid
+        ORDER BY pid"""
+
+    sql["dbscan"] = f"""
+        WITH RECURSIVE p AS (
+          SELECT c_custkey AS id,
+                 {_merc_x_sql(_lon_sql('c_custkey'))} AS x,
+                 {_merc_y_sql(_lat_sql('c_custkey'))} AS y
+          FROM customer
+        ),
+        pr AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM p a JOIN p b
+            ON a.id <> b.id AND {_dbscan_dist} <= {_d(1_200_000.0)}
+        ),{_dbscan_tail_sql(5)}
+    """
+
+    # spatio-temporal DBSCAN: the conjunctive |dt| <= eps_time cut on
+    # top of the identical spatial predicate and labeling tail
+    sql["st_dbscan"] = f"""
+        WITH RECURSIVE p AS (
+          SELECT event_id AS id,
+                 {_merc_x_sql(_lon_sql('event_id'))} AS x,
+                 {_merc_y_sql(_lat_sql('event_id'))} AS y,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+          FROM events
+        ),
+        pr AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM p a JOIN p b
+            ON a.id <> b.id
+           AND abs(a.t - b.t) <= 86400
+           AND {_dbscan_dist} <= {_d(1_500_000.0)}
+        ),{_dbscan_tail_sql(4)}
     """
 
     # Getis-Ord Gi*: all aggregates are exact integers; the final gi

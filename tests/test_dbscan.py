@@ -144,3 +144,92 @@ def test_validation(spark, wm):
         dbscan(df, wm, eps=1000.0, min_pts=0)
     with pytest.raises(ValueError, match="radius"):
         dbscan(df, wm, eps=-1.0, min_pts=2)
+
+
+def _py_st_dbscan(ids, lon, lat, t, eps_s, eps_t, min_pts):
+    """Same oracle with the conjunctive |dt| <= eps_t neighborhood."""
+    x = R * np.radians(lon)
+    y = R * np.log(np.tan(np.pi * 0.25 + 0.5 * np.radians(lat)))
+    dx = np.abs(x[:, None] - x[None, :])
+    dx = np.minimum(dx, WORLD_W - dx)
+    d = np.hypot(dx, y[:, None] - y[None, :])
+    dt = np.abs(t[:, None] - t[None, :])
+    nb = (d <= eps_s) & (dt <= eps_t)
+    deg = nb.sum(axis=1)
+    core = deg >= min_pts
+    n = len(ids)
+    parent = dict(zip(ids, ids))
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and nb[i, j]:
+                ri, rj = find(ids[i]), find(ids[j])
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[ids[i]] = (find(ids[i]), "core")
+    for i in range(n):
+        if core[i]:
+            continue
+        labels = [find(ids[j]) for j in range(n) if core[j] and nb[i, j]]
+        out[ids[i]] = (min(labels), "border") if labels else (-1, "noise")
+    return out
+
+
+class TestStDbscan:
+    def test_matches_python_oracle(self, spark, wm):
+        from tile_grid_spark.operators.dbscan import st_dbscan
+
+        ids, lon, lat = _synth(n=220, seed=41)
+        rng = np.random.default_rng(43)
+        # blob points cluster in time too; background scattered over 30d
+        t = np.where(
+            np.arange(len(ids)) < len(ids) * 67 // 100,
+            rng.integers(0, 86_400, len(ids)),
+            rng.integers(0, 2_600_000, len(ids)),
+        ).astype(np.int64)
+        eps_s, eps_t, mp = 60_000.0, 43_200, 7
+        want = _py_st_dbscan(ids, lon, lat, t, eps_s, eps_t, mp)
+        df = spark.createDataFrame(
+            [
+                (int(i), float(lo), float(la), int(tt))
+                for i, lo, la, tt in zip(ids, lon, lat, t)
+            ],
+            "pid LONG, lon DOUBLE, lat DOUBLE, t LONG",
+        )
+        rows = st_dbscan(df, wm, eps_space=eps_s, eps_time=eps_t, min_pts=mp).collect()
+        got = {r["pid"]: (r["cluster"], r["role"]) for r in rows}
+        assert got == want
+        assert {v[1] for v in got.values()} == {"core", "border", "noise"}
+
+    def test_time_zero_requires_simultaneity(self, spark, wm):
+        from tile_grid_spark.operators.dbscan import st_dbscan
+
+        # same place, distinct times -> eps_time=0 finds no neighbors
+        df = spark.createDataFrame(
+            [(i, 8.5, 47.3, i * 100) for i in range(1, 9)],
+            "pid LONG, lon DOUBLE, lat DOUBLE, t LONG",
+        )
+        rows = st_dbscan(df, wm, eps_space=50_000.0, eps_time=0, min_pts=2).collect()
+        assert all(r["role"] == "noise" for r in rows)
+
+    def test_validation(self, spark, wm):
+        from tile_grid_spark.operators.dbscan import st_dbscan
+
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0, 0)], "pid LONG, lon DOUBLE, lat DOUBLE, t LONG"
+        )
+        with pytest.raises(ValueError, match="min_pts"):
+            st_dbscan(df, wm, eps_space=1000.0, eps_time=10, min_pts=0)
+        with pytest.raises(ValueError, match="eps_time"):
+            st_dbscan(df, wm, eps_space=1000.0, eps_time=-1, min_pts=2)

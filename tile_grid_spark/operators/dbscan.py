@@ -54,7 +54,7 @@ from ..core.tms import Tms
 from .cluster import connected_components
 from .knn import radius_join
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "st_dbscan"]
 
 
 def dbscan(
@@ -103,6 +103,74 @@ def dbscan(
         .select("_ida", "_idb")
         .localCheckpoint()  # 3 consumers; never replay the ring join
     )
+    return _label_from_pairs(pts.select(id_col), pairs, min_pts, id_col, star_impl)
+
+
+def st_dbscan(
+    points: DataFrame,
+    tms: Tms,
+    eps_space: float,
+    eps_time: int,
+    min_pts: int,
+    id_col: str = "pid",
+    lon: str = "lon",
+    lat: str = "lat",
+    t_col: str = "t",
+    zoom: int | None = None,
+    star_impl: str = "window",
+) -> DataFrame:
+    """Spatio-temporal DBSCAN (Birant & Kut 2007, the common single-
+    threshold variant): the eps-neighborhood requires BOTH distance <=
+    eps_space Mercator meters AND |t_a - t_b| <= eps_time (t integral,
+    typically epoch seconds — integer compares keep the boundary
+    engine-exact). Same deterministic roles/labels as dbscan().
+
+    Scale shape: the SPATIAL predicate prunes first (the radius_join
+    ring equi-join — candidate volume tracks local density), then two
+    bigint-key joins attach each endpoint's t and the time filter cuts
+    the pair list before it is checkpointed for the three labeling
+    consumers. At extreme temporal density flip the composition (time-
+    bucket first) — this variant is the spatially-selective one the
+    image+caption corpus shape wants."""
+    if min_pts < 1:
+        raise ValueError(f"st_dbscan: min_pts must be >= 1, got {min_pts}")
+    if eps_time < 0:
+        raise ValueError(f"st_dbscan: eps_time must be >= 0, got {eps_time}")
+    pts = points.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(lon).alias("lon"),
+        F.col(lat).alias("lat"),
+        F.col(t_col).cast("long").alias("_t"),
+    )
+    a = pts.select(F.col(id_col).alias("_ida"), "lon", "lat")
+    b = pts.select(F.col(id_col).alias("_idb"), "lon", "lat")
+    ta = pts.select(F.col(id_col).alias("_tka"), F.col("_t").alias("_ta"))
+    tb = pts.select(F.col(id_col).alias("_tkb"), F.col("_t").alias("_tb"))
+    sp = radius_join(
+        a, b, tms, radius=eps_space, left_id="_ida", right_id="_idb", zoom=zoom
+    ).filter(F.col("_ida") != F.col("_idb"))
+    pairs = (
+        sp.join(ta, sp["_ida"] == ta["_tka"])
+        .join(tb, sp["_idb"] == tb["_tkb"])
+        .filter(F.abs(F.col("_ta") - F.col("_tb")) <= F.lit(int(eps_time)))
+        .select("_ida", "_idb")
+        .localCheckpoint()  # 3 consumers; never replay join+filter
+    )
+    return _label_from_pairs(pts.select(id_col), pairs, min_pts, id_col, star_impl)
+
+
+def _label_from_pairs(
+    ids: DataFrame,
+    pairs: DataFrame,
+    min_pts: int,
+    id_col: str,
+    star_impl: str,
+) -> DataFrame:
+    """Shared DBSCAN labeling over a checkpointed symmetric neighbor
+    pair list (_ida, _idb): degree-threshold cores, CC over core-core
+    edges, MIN-label borders, -1 noise. `ids` is the one-column frame
+    of every point id (absent-from-pairs ids have zero neighbors)."""
+    pts = ids
 
     # |N_eps(p)| - 1 per point; absent ids have zero neighbors
     deg = pairs.groupBy("_ida").agg(F.count(F.lit(1)).alias("_nnb"))
