@@ -268,17 +268,13 @@ def _solve_frontier(
     extreme scale, where the broadcast would not fit) it falls back to
     full global rounds — identical labels through every tier,
     property-tested."""
-    sym = E.select(
-        F.col("u").alias("n"), F.lit(1).alias("p"), F.lit(0).alias("c")
-    ).unionByName(E.select(F.col("v").alias("n"), F.lit(0).alias("p"), F.lit(1).alias("c")))
-    S = (
+    sym = _endpoint_flags(E)
+    S, n_frontier = _checkpoint_with_count(
         sym.groupBy("n")
         .agg(F.sum("p").alias("np"), F.sum("c").alias("nc"))
         .filter((F.col("nc") > 0) & ((F.col("np") > 0) | (F.col("nc") > 1)))
         .select("n")
-        .localCheckpoint()
     )
-    n_frontier = S.count()
     if n_frontier == 0:
         # E is already a min-rooted star forest: the global answer
         return E, prev
@@ -295,13 +291,16 @@ def _solve_frontier(
     is_front = F.col("_fu").isNotNull() | F.col("_fv").isNotNull()
     fe = flagged.filter(is_front).select("u", "v")
     settled = flagged.filter(~is_front).select("u", "v")
-    n_fe = fe.count()
-    if n_fe <= frontier_max_nodes:
+    # capped collect: limit(cap+1) decides driver-vs-distributed AND
+    # delivers the rows in the SAME action (the interval_join probe
+    # pattern) — previously a full count pass preceded the toPandas
+    # pass, re-running the broadcast-flag scan of E for nothing
+    pdf = fe.limit(frontier_max_nodes + 1).toPandas()
+    if len(pdf) <= frontier_max_nodes:
         # quotient graph fits the driver: one Arrow collect + the same
         # vectorized union-find the partitions ran, zero round jobs
         import pandas as pd
 
-        pdf = fe.toPandas()
         ru, rv = _uf_star_arrays(
             pdf["u"].to_numpy("int64"), pdf["v"].to_numpy("int64")
         )
@@ -318,6 +317,33 @@ def _solve_frontier(
         )
     )
     return _checkpoint_with_checksum(final)
+
+
+def _endpoint_flags(e: DataFrame) -> DataFrame:
+    """(n, p, c) endpoint rows of an edge set — one row per endpoint with
+    parent/child indicator columns, via a 2-element explode (ONE pass
+    over the edges; the previous unionByName shape read them twice)."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("n"), F.lit(1).alias("p"), F.lit(0).alias("c")
+                ),
+                F.struct(
+                    F.col("v").alias("n"), F.lit(0).alias("p"), F.lit(1).alias("c")
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+def _checkpoint_with_count(e: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize + row count in ONE action (count rides the eager
+    localCheckpoint via observe — same trick as _checkpoint_with_checksum
+    without the hash column)."""
+    obs = Observation()
+    observed = e.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    return observed, int(obs.get["n"])
 
 
 def _checkpoint_with_checksum(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
@@ -406,7 +432,17 @@ def connected_components(
         canon0 = e0.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
-        e, prev = _checkpoint_with_checksum(_canonical(_contract_partitions(canon0)))
+        # NO _canonical here: contraction output is canonical BY
+        # CONSTRUCTION (each partition emits root < child with root the
+        # local component min, no loops), so the only thing _canonical
+        # added was a full-edge-list distinct exchange. Cross-partition
+        # duplicate (root, child) rows are harmless: a duplicated child
+        # has nc >= 2, which is exactly the frontier-conflict predicate,
+        # so every copy lands in the conflict subgraph where the
+        # union-find (driver tier) or _canonical-per-round (star tiers)
+        # collapses it — settled edges (nc == 1) are dup-free by
+        # definition. Saves one full shuffle of the contracted edges.
+        e, prev = _checkpoint_with_checksum(_contract_partitions(canon0))
         if frontier_max_nodes > 0 and prev[0] > 0:
             e, prev = _solve_frontier(
                 e, prev, large, small, max_iter, frontier_max_nodes
@@ -420,21 +456,33 @@ def connected_components(
         # A checksum fixed point of S∘L (or the frontier construction)
         # must also BE a star forest before we read components off the
         # edges: in canonical (min, max) form a star forest has no node
-        # in both the parent (u) and child (v) columns. One tiny
-        # distinct-join check, once, after convergence.
+        # in both the parent (u) and child (v) columns AND no child with
+        # two parents. ONE endpoint-explode exchange checks both (the
+        # previous two-distinct-join shape cost three exchanges); the
+        # child-uniqueness check is what licenses the shuffle-free comp
+        # assembly below.
         non_star = (
-            e.select("u").distinct().join(e.select(F.col("v").alias("u")).distinct(), "u")
-        ).count()
+            _endpoint_flags(e)
+            .groupBy("n")
+            .agg(F.sum("p").alias("np"), F.sum("c").alias("nc"))
+            .filter((F.col("nc") > 0) & ((F.col("np") > 0) | (F.col("nc") > 1)))
+            .count()
+        )
         if non_star:
             raise RuntimeError(
                 "connected_components: converged edge set is not a star "
-                f"forest ({non_star} chained nodes) — raise max_iter"
+                f"forest ({non_star} chained/multi-parent nodes) — raise "
+                "max_iter"
             )
-    # converged canonical edges are (root=component min, child)
+    # converged canonical edges are (root=component min, child). The
+    # guard proved children unique and disjoint from roots, so the
+    # child rows need NO aggregation at all (zero shuffle) — only the
+    # root self-rows dedup, and that distinct's map-side partials
+    # shrink it to one row per root per task before the exchange
+    # (previously the whole 2|E| node list went through a groupBy-min).
     comp = e.select(F.col("v").alias("node"), F.col("u").alias("component")).unionByName(
-        e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+        e.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("component"))
     )
-    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
     if nodes is not None:
         # `nodes` ADDS isolated vertices; it never filters. Edge
         # endpoints absent from `nodes` keep their rows (anti-join picks

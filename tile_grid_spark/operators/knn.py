@@ -233,6 +233,7 @@ def radius_join(
     lon: str = "lon",
     lat: str = "lat",
     zoom: int | None = None,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs within `radius` Mercator-plane meters —
     the WITHIN-DISTANCE companion of knn_join (same metric, same
@@ -260,6 +261,12 @@ def radius_join(
     Raises when no zoom gives a wrap-safe cover (radius within a factor
     ~4 of the world width): such a predicate matches a constant fraction
     of the globe per row — use bbox_overlap/cross strategies explicitly.
+
+    `broadcast_right=True` hints the right-side tile index into a
+    broadcast hash join (LongHashedRelation on the packed key): the
+    9x-exploded LEFT side then never shuffles at all. Callers assert
+    the right side fits a broadcast (e.g. dbscan's capped |points|
+    probe); the default keeps the shuffled join AQE can skew-split.
     """
     from ..core.model import meters_per_unit
     from ..functions.grid_cols import tile_key
@@ -312,6 +319,8 @@ def radius_join(
     ).withColumns({"cx": mercator_x(lon), "cy": mercator_y(lat)}).select(
         right_id, tile_key("tile_x", "tile_y").alias("_jk"), "cx", "cy"
     )
+    if broadcast_right:
+        r = F.broadcast(r)
     ringed = _ring_explode(l, 1, p, wrap_x)
     adx = F.abs(F.col("qx") - F.col("cx"))
     dx_eff = F.least(adx, F.lit(world_w) - adx) if wrap_x else adx
