@@ -30,17 +30,23 @@ def main() -> None:
 
     from tile_grid_spark.plans.session import build_session
 
+    extra = {
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC -Xmn16g"
+        ),
+    }
+    # ad-hoc conf experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = build_session(
         "tgs-bench-extra",
         master=f"local[{B.CPUS}]",
         shuffle_partitions=max(B.CPUS, 8),
-        extra_conf={
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
-            "spark.driver.extraJavaOptions": os.environ.get(
-                "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC -Xmn16g"
-            ),
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -70,8 +70,9 @@ def quantize_embedding(emb, scale: int = 1024) -> F.Column:
     )
 
 
-def _assign_udf(spark, cents: np.ndarray, cids: np.ndarray, dim: int):
-    """Vectorized argmin-distance assignment against broadcast centroids.
+def _argmin_block(X: np.ndarray, C: np.ndarray, dim: int) -> np.ndarray:
+    """Blocked argmin-squared-distance of rows X against centroids C,
+    returning the INDEX into C of each row's winner.
 
     Bit-exact twin of the relational form: squared L2 accumulates
     dim-sequentially (acc += (x-c)^2 one dimension at a time — the
@@ -81,30 +82,43 @@ def _assign_udf(spark, cents: np.ndarray, cids: np.ndarray, dim: int):
     the winner is min by (d, cid) exactly like array_min over
     struct(d, cid) and like the oracle's row_number ORDER BY d, cid.
     """
+    n = X.shape[0]
+    best_d = np.full(n, np.inf)
+    best_j = np.zeros(n, dtype=np.int64)
+    for lo in range(0, C.shape[0], _CENT_BLOCK):
+        Cb = C[lo : lo + _CENT_BLOCK]
+        acc = np.zeros((n, Cb.shape[0]))
+        for i in range(dim):  # dim-sequential: the fold's add order
+            t = X[:, i, None] - Cb[None, :, i]
+            acc += t * t
+        j = np.argmin(acc, axis=1)  # first min = lowest cid in block
+        d = acc[np.arange(n), j]
+        upd = d < best_d  # strict: earlier (lower-cid) block wins ties
+        best_d[upd] = d[upd]
+        best_j[upd] = lo + j[upd]
+    return best_j
+
+
+def _assign_udf(spark, cents: np.ndarray, cids: np.ndarray, dim: int):
+    """Vectorized argmin-distance assignment against broadcast centroids
+    (see _argmin_block for the bit-exactness argument). Returns
+    (pandas_udf, [broadcasts]) so finite-lifetime callers can unpersist
+    the broadcast blocks once the assignment has been consumed."""
     b_c = spark.sparkContext.broadcast(np.ascontiguousarray(cents))
     b_i = spark.sparkContext.broadcast(np.ascontiguousarray(cids))
 
     @F.pandas_udf("int")
     def assign(qd: pd.Series) -> pd.Series:
         C, ids = b_c.value, b_i.value
+        if len(qd) == 0:
+            return pd.Series([], dtype="int32")
         X = np.stack(qd.to_numpy())  # (n, dim) float64, exact Arrow transfer
-        n = X.shape[0]
-        best_d = np.full(n, np.inf)
-        best_c = np.zeros(n, dtype=np.int32)
-        for lo in range(0, C.shape[0], _CENT_BLOCK):
-            Cb = C[lo : lo + _CENT_BLOCK]
-            acc = np.zeros((n, Cb.shape[0]))
-            for i in range(dim):  # dim-sequential: the fold's add order
-                t = X[:, i, None] - Cb[None, :, i]
-                acc += t * t
-            j = np.argmin(acc, axis=1)  # first min = lowest cid in block
-            d = acc[np.arange(n), j]
-            upd = d < best_d  # strict: earlier (lower-cid) block wins ties
-            best_d[upd] = d[upd]
-            best_c[upd] = ids[lo + j[upd]]
-        return pd.Series(best_c)
+        best_j = _argmin_block(X, C, dim)
+        return pd.Series(ids[best_j].astype(np.int32))
 
-    return assign
+    return assign, [b_c, b_i]
+
+
 
 
 def kmeans_assign(
@@ -158,13 +172,16 @@ def kmeans_assign(
     cids = np.array([r["cid"] for r in seed_rows], dtype=np.int64)
 
     for _ in range(iters):
-        assigned = pts.withColumn(
-            "cluster", _assign_udf(spark, cents, cids, dim)(F.col("qd"))
-        )
-        # exact integer per-dim sums in ONE hash agg with map-side
-        # partials (no explode), k result rows -> driver
+        # per-round assignment UDF + exact integer per-dim sums in ONE
+        # hash agg with map-side partials (no explode), k result rows
+        # -> driver. (A fused assignment+partial-sums mapInPandas
+        # variant measured SLOWER at bench scale — the JVM agg is
+        # already k-rows-per-map-task partial, so fusing only moved
+        # work into Python; see OPTIMIZATION_r06.md.)
+        assign, bcasts = _assign_udf(spark, cents, cids, dim)
         sums = (
-            assigned.groupBy("cluster")
+            pts.withColumn("cluster", assign(F.col("qd")))
+            .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
@@ -174,6 +191,10 @@ def kmeans_assign(
             )
             .collect()
         )
+        # round over: release the per-iteration broadcast blocks (they
+        # otherwise accrete on driver+executors across Lloyd rounds)
+        for b in bcasts:
+            b.unpersist()
         sums.sort(key=lambda r: r["cluster"])
         # one division per dim over exact integer sums -> centroids are
         # bit-identical to the oracle's CAST(sum AS DOUBLE)/n
@@ -183,9 +204,12 @@ def kmeans_assign(
         )
         cids = np.array([r["cluster"] for r in sums], dtype=np.int64)
 
-    return pts.withColumn(
-        "cluster", _assign_udf(spark, cents, cids, dim)(F.col("qd"))
-    ).select(id_col, "cluster", "q")
+    # the returned frame is lazy: its assignment broadcasts must stay
+    # alive, so only the final pair survives the call
+    assign, _final_bcasts = _assign_udf(spark, cents, cids, dim)
+    return pts.withColumn("cluster", assign(F.col("qd"))).select(
+        id_col, "cluster", "q"
+    )
 
 
 def _prune_schema(id_col: str) -> T.StructType:

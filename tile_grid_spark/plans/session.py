@@ -33,6 +33,21 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer hash joins over sort-merge where a side fits per-task
+        # memory: planner-side when stats prove it (preferSortMergeJoin
+        # =false), and at runtime from EXACT post-shuffle sizes (the AQE
+        # local-map threshold — per-PARTITION bound, so the rule scales
+        # with partition sizing, not data volume). Measured on the
+        # banded-fingerprint self-join (16M rows/side, local[32]):
+        # 1.57s -> 1.04s — the two 16M-row sorts were the join's cost.
+        # AQE skew splitting covers SHJ too, and a side whose stats are
+        # unknown (post-checkpoint) keeps sort-merge, so the OOM risk
+        # profile is the guide's §3.1 trade, bounded by partition size.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", "128m"),
+        )
         # Arrow for every pandas UDF; batch size tuned down because image
         # `bytes` rows are wide (~12 KB at 64x64 RGB).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
