@@ -23,6 +23,39 @@ def wm():
 
 
 class TestMvtCodec:
+    def test_np_encoder_byte_parity(self):
+        """The vectorized point-tile encoder must be BYTE-identical to
+        the scalar one on adversarial ids/coords (varint length
+        boundaries, 64-bit ids, empty tile)."""
+        from tile_grid_spark.functions.mvt import encode_point_tile_np
+
+        rng = np.random.default_rng(7)
+        fids = np.concatenate(
+            [
+                rng.integers(0, 128, 50),
+                rng.integers(0, 1 << 20, 50),
+                rng.integers(0, 1 << 62, 20),
+                np.array([0, 127, 128, 16383, 16384, (1 << 63) - 1]),
+            ]
+        )
+        px = rng.integers(0, 4096, len(fids))
+        py = np.concatenate(
+            [rng.integers(0, 4096, len(fids) - 4), np.array([0, 63, 64, 4095])]
+        )
+        scalar = encode_point_tile(
+            [(int(f), int(x), int(y)) for f, x, y in zip(fids, px, py)],
+            "pts",
+            4096,
+        )
+        assert encode_point_tile_np(fids, px, py, "pts", 4096) == scalar
+        assert encode_point_tile_np([], [], [], "pts", 4096) == encode_point_tile(
+            [], "pts", 4096
+        )
+        with pytest.raises(ValueError, match="outside extent"):
+            encode_point_tile_np([1], [4096], [0], "pts", 4096)
+        with pytest.raises(ValueError, match="non-negative"):
+            encode_point_tile_np([-1], [0], [0], "pts", 4096)
+
     def test_roundtrip(self):
         feats = [(0, 0, 0), (7, 4095, 4095), (1 << 40, 2048, 17)]
         d = decode_point_tile(encode_point_tile(feats, "pts", 4096))

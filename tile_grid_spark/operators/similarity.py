@@ -114,35 +114,49 @@ def brute_force_topk_arrow(
     out_schema = f"{query_id} BIGINT, {cand_id} BIGINT, cosine DOUBLE"
 
     def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            C = np.vstack(
-                [np.asarray(e, dtype=np.float64) for e in pdf[emb]]
-            )
+            ids = rb.column(1).to_numpy()
+            col = rb.column(0)
+            # zero-copy matrix rebuild: a dense list<double> column is
+            # one flat values buffer + uniform offsets, so the (n, dim)
+            # block is a reshape, not n per-row numpy conversions (the
+            # old np.vstack-over-objects was the scorer's real cost)
+            vl = col.value_lengths().to_numpy(zero_copy_only=False)
+            if col.null_count == 0 and n > 0 and vl.min() == vl.max():
+                flat = col.flatten()
+                C = flat.to_numpy(zero_copy_only=False).reshape(n, -1)
+                C = C.astype(np.float64, copy=False)
+            else:
+                C = np.vstack(
+                    [np.asarray(e, dtype=np.float64) for e in col.to_pylist()]
+                )
+            # candidate order within the batch is arbitrary: sort by id
+            # ONCE so a stable sims sort breaks ties by ascending id —
+            # the same (cosine desc, cand_id asc) order as the global
+            # window, without a per-query lexsort
+            o = np.argsort(ids, kind="stable")
+            ids = ids[o]
+            C = C[o]
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             sims = Cn @ Qn.T  # (batch, n_queries)
-            ids = pdf[cand_id].to_numpy()
-            kk = min(k, sims.shape[0])
-            rows_q, rows_c, rows_s = [], [], []
-            for j in range(sims.shape[1]):
-                # local top-k with the SAME deterministic tie order as
-                # the global window (cosine desc, cand_id asc) — a bare
-                # argpartition would drop equal-cosine candidates
-                # arbitrarily at the batch boundary
-                idx = np.lexsort((ids, -sims[:, j]))[:kk]
-                rows_q.append(np.full(kk, qids[j]))
-                rows_c.append(ids[idx])
-                rows_s.append(sims[idx, j])
-            yield pd.DataFrame(
-                {
-                    query_id: np.concatenate(rows_q),
-                    cand_id: np.concatenate(rows_c),
-                    "cosine": np.concatenate(rows_s),
-                }
+            kk = min(k, n)
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, q)
+            cols = np.arange(sims.shape[1])
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(qids, kk)),
+                    pa.array(ids[top].T.reshape(-1)),
+                    pa.array(sims[top, cols].T.reshape(-1)),
+                ],
+                names=[query_id, cand_id, "cosine"],
             )
 
-    local = candidates.select(cand_id, emb).mapInPandas(score, out_schema)
+    local = candidates.select(emb, cand_id).mapInArrow(score, out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(cand_id))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -163,6 +163,29 @@ def encode_point_tiles(
                 f"{max_features_per_tile} — roll up before encoding"
             )
         pdf = pdf.sort_values("fid")
+        if not attr_cols:
+            # no tag dictionaries: the whole feature stream is three
+            # varints per row around fixed key bytes — vectorized numpy
+            # encoder, byte-identical (parity pytest), ~10x the scalar
+            # per-point loop that dominated the MVT production bench
+            from ..functions.mvt import encode_point_tile_np
+
+            return pd.DataFrame(
+                {
+                    "tile_x": [int(pdf.tile_x.iloc[0])],
+                    "tile_y": [int(pdf.tile_y.iloc[0])],
+                    "n_features": [len(pdf)],
+                    "mvt": [
+                        encode_point_tile_np(
+                            pdf.fid.to_numpy(),
+                            pdf.px.to_numpy(),
+                            pdf.py.to_numpy(),
+                            layer,
+                            extent,
+                        )
+                    ],
+                }
+            )
         feats = [(int(f), int(x), int(y)) for f, x, y in zip(pdf.fid, pdf.px, pdf.py)]
         attrs = None
         if attr_cols:
