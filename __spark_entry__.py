@@ -2032,8 +2032,9 @@ def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY float math and both engines evaluate the identical IEEE tree —
     gi value-hashes at FULL precision, no rounding (the merc-formula
     precedent). Spark plan: one point-level exchange, a 9-offset tile
-    explode + packed-bigint groupBy, one bigint join, broadcast global
-    moments."""
+    explode + packed-bigint groupBy (the center offset carries each
+    tile's own count, so there is no join back onto the counts frame),
+    broadcast global moments."""
     from tile_grid_spark.operators.hotspot import getis_ord_gi_star
 
     pts = _points_df(spark, sf_dir, "orders", "o_orderkey")

@@ -26,9 +26,12 @@ Scale shape (the 100-TB plan):
   emission, final join) would each replay the point scan.
 - Ring sums: 9-offset explode of the TILE frame (not the points) +
   one groupBy on the packed bigint tile key — shuffle volume is
-  9 x |non-empty tiles|, independent of point count.
-- Final assembly: one bigint-key join (LongHashedRelation rule) + a
-  broadcast 1-row global-moments frame.
+  9 x |non-empty tiles|, independent of point count. The center
+  offset (dx=dy=0) carries the tile's own count through the SAME
+  aggregate, so study-set membership and x need no join back onto
+  the counts frame (r6: one exchange + one hashed-relation build
+  fewer than the previous base-ring bigint join).
+- Final assembly: a broadcast 1-row global-moments frame only.
 - Study domain is the reference clamp range [0, width-1] x
   [0, height-1]; rows landed on the saturating edge index (== width,
   reference xy_tile semantics for the exact right/bottom edge) are
@@ -92,7 +95,7 @@ def gi_star_from_counts(counts: DataFrame, tms: Tms, zoom: int) -> DataFrame:
         & (F.col("tile_y") >= 0)
         & (F.col("tile_x") <= F.lit(p.matrix_width - 1))
         & (F.col("tile_y") <= F.lit(p.matrix_height - 1))
-    ).localCheckpoint()  # 3 consumers; never replay the upstream scan
+    ).localCheckpoint()  # 2 consumers; never replay the upstream scan
     g = counts.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -105,6 +108,12 @@ def gi_star_from_counts(counts: DataFrame, tms: Tms, zoom: int) -> DataFrame:
             for dy in (-1, 0, 1)
         ]
     )
+    # The center offset (dx=dy=0) contributes exactly the tile's own
+    # count to its ring group, so the tile's x rides the SAME aggregate
+    # as the ring sums (max over the single center element) and "tile is
+    # in the study set" = "a center element exists" — the previous
+    # base-side bigint join back onto the checkpointed counts is gone
+    # (one exchange + one hashed-relation build fewer, same integers).
     ring = (
         counts.withColumn("_o", F.explode(offsets))
         .withColumns(
@@ -120,11 +129,31 @@ def gi_star_from_counts(counts: DataFrame, tms: Tms, zoom: int) -> DataFrame:
             & (F.col("ny") <= F.lit(p.matrix_height - 1))
         )
         .groupBy(tile_key("nx", "ny").alias("_tk"))
-        .agg(F.sum("x").alias("ring_sum"), F.count(F.lit(1)).alias("ring_n"))
+        .agg(
+            F.sum("x").alias("ring_sum"),
+            F.count(F.lit(1)).alias("ring_n"),
+            F.max(
+                F.when(
+                    (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0), F.col("x")
+                )
+            ).alias("_cx"),
+            F.max(
+                F.when((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0), F.col("nx"))
+            ).alias("_ctx"),
+            F.max(
+                F.when((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0), F.col("ny"))
+            ).alias("_cty"),
+        )
+        .filter(F.col("_cx").isNotNull())
+        .select(
+            F.col("_ctx").alias("tile_x"),
+            F.col("_cty").alias("tile_y"),
+            F.col("_cx").alias("x"),
+            "ring_sum",
+            "ring_n",
+        )
     )
-    base = counts.withColumn("_ck", tile_key("tile_x", "tile_y"))
-    j = base.join(ring, base["_ck"] == ring["_tk"]).drop("_ck", "_tk")
-    out = j.crossJoin(F.broadcast(g))
+    out = ring.crossJoin(F.broadcast(g))
 
     nd = F.col("n").cast("double")
     xbar = F.col("sx").cast("double") / F.col("n")
