@@ -98,7 +98,31 @@ def main() -> None:
 
     B.force(_dbscan(B.synth_blob_points(spark, 3_000), E.WM, eps=5_000.0, min_pts=8))
 
+    def bench_st_dbscan(spark):
+        """Isolation-only row (bench.py is frozen): ST-DBSCAN over the
+        same skewed blob points as the dbscan row plus a deterministic
+        epoch column — measures the two extra bigint epoch joins and
+        the time-filtered pair list against the dbscan baseline."""
+        from tile_grid_spark.operators.dbscan import st_dbscan
+
+        pts = B.synth_blob_points(spark, B.DBSCAN_ROWS).withColumn(
+            "t", (F.col("pid") * 37 % 86400).cast("long")
+        ).cache()
+        pts.count()
+        t0 = time.time()
+        n = B.force(
+            st_dbscan(
+                pts, E.WM, eps_space=5_000.0, eps_time=600, min_pts=8,
+                id_col="pid",
+            )
+        )
+        dt = time.time() - t0
+        assert n == B.DBSCAN_ROWS
+        pts.unpersist()
+        return {"sec": dt}
+
     benches = {
+        "st_dbscan": bench_st_dbscan,
         "tile_assign_scale": B.bench_tile_assign_scale,
         "pip_join_scale": B.bench_pip_scale,
         "tile_assign_all_zooms": B.bench_tile_assign_all_zooms,

@@ -103,20 +103,24 @@ def _assign_udf(spark, cents: np.ndarray, cids: np.ndarray, dim: int):
     """Vectorized argmin-distance assignment against broadcast centroids
     (see _argmin_block for the bit-exactness argument). Returns
     (pandas_udf, [broadcasts]) so finite-lifetime callers can unpersist
-    the broadcast blocks once the assignment has been consumed."""
-    b_c = spark.sparkContext.broadcast(np.ascontiguousarray(cents))
-    b_i = spark.sparkContext.broadcast(np.ascontiguousarray(cids))
+    the broadcast blocks once the assignment has been consumed. The
+    centroid block and its id vector ride ONE broadcast (a per-round
+    broadcast is a driver-side pickle + file write; halving the count
+    trims the per-Lloyd-round fixed cost, r6)."""
+    b = spark.sparkContext.broadcast(
+        (np.ascontiguousarray(cents), np.ascontiguousarray(cids))
+    )
 
     @F.pandas_udf("int")
     def assign(qd: pd.Series) -> pd.Series:
-        C, ids = b_c.value, b_i.value
+        C, ids = b.value
         if len(qd) == 0:
             return pd.Series([], dtype="int32")
         X = np.stack(qd.to_numpy())  # (n, dim) float64, exact Arrow transfer
         best_j = _argmin_block(X, C, dim)
         return pd.Series(ids[best_j].astype(np.int32))
 
-    return assign, [b_c, b_i]
+    return assign, [b]
 
 
 
